@@ -1,0 +1,125 @@
+"""Local mirror of the driver's t2 oracle check (__spark_entry__.py:3-7).
+
+Runs a registered Spark query and its DuckDB SQL twin on the same
+parquet fixtures, then compares row-count + column names + values
+(order-insensitive: rows sorted by a canonical key). Our default is
+STRICTER than a tolerant compare: exact equality (tolerance 0.0) unless
+the QuerySpec declares a tolerance — that way we learn which queries
+carry fp risk before the driver does.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from x8313_etl_spark.registry import QuerySpec
+from x8313_etl_spark.schemas import TABLE_NAMES
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon_cell(v):
+    """Canonicalize one cell for sorting/compare."""
+    if v is None:
+        return None
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        return None if math.isnan(f) else f
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, (pd.Timestamp, np.datetime64)):
+        ts = pd.Timestamp(v)
+        return ts.floor("us").to_pydatetime()
+    if isinstance(v, np.ndarray):
+        return tuple(_canon_cell(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon_cell(x)) for k, x in v.items()))
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    if isinstance(v, np.bool_):
+        return bool(v)
+    return v
+
+
+def canonical_rows(df: pd.DataFrame) -> tuple[list[str], list[tuple]]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(_canon_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    rows.sort(key=lambda r: tuple((v is None, str(type(v)), str(v)) for v in r))
+    return cols, rows
+
+
+def _cells_equal(a, b, tol: float) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_cells_equal(x, y, tol) for x, y in zip(a, b))
+    if isinstance(a, float) or isinstance(b, float):
+        if a is None or b is None:
+            return False
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if fa == fb:
+            return True
+        return abs(fa - fb) <= tol + 1e-12 * max(abs(fa), abs(fb)) if tol > 0 else False
+    return a == b
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    detail: str = ""
+
+    def __bool__(self) -> bool:
+        return self.ok
+
+
+def compare_query(spark, spec: QuerySpec, sf_dir: str) -> CompareResult:
+    sdf = spec.fn(spark, sf_dir).toPandas()
+    if spec.oracle is None:
+        ok = len(sdf) >= 0
+        return CompareResult(spec.name, ok, f"rows-only: {len(sdf)} rows")
+    con = duckdb_connect(sf_dir)
+    try:
+        odf = con.execute(spec.oracle).fetchdf()
+    finally:
+        con.close()
+
+    if len(sdf) != len(odf):
+        return CompareResult(
+            spec.name, False, f"row count: spark={len(sdf)} oracle={len(odf)}"
+        )
+    scols, srows = canonical_rows(sdf)
+    ocols, orows = canonical_rows(odf)
+    if scols != ocols:
+        return CompareResult(
+            spec.name, False, f"columns: spark={scols} oracle={ocols}"
+        )
+    for i, (sr, orr) in enumerate(zip(srows, orows)):
+        for c, (a, b) in zip(scols, zip(sr, orr)):
+            if not _cells_equal(a, b, spec.tolerance):
+                return CompareResult(
+                    spec.name,
+                    False,
+                    f"value mismatch row {i} col {c}: spark={a!r} oracle={b!r}",
+                )
+    return CompareResult(spec.name, True, f"{len(sdf)} rows exact")

@@ -1,0 +1,104 @@
+"""Sources & sinks (SURVEY.md §2.1, operators S1-S8).
+
+All fixture reads are schema-pinned (S2) and go through
+``ensure_session_invariants`` so they are correct on *any* session,
+including the driver-owned one.
+
+Scale notes: parquet scans are the vectorized columnar reader; pinning
+the schema skips footer merging across files. Filters/projections
+applied by callers reach the scan via Catalyst pushdown (verified by
+plan-shape tests in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from .schemas import SCHEMAS, TABLE_NAMES
+from .session import ensure_session_invariants
+
+#: nanos → TIMESTAMP_NTZ; `div` is integer division (ts >= 0 so trunc == floor).
+#: Session tz is pinned to UTC so the NTZ cast is wall-clock exact, matching
+#: DuckDB's native TIMESTAMP_NS → TIMESTAMP(µs) truncation.
+_TS_NANOS_TO_NTZ = "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1/S2: schema-pinned parquet scan of one fixture table."""
+    ensure_session_invariants(spark)
+    df = spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
+    if name == "events":
+        df = df.withColumn("ts", F.expr(_TS_NANOS_TO_NTZ))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    use = names or TABLE_NAMES
+    return {n: load_table(spark, sf_dir, n) for n in use}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """S6: register every fixture table as a temp view for the SQL entry point."""
+    for n in TABLE_NAMES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# ---------------------------------------------------------------------------
+# Generic connectors (S3/S4/S5) — used by ETL round-trip tests and pipelines.
+# ---------------------------------------------------------------------------
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """S3: delimited ingest with explicit schema (no sampling pass at scale)."""
+    ensure_session_invariants(spark)
+    return spark.read.csv(path, schema=schema, header=header, sep=sep)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, sep: str = ",") -> None:
+    df.write.mode("overwrite").csv(path, header=header, sep=sep)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """S4: JSON-lines ingest, schema-pinned (inference is a full extra scan)."""
+    ensure_session_invariants(spark)
+    return spark.read.schema(schema).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def write_parquet_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:
+    """S5: partitioned parquet writes → layout that enables partition pruning.
+
+    At 100 TB this is the canonical sink: readers filtering on the
+    partition columns scan only matching directories (static + dynamic
+    partition pruning are both Catalyst built-ins).
+    """
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: replay the events fixture as an unbounded stream.
+
+    ``maxFilesPerTrigger`` is irrelevant under ``trigger(availableNow=True)``
+    (our deterministic test mode); in production this same source tails a
+    directory that an upstream job appends to.
+    """
+    ensure_session_invariants(spark)
+    raw = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .parquet(table_path(sf_dir, "events"))
+    )
+    return raw.withColumn("ts", F.expr(_TS_NANOS_TO_NTZ))

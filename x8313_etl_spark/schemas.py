@@ -1,0 +1,127 @@
+"""Pinned StructTypes for the ten fixture tables (SURVEY.md §1.2, FIXTURES.md).
+
+We pin schemas on read (operator S2) instead of relying on inference:
+deterministic tests, no footer-merge cost at scale, and loud failure on
+schema drift. Types verified against the real parquet footers on
+2026-08-13 (FIXTURES.md reproduces the dump commands).
+
+``events.ts`` is parquet INT64 TIMESTAMP(NANOS); with
+``spark.sql.legacy.parquet.nanosAsLong=true`` it surfaces as LongType
+(nanoseconds since epoch) and io.py converts it to TIMESTAMP_NTZ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+
+def _st(*fields: tuple) -> StructType:
+    return StructType([StructField(n, t, True) for n, t in fields])
+
+
+REGION = _st(("r_regionkey", IntegerType()), ("r_name", StringType()))
+
+NATION = _st(
+    ("n_nationkey", IntegerType()),
+    ("n_name", StringType()),
+    ("n_regionkey", IntegerType()),
+)
+
+CUSTOMER = _st(
+    ("c_custkey", LongType()),
+    ("c_name", StringType()),
+    ("c_nationkey", IntegerType()),
+    ("c_acctbal", DoubleType()),
+    ("c_mktsegment", StringType()),
+)
+
+SUPPLIER = _st(
+    ("s_suppkey", LongType()),
+    ("s_name", StringType()),
+    ("s_nationkey", IntegerType()),
+    ("s_acctbal", DoubleType()),
+)
+
+PART = _st(
+    ("p_partkey", LongType()),
+    ("p_name", StringType()),
+    ("p_brand", StringType()),
+    ("p_type", StringType()),
+    ("p_size", IntegerType()),
+    ("p_retailprice", DoubleType()),
+)
+
+ORDERS = _st(
+    ("o_orderkey", LongType()),
+    ("o_custkey", LongType()),
+    ("o_orderstatus", StringType()),
+    ("o_totalprice", DoubleType()),
+    ("o_orderdate", TimestampNTZType()),
+    ("o_orderpriority", StringType()),
+)
+
+LINEITEM = _st(
+    ("l_orderkey", LongType()),
+    ("l_partkey", LongType()),
+    ("l_suppkey", LongType()),
+    ("l_linenumber", IntegerType()),
+    ("l_quantity", DoubleType()),
+    ("l_extendedprice", DoubleType()),
+    ("l_discount", DoubleType()),
+    ("l_tax", DoubleType()),
+    ("l_returnflag", StringType()),
+    ("l_linestatus", StringType()),
+    ("l_shipdate", TimestampNTZType()),
+)
+
+#: raw on-disk shape — ts is LongType nanos (see module docstring)
+EVENTS_RAW = _st(
+    ("event_id", LongType()),
+    ("ts", LongType()),
+    ("user_id", LongType()),
+    ("event_type", StringType()),
+    ("value", DoubleType()),
+    ("props", StringType()),
+)
+
+DOCUMENTS = _st(
+    ("doc_id", LongType()),
+    ("text", StringType()),
+    ("lang", StringType()),
+    ("source", StringType()),
+    ("n_chars", LongType()),
+)
+
+EMBEDDINGS = _st(
+    ("vec_id", LongType()),
+    ("embedding", ArrayType(FloatType())),
+    ("label", IntegerType()),
+)
+
+SCHEMAS: dict[str, StructType] = {
+    "region": REGION,
+    "nation": NATION,
+    "customer": CUSTOMER,
+    "supplier": SUPPLIER,
+    "part": PART,
+    "orders": ORDERS,
+    "lineitem": LINEITEM,
+    "events": EVENTS_RAW,
+    "documents": DOCUMENTS,
+    "embeddings": EMBEDDINGS,
+}
+
+TABLE_NAMES = list(SCHEMAS)
+
+#: embedding vectors are fixed-length 64 (FIXTURES.md)
+EMBEDDING_DIM = 64
