@@ -10,8 +10,10 @@ carry fp risk before the driver does.
 
 from __future__ import annotations
 
+import datetime as dt
 import math
 from dataclasses import dataclass
+from decimal import Decimal
 
 import duckdb
 import numpy as np
@@ -42,6 +44,12 @@ def _canon_cell(v):
     if isinstance(v, (pd.Timestamp, np.datetime64)):
         ts = pd.Timestamp(v)
         return ts.floor("us").to_pydatetime()
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, dt.datetime):
+        return pd.Timestamp(v).floor("us").to_pydatetime()
+    if isinstance(v, dt.date):
+        return dt.datetime(v.year, v.month, v.day)
     if isinstance(v, np.ndarray):
         return tuple(_canon_cell(x) for x in v.tolist())
     if isinstance(v, (list, tuple)):

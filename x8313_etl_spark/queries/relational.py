@@ -1,1 +1,264 @@
-"""Placeholder — populated in this round (SURVEY.md §2)."""
+"""Projection / filter / predicate / sort / limit operators (SURVEY.md §2.2, §2.6).
+
+P1-P9 and O1-O3. Sort-order semantics (O1-O3) are embedded into row
+*values* via row_number over the same total order, because the driver's
+value-hash is order-insensitive; every order is made total with a
+unique-key tiebreaker (SURVEY.md §7 risk #5).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..io import load_table
+from ..operators.dedup import keep_first
+from ..registry import register
+
+
+@register(
+    "p1_project_computed",
+    category="projection",
+    oracle="""
+SELECT o_orderkey AS key,
+       o_totalprice,
+       o_totalprice * 1.07 AS with_tax,
+       o_orderpriority AS priority
+FROM orders
+""",
+)
+def p1_project_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: select / alias / computed column (double multiply is IEEE-exact)."""
+    return load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice"),
+        (F.col("o_totalprice") * 1.07).alias("with_tax"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+
+
+@register(
+    "p2_drop_columns",
+    category="projection",
+    oracle="SELECT c_custkey, c_nationkey, c_mktsegment FROM customer",
+)
+def p2_drop_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: drop columns (Catalyst prunes them out of the scan)."""
+    return load_table(spark, sf_dir, "customer").drop("c_name", "c_acctbal")
+
+
+@register(
+    "p3_cast",
+    category="projection",
+    oracle="""
+SELECT l_orderkey,
+       l_linenumber,
+       CAST(l_linenumber AS BIGINT) AS lineno_big,
+       CAST(l_shipdate AS DATE) AS ship_date,
+       CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qty_fixed,
+       CAST(l_returnflag = 'R' AS BOOLEAN) AS returned
+FROM lineitem
+""",
+)
+def p3_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: cast family. double→int is deliberately absent: Spark truncates
+    while DuckDB rounds, so that cast can never be oracle-checked; the
+    engine exposes it but via explicit floor()/round() composition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_linenumber").cast("bigint").alias("lineno_big"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.col("l_quantity").cast("decimal(12,2)").cast("double").alias("qty_fixed"),
+        (F.col("l_returnflag") == "R").cast("boolean").alias("returned"),
+    )
+
+
+@register(
+    "p4_predicates",
+    category="filter",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag, l_linestatus
+FROM lineitem
+WHERE (l_returnflag = 'R' OR l_linestatus = 'F')
+  AND l_quantity > 30
+  AND NOT (l_discount < 0.02)
+  AND l_tax <> 0.0
+""",
+)
+def p4_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: comparison + boolean connectives; all pushed to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pred = (
+        ((F.col("l_returnflag") == "R") | (F.col("l_linestatus") == "F"))
+        & (F.col("l_quantity") > 30)
+        & ~(F.col("l_discount") < 0.02)
+        & (F.col("l_tax") != 0.0)
+    )
+    return li.filter(pred).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_returnflag", "l_linestatus",
+    )
+
+
+@register(
+    "p5_in_between",
+    category="filter",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o_totalprice BETWEEN 10000 AND 150000
+""",
+)
+def p5_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: IN-list membership and BETWEEN range (both scan-pushable)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_totalprice").between(10000, 150000)
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+@register(
+    "p6_like_rlike",
+    category="filter",
+    oracle="""
+SELECT p_partkey, p_name, p_type
+FROM part
+WHERE p_name LIKE '%red%'
+  AND p_name NOT LIKE 'small%'
+  AND regexp_matches(p_type, '^(ECONOMY|PROMO|LARGE)$')
+""",
+)
+def p6_like_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: LIKE / NOT LIKE / regexp predicate."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%red%")
+        & ~F.col("p_name").like("small%")
+        & F.col("p_type").rlike("^(ECONOMY|PROMO|LARGE)$")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@register(
+    "p7_null_semantics",
+    category="filter",
+    oracle="""
+SELECT l_orderkey,
+       l_linenumber,
+       NULLIF(l_discount, 0.0) AS disc_n,
+       NULLIF(l_discount, 0.0) IS NULL AS is_free,
+       NULLIF(l_discount, 0.0) IS NOT DISTINCT FROM NULLIF(l_tax, 0.0) AS same_rate,
+       COALESCE(NULLIF(l_discount, 0.0), -1.0) AS disc_filled
+FROM lineitem
+""",
+)
+def p7_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: IS NULL / null-safe equality / COALESCE (nulls induced via NULLIF
+    since the fixtures are null-free)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_n = F.nullif(F.col("l_discount"), F.lit(0.0))
+    tax_n = F.nullif(F.col("l_tax"), F.lit(0.0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_n.alias("disc_n"),
+        disc_n.isNull().alias("is_free"),
+        disc_n.eqNullSafe(tax_n).alias("same_rate"),
+        F.coalesce(disc_n, F.lit(-1.0)).alias("disc_filled"),
+    )
+
+
+@register(
+    "p8_distinct",
+    category="filter",
+    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def p8_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: distinct — a hash aggregate on all projected columns."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    ).distinct()
+
+
+@register(
+    "p9_drop_duplicates",
+    category="dedup",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate
+FROM orders
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+""",
+)
+def p9_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: order-pinned dropDuplicates — first order per customer by
+    (orderdate, orderkey). See operators/dedup.py for why bare
+    dropDuplicates is unusable under an oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    first = keep_first(o, ["o_custkey"], [F.col("o_orderdate"), F.col("o_orderkey")])
+    return first.select("o_custkey", "o_orderkey", "o_orderdate")
+
+
+@register(
+    "o1_multikey_sort",
+    category="sort",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal,
+       ROW_NUMBER() OVER (
+         ORDER BY (CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END)
+                  DESC NULLS LAST,
+                  c_custkey
+       ) AS rn
+FROM customer
+""",
+)
+def o1_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: multi-key sort with DESC NULLS LAST, order embedded as rank."""
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+    w = Window.orderBy(bal.desc_nulls_last(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        bal.alias("bal"),
+        F.row_number().over(w).alias("rn"),
+    ).orderBy(F.col("bal").desc_nulls_last(), "c_custkey")
+
+
+@register(
+    "o2_limit_offset",
+    category="sort",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_orderkey
+LIMIT 25 OFFSET 100
+""",
+)
+def o2_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: pagination over a total order (orderkey is unique)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.orderBy("o_orderkey").select("o_orderkey", "o_totalprice").offset(100).limit(25)
+
+
+@register(
+    "o3_global_topk",
+    category="sort",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 15
+""",
+)
+def o3_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: global top-k → TakeOrderedAndProject (per-partition heap, no
+    full sort; verified in plan-shape tests)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(15)
+    )

@@ -1,1 +1,129 @@
-"""Placeholder — populated in this round (SURVEY.md §2)."""
+"""Sources & sinks as verifiable queries (SURVEY.md §2.1, S1-S6).
+
+S3/S4/S5 are write→read round-trips through a scratch dir inside the
+repo (`.scratch/`, gitignored): the sink side-effect is verified by
+reading the written data back and oracle-checking it against the
+original table. S7/S8 (streaming source/sink) live in streaming_q.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.numeric import dsum, sql_dsum
+from ..io import load_table, read_csv, read_jsonl, write_parquet_partitioned
+from ..registry import register
+from ..schemas import DOCUMENTS, SUPPLIER
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+def scratch(*parts: str) -> str:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return os.path.join(_SCRATCH, *parts)
+
+
+def _tag(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/"))
+
+
+@register(
+    "s1_parquet_scan",
+    category="sources",
+    oracle="SELECT * FROM nation",
+)
+def s1_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: plain vectorized parquet scan."""
+    return load_table(spark, sf_dir, "nation")
+
+
+@register(
+    "s2_schema_pinned_scan",
+    category="sources",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def s2_schema_pinned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: scan with explicit pinned schema (all loads in io.py are pinned;
+    drift raises at read — see tests/test_sources.py)."""
+    return load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@register(
+    "s3_csv_roundtrip",
+    category="sources",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def s3_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: csv write → schema-pinned csv read. Doubles survive because
+    Spark writes shortest-round-trip representations."""
+    path = scratch(f"s3_supplier_csv_{_tag(sf_dir)}")
+    sup = load_table(spark, sf_dir, "supplier")
+    sup.write.mode("overwrite").csv(path, header=True)
+    return read_csv(spark, path, SUPPLIER, header=True)
+
+
+@register(
+    "s4_jsonl_roundtrip",
+    category="sources",
+    oracle="SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5 FROM documents",
+)
+def s4_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: json-lines write → schema-pinned read; text integrity checked
+    via md5 so JSON string escaping bugs can't hide."""
+    path = scratch(f"s4_documents_jsonl_{_tag(sf_dir)}")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").json(path)
+    back = read_jsonl(spark, path, DOCUMENTS)
+    return back.select(
+        "doc_id", "lang", "source", "n_chars", F.md5("text").alias("text_md5")
+    )
+
+
+@register(
+    "s5_partitioned_write",
+    category="sources",
+    oracle=f"""
+SELECT o_orderstatus,
+       COUNT(*) AS cnt,
+       {sql_dsum('o_totalprice')} AS total
+FROM orders
+WHERE o_orderstatus IN ('F', 'O')
+GROUP BY o_orderstatus
+""",
+)
+def s5_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: partitioned parquet write, read back with a partition filter —
+    the filter prunes directories (partition pruning), which is the whole
+    point of this layout at 100 TB."""
+    path = scratch(f"s5_orders_by_status_{_tag(sf_dir)}")
+    orders = load_table(spark, sf_dir, "orders")
+    write_parquet_partitioned(orders, path, "o_orderstatus")
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus").isin("F", "O"))
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("total"),
+    )
+
+
+@register(
+    "s6_temp_view_sql",
+    category="sources",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS cnt, MAX(l_quantity) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def s6_temp_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: temp-view registration + the SQL entry point (spark.sql)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("x8313_lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, COUNT(*) AS cnt, MAX(l_quantity) AS max_qty
+        FROM x8313_lineitem_v
+        GROUP BY l_returnflag
+        """
+    )
