@@ -34,7 +34,7 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _canon_cell(v):
     """Canonicalize one cell for sorting/compare."""
-    if v is None:
+    if v is None or v is pd.NaT:
         return None
     if isinstance(v, (np.floating, float)):
         f = float(v)
@@ -87,7 +87,8 @@ def _cells_equal(a, b, tol: float) -> bool:
             return False
         if fa == fb:
             return True
-        return abs(fa - fb) <= tol + 1e-12 * max(abs(fa), abs(fb)) if tol > 0 else False
+        # tol is RELATIVE (scaled by magnitude, floor 1.0)
+        return tol > 0 and abs(fa - fb) <= tol * max(1.0, abs(fa), abs(fb))
     return a == b
 
 

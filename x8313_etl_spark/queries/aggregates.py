@@ -144,3 +144,196 @@ def a5_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(urgent).alias("urgent_sales"),
         (F.sum(hipri.cast("decimal(25,6)")).cast("double") / F.count(hipri)).alias("avg_hipri"),
     )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "a6_rollup",
+    category="aggregation",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       o_orderstatus,
+       COUNT(*) AS cnt,
+       {sql_dsum('o_totalprice')} AS total
+FROM orders
+GROUP BY ROLLUP (CAST(year(o_orderdate) AS BIGINT), o_orderstatus)
+""",
+)
+def a6_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: rollup — (yr, status), (yr), () granularities in one pass;
+    grouped-out keys surface as NULL exactly as in SQL ROLLUP."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.col("o_orderstatus"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("total"),
+    )
+
+
+@register(
+    "a7_collect_list_set",
+    category="aggregation",
+    oracle="""
+SELECT s_nationkey,
+       list_sort(list(s_suppkey)) AS supp_keys,
+       list_sort(list(DISTINCT s_name)) AS supp_names
+FROM supplier
+GROUP BY s_nationkey
+""",
+)
+def a7_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: collect_list / collect_set, sorted for determinism (collection
+    order is partition-dependent; sort_array pins it)."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.sort_array(F.collect_list("s_suppkey")).alias("supp_keys"),
+        F.sort_array(F.collect_set("s_name")).alias("supp_names"),
+    )
+
+
+@register(
+    "a8_statistical_aggs",
+    category="aggregation",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS cnt,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx2,
+         CAST(SUM(CAST(l_extendedprice / 100 AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST((l_extendedprice / 100) * (l_extendedprice / 100) AS DECIMAL(25,6))) AS DOUBLE) AS sy2,
+         CAST(SUM(CAST(l_quantity * (l_extendedprice / 100) AS DECIMAL(25,6))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       (sx2 - (sx * sx) / cnt) / (cnt - 1) AS var_qty,
+       sqrt((sx2 - (sx * sx) / cnt) / (cnt - 1)) AS std_qty,
+       ((sxy - (sx * sy) / cnt) / (cnt - 1)) * 100 AS covar_qty_price,
+       ((sxy - (sx * sy) / cnt) / (cnt - 1))
+         / (sqrt((sx2 - (sx * sx) / cnt) / (cnt - 1))
+            * sqrt((sy2 - (sy * sy) / cnt) / (cnt - 1))) AS corr_qty_price
+FROM m
+""",
+)
+def a8_statistical_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: variance/stddev/covariance/correlation via exact decimal moment
+    sums + identical double arithmetic on both engines — bit-exact where
+    the builtin one-pass M2 implementations (F.stddev_samp / DuckDB's)
+    differ in last-ulp. Unit tests pin this against F.stddev_samp/F.corr
+    to 1e-9 relative, so the operator surface remains the builtins.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    # Price scaled by 1/100 so squares stay < 1e7, where the double→
+    # decimal(·,6) cast is cross-engine deterministic. The scale must be a
+    # power of TEN: prices are 2-dp rationals, so scaled values/squares sit
+    # ON the 1e-6 grid (never on half-boundaries, where Spark's HALF_UP on
+    # shortest-repr and DuckDB's nearest on the exact binary expansion
+    # disagree — a power-of-two scale puts ~1/64 of rows exactly there).
+    # Covariance is scaled back by 100; correlation is scale-invariant.
+    y = F.col("l_extendedprice") / 100
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum(x).alias("sx"),
+        dsum(x * x).alias("sx2"),
+        dsum(y).alias("sy"),
+        dsum(y * y).alias("sy2"),
+        dsum(x * y).alias("sxy"),
+    )
+    cnt = F.col("cnt")
+    var_x = (F.col("sx2") - (F.col("sx") * F.col("sx")) / cnt) / (cnt - 1)
+    var_y = (F.col("sy2") - (F.col("sy") * F.col("sy")) / cnt) / (cnt - 1)
+    cov = (F.col("sxy") - (F.col("sx") * F.col("sy")) / cnt) / (cnt - 1)
+    return m.select(
+        "l_returnflag",
+        var_x.alias("var_qty"),
+        F.sqrt(var_x).alias("std_qty"),
+        (cov * 100).alias("covar_qty_price"),
+        (cov / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "a9_percentiles",
+    category="aggregation",
+    tolerance=1e-9,
+    oracle="""
+SELECT l_returnflag,
+       ROUND(median(l_extendedprice), 6) AS p50_price,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+       ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: exact percentiles (linear interpolation), rounded to 6dp on
+    both engines to absorb last-ulp interpolation differences. The 100 TB
+    path is approx_percentile (sketch, no global sort) — covered
+    rows-only in unit tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 6).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", 0.95), 6).alias("p95_price"),
+        F.round(F.percentile("l_quantity", 0.25), 6).alias("p25_qty"),
+    )
+
+
+@register(
+    "a10_max_by_min_by",
+    category="aggregation",
+    oracle="""
+SELECT o_orderstatus,
+       arg_max(o_orderkey, o_totalprice) AS biggest_order,
+       arg_min(o_orderkey, o_totalprice) AS smallest_order,
+       MAX(o_totalprice) AS max_price,
+       MIN(o_totalprice) AS min_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def a10_max_by_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: order-pinned first/last per group via max_by/min_by
+    (deterministic here because o_totalprice is unique per group in the
+    fixtures; ties would need the struct-max idiom)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
+@register(
+    "a11_pivot",
+    category="aggregation",
+    oracle="""
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events
+GROUP BY user_id
+""",
+)
+def a11_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: pivot event_type → count columns. The pivot value list is
+    explicit: at scale an implicit pivot adds a full distinct-value scan
+    and makes the output schema data-dependent."""
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )

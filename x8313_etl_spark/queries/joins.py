@@ -1,1 +1,367 @@
-"""Placeholder — populated in this round (SURVEY.md §2)."""
+"""Join operators (SURVEY.md §2.3, J1-J11).
+
+Scale notes per query are in the docstrings; the recurring themes:
+small dims are broadcast (no fact shuffle), equi-joins shuffle on their
+key with AQE skew splitting, and the as-of/range joins are single-
+shuffle window formulations rather than per-key collects.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.numeric import dsum, sql_dsum
+from ..io import load_table
+from ..operators.asof import asof_join
+from ..operators.dedup import keep_first
+from ..registry import register
+
+
+@register(
+    "j1_inner_equi_join",
+    category="joins",
+    oracle="""
+SELECT o.o_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice, o.o_orderpriority
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_quantity >= 49
+""",
+)
+def j1_inner_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: fact-to-fact equi join; the selective lineitem filter is pushed
+    below the join so only matching keys shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    o = load_table(spark, sf_dir, "orders")
+    return li.join(o, li.l_orderkey == o.o_orderkey, "inner").select(
+        "o_orderkey", "l_linenumber", "l_quantity", "o_totalprice", "o_orderpriority"
+    )
+
+
+@register(
+    "j2_left_outer_join",
+    category="joins",
+    oracle="""
+SELECT o.o_orderkey, o.o_orderstatus, l.l_linenumber, l.l_quantity
+FROM orders o
+LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity > 48) l
+  ON o.o_orderkey = l.l_orderkey
+""",
+)
+def j2_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: left outer — unmatched orders keep null lineitem columns."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 48)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left").select(
+        "o_orderkey", "o_orderstatus", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "j2b_full_outer_join",
+    category="joins",
+    oracle="""
+WITH c AS (
+  SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1
+), s AS (
+  SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1
+)
+SELECT COALESCE(c.nk, s.nk) AS nk, c.n_cust, s.n_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+""",
+)
+def j2b_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: full outer over two pre-aggregated sides (nations may have
+    customers but no suppliers, or vice versa)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, "nk", "full").select(
+        F.col("nk"), F.col("n_cust"), F.col("n_supp")
+    )
+
+
+@register(
+    "j3_broadcast_star_join",
+    category="joins",
+    bench=True,
+    oracle=f"""
+SELECT r.r_name,
+       COUNT(*) AS n_customers,
+       {sql_dsum('c.c_acctbal')} AS total_balance
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def j3_broadcast_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: explicit broadcast of the dim tables — the fact side never
+    shuffles for the join (plan-shape test asserts BroadcastHashJoin)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_balance"),
+        )
+    )
+
+
+@register(
+    "j4_left_semi",
+    category="joins",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+""",
+)
+def j4_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: existence filter — no right columns, no row multiplication."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "j5_left_anti",
+    category="joins",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def j5_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: non-existence filter (customers who never ordered)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "j6_cross_join",
+    category="joins",
+    oracle="""
+SELECT r.r_name, s.o_orderstatus
+FROM region r
+CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+""",
+)
+def j6_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: cartesian of two tiny inputs (the only sane cross-join shape;
+    anything larger must go through a key or LSH bucketing)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    s = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s)
+
+
+@register(
+    "j7_theta_join",
+    category="joins",
+    oracle="""
+SELECT n1.n_name AS name_a, n2.n_name AS name_b, n1.n_regionkey AS rk
+FROM nation n1
+JOIN nation n2
+  ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+""",
+)
+def j7_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: equi + inequality conjunct (unordered pairs within a region).
+    The equi part keys the shuffle; the inequality is a post-join filter,
+    so this stays a hash join, not a nested loop."""
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.alias("n1")
+    n2 = n.alias("n2")
+    return n1.join(
+        n2,
+        (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+        & (F.col("n1.n_nationkey") < F.col("n2.n_nationkey")),
+    ).select(
+        F.col("n1.n_name").alias("name_a"),
+        F.col("n2.n_name").alias("name_b"),
+        F.col("n1.n_regionkey").alias("rk"),
+    )
+
+
+@register(
+    "j8_range_join",
+    category="joins",
+    bench=True,
+    oracle="""
+WITH p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       COUNT(c.c_ts) AS clicks_before
+FROM p
+LEFT JOIN c
+  ON p.user_id = c.user_id
+ AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+ AND c.c_ts <= p.p_ts
+GROUP BY 1, 2
+""",
+)
+def j8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: interval/range join — clicks within the hour before each
+    purchase, same user. The user_id equi-conjunct keys the shuffle;
+    the time range filters within each key group, so cost is bounded by
+    per-user event density, not |events|²."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy("purchase_id", "user_id").agg(
+        F.count("c_ts").alias("clicks_before")
+    )
+
+
+@register(
+    "j9_asof_join",
+    category="joins",
+    bench=True,
+    oracle="""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), v0 AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS v_ts, event_id AS view_id
+  FROM events WHERE event_type = 'view'
+), v AS (
+  SELECT * FROM v0
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, v_ts ORDER BY view_id DESC) = 1
+)
+SELECT p.purchase_id, p.user_id, p.p_ts, v.view_id, v.v_ts
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND v.v_ts <= p.p_ts
+""",
+)
+def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: as-of join — the view each user most recently saw at or before
+    each purchase. Union+window formulation (operators/asof.py); right
+    side deduped per (user, ts) for determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    v = keep_first(v, ["user_id", "v_ts"], [F.col("view_id").desc()])
+    return asof_join(
+        p, v, by=["user_id"], left_on="p_ts", right_on="v_ts",
+        value_cols=["view_id", "v_ts"],
+    )
+
+
+@register(
+    "j10_self_join_lag",
+    category="joins",
+    oracle="""
+SELECT event_id,
+       user_id,
+       LAG(event_id) OVER w AS prev_event_id,
+       CAST(date_diff('second', LAG(CAST(ts AS TIMESTAMP)) OVER w, CAST(ts AS TIMESTAMP)) AS BIGINT) AS gap_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def j10_self_join_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: self-join expressed as a lag window — one shuffle on user_id
+    instead of a self equi-join (half the scan, no join at all)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap = (
+        F.col("ts").cast("timestamp").cast("long")
+        - prev_ts.cast("timestamp").cast("long")
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        gap.cast("bigint").alias("gap_s"),
+    )
+
+
+@register(
+    "j11_star_join_revenue",
+    category="joins",
+    bench=True,
+    oracle=f"""
+SELECT r.r_name, n.n_name,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY r.r_name, n.n_name
+""",
+)
+def j11_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11: 5-table star join (TPC-H Q5 shape). Join order: fact ⋈ orders
+    (the one genuine shuffle pair), then dims broadcast outward-in; the
+    orderdate filter lands on the orders scan before its shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    c = F.broadcast(load_table(spark, sf_dir, "customer"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )

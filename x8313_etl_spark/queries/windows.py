@@ -1,1 +1,233 @@
-"""Placeholder — populated in this round (SURVEY.md §2)."""
+"""Window functions (SURVEY.md §2.5, W1-W7).
+
+Determinism: every ORDER BY inside a window is made total with a
+unique-key tiebreaker unless tie semantics are the thing under test
+(rank/dense_rank use a deliberately coarse key). Running/sliding sums
+go through the decimal trick because windowed SUM may be evaluated as a
+segment tree, so even a pinned row order doesn't pin double addition
+order.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "w1_ranking",
+    category="windows",
+    oracle="""
+SELECT c_custkey,
+       c_nationkey,
+       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+       ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                          ORDER BY floor(c_acctbal / 1000) DESC, c_custkey) AS rn,
+       RANK()       OVER (PARTITION BY c_nationkey
+                          ORDER BY floor(c_acctbal / 1000) DESC) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY c_nationkey
+                          ORDER BY floor(c_acctbal / 1000) DESC) AS drnk
+FROM customer
+""",
+)
+def w1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: row_number / rank / dense_rank. The bucket key is coarse on
+    purpose so rank vs dense_rank tie behavior is actually exercised;
+    row_number gets a unique tiebreaker."""
+    c = load_table(spark, sf_dir, "customer")
+    bucket = F.floor(F.col("c_acctbal") / 1000)
+    w_unique = Window.partitionBy("c_nationkey").orderBy(
+        bucket.desc(), F.col("c_custkey")
+    )
+    w_ties = Window.partitionBy("c_nationkey").orderBy(bucket.desc())
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        bucket.cast("bigint").alias("bal_bucket"),
+        F.row_number().over(w_unique).alias("rn"),
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+    )
+
+
+@register(
+    "w2_distribution",
+    category="windows",
+    oracle="""
+SELECT o_orderkey,
+       o_orderstatus,
+       NTILE(4)       OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST()    OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def w2_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: ntile / percent_rank / cume_dist over a total order (both
+    engines compute (rank-1)/(n-1) etc. as one double division —
+    identical)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "w3_lag_lead",
+    category="windows",
+    oracle="""
+SELECT event_id,
+       user_id,
+       value,
+       value - LAG(value) OVER w AS delta,
+       LEAD(event_type) OVER w AS next_type,
+       LAG(value, 2, -1.0) OVER w AS lag2_filled
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def w3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: lag/lead with offsets and defaults (value deltas per user)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lag("value", 2, -1.0).over(w).alias("lag2_filled"),
+    )
+
+
+@register(
+    "w4_running_sum",
+    category="windows",
+    oracle="""
+SELECT o_custkey,
+       o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS lifetime_spend,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         AS order_seq
+FROM orders
+""",
+)
+def w4_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: cumulative (row-frame) sum — customer lifetime spend after each
+    order."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .over(wf)
+        .cast("double")
+        .alias("lifetime_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "w5_sliding_range_sum",
+    category="windows",
+    oracle="""
+SELECT event_id,
+       user_id,
+       CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec,
+       CAST(SUM(CAST(value AS DECIMAL(25,6)))
+            OVER (PARTITION BY user_id
+                  ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS value_10min
+FROM events
+""",
+)
+def w5_sliding_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: sliding range-frame agg — per-user rolling 10-minute value sum
+    keyed on epoch seconds (RANGE frames need a numeric order key)."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_sec = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_sec)
+        .rangeBetween(-600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        ts_sec.alias("ts_sec"),
+        F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double").alias("value_10min"),
+    )
+
+
+@register(
+    "w6_first_last_nth",
+    category="windows",
+    oracle="""
+SELECT event_id,
+       user_id,
+       FIRST_VALUE(event_type) OVER w AS first_type,
+       LAST_VALUE(event_type)  OVER w AS last_type,
+       NTH_VALUE(event_type, 2) OVER w AS second_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def w6_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: first/last/nth value over an explicit full-partition frame (the
+    default frame would make LAST_VALUE mean 'current row' — a classic
+    SQL footgun this operator pins down)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )
+
+
+@register(
+    "w7_topk_per_group",
+    category="windows",
+    bench=True,
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) <= 3
+""",
+)
+def w7_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: top-3 orders per customer. Spark ≥3.5 rewrites the rank filter
+    into WindowGroupLimit: each input partition keeps only its local
+    top-3 per key *before* the shuffle (asserted in plan tests)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
