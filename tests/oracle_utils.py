@@ -56,6 +56,8 @@ def _canon_cell(v):
         return tuple(_canon_cell(x) for x in v)
     if isinstance(v, dict):
         return tuple(sorted((k, _canon_cell(x)) for k, x in v.items()))
+    if hasattr(v, "asDict"):  # pyspark Row (struct collected without Arrow)
+        return tuple(sorted((k, _canon_cell(x)) for k, x in v.asDict().items()))
     if isinstance(v, (bytes, bytearray)):
         return bytes(v)
     if isinstance(v, np.bool_):

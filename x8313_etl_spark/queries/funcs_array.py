@@ -1,1 +1,213 @@
-"""Placeholder — populated in this round (SURVEY.md §2)."""
+"""Array / explode / higher-order / map / JSON / struct families
+(SURVEY.md §2.8 F9-F14).
+
+The embeddings table (array<float>, fixed length 64) exercises the
+array families; events.props (JSON string) exercises map/JSON. Sum-like
+reductions over float arrays go through decimal elements so the fold
+is order-independent and cross-engine exact (see functions/numeric.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "f9_array_basics",
+    category="functions",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       embedding[1] AS first_val,
+       list_slice(embedding, 1, 3) AS head3,
+       list_sort(list_slice(embedding, 1, 3)) AS head3_sorted,
+       list_max(embedding) AS max_val,
+       list_contains(list_transform(embedding, x -> x > 0), true) AS any_positive
+FROM embeddings
+""",
+)
+def f9_array_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: size / element_at (1-based in both engines) / slice /
+    sort_array / array_max / array_contains."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.element_at(emb, 1).alias("first_val"),
+        F.slice(emb, 1, 3).alias("head3"),
+        F.sort_array(F.slice(emb, 1, 3)).alias("head3_sorted"),
+        F.array_max(emb).alias("max_val"),
+        F.array_contains(F.transform(emb, lambda x: x > 0), F.lit(True)).alias(
+            "any_positive"
+        ),
+    )
+
+
+@register(
+    "f10_explode",
+    category="functions",
+    oracle="""
+SELECT doc_id,
+       CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos,
+       unnest(string_split(text, ' ')) AS word
+FROM documents
+WHERE doc_id < 50
+""",
+)
+def f10_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: posexplode — words with 0-based position (DuckDB twin uses
+    generate_subscripts since it lacks WITH ORDINALITY)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    )
+
+
+@register(
+    "f11_higher_order",
+    category="functions",
+    oracle="""
+SELECT vec_id,
+       CAST(list_sum(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(25,6)))) AS DOUBLE) AS vec_sum,
+       CAST(list_sum(list_transform(embedding,
+            x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(25,6)))) AS DOUBLE) AS sq_sum,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
+       list_transform(list_slice(embedding, 1, 4), x -> CAST(x AS DOUBLE) * 2) AS head_doubled,
+       CAST(list_sum(list_transform(list_zip(list_slice(embedding, 1, 8), list_reverse(list_slice(embedding, 1, 8))),
+            p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(25,6)))) AS DOUBLE) AS rev_dot8
+FROM embeddings
+""",
+)
+def f11_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: transform / filter / aggregate / zip_with. Reductions use
+    decimal elements → order-independent sums, exact across engines;
+    per-element double products are IEEE-exact in both. Floats are
+    widened to double BEFORE the decimal cast: a float's shortest repr
+    is ~7-9 sig digits, which parks values exactly on 1e-6 half-
+    boundaries where Spark's and DuckDB's tie-breaking diverge."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    dec = "decimal(25,6)"
+    zero = F.lit(0).cast(dec)
+    vec_sum = F.aggregate(
+        emb, zero, lambda acc, x: (acc + x.cast("double").cast(dec)).cast(dec)
+    ).cast("double")
+    sq_sum = F.aggregate(
+        emb,
+        zero,
+        lambda acc, x: (acc + (x.cast("double") * x.cast("double")).cast(dec)).cast(dec),
+    ).cast("double")
+    head8 = F.slice(emb, 1, 8)
+    rev_dot8 = F.aggregate(
+        F.zip_with(
+            head8,
+            F.reverse(head8),
+            lambda x, y: (x.cast("double") * y.cast("double")).cast(dec),
+        ),
+        zero,
+        lambda acc, x: (acc + x).cast(dec),
+    ).cast("double")
+    return e.select(
+        "vec_id",
+        vec_sum.alias("vec_sum"),
+        sq_sum.alias("sq_sum"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+        F.transform(F.slice(emb, 1, 4), lambda x: x.cast("double") * 2).alias(
+            "head_doubled"
+        ),
+        rev_dot8.alias("rev_dot8"),
+    )
+
+
+@register(
+    "f12_map_functions",
+    category="functions",
+    oracle="""
+SELECT event_id,
+       json_keys(props) AS prop_keys,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+       CAST(len(json_keys(props)) AS INTEGER) AS n_props
+FROM events
+""",
+)
+def f12_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: parse props into MapType → map_keys / element_at / size
+    (DuckDB twin stays in JSON land, same values)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        F.element_at(m, "k").alias("k_value"),
+        F.size(F.map_keys(m)).alias("n_props"),
+    )
+
+
+@register(
+    "f13_json",
+    category="functions",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+       '{"k":' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR) || '}' AS rebuilt
+FROM events
+""",
+)
+def f13_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: get_json_object / from_json(struct) / to_json round-trip
+    (both engines emit compact JSON, probed)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "struct<k:bigint>")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        F.to_json(F.struct(parsed.getField("k").alias("k"))).alias("rebuilt"),
+    )
+
+
+@register(
+    "f14_struct_ops",
+    category="functions",
+    oracle="""
+SELECT o_orderkey,
+       struct_pack(status := o_orderstatus, price := o_totalprice).price AS price_out,
+       struct_pack(status := o_orderstatus, price := o_totalprice).status AS status_out,
+       struct_pack(a := o_orderpriority, b := struct_pack(s := o_orderstatus)).b.s AS nested_status,
+       to_json(struct_pack(status := o_orderstatus, price := round(o_totalprice, 0))) AS info_json
+FROM orders
+""",
+)
+def f14_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: struct construction, field access, nested structs, struct→json.
+
+    The output surface stays scalar: a struct-typed result column
+    round-trips differently through Arrow vs non-Arrow collection (Row
+    vs dict), which makes value-hash comparison representation-dependent
+    rather than semantics-dependent."""
+    o = load_table(spark, sf_dir, "orders")
+    info = F.struct(
+        F.col("o_orderstatus").alias("status"), F.col("o_totalprice").alias("price")
+    )
+    info_r = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice"), 0).alias("price"),
+    )
+    nested = F.struct(
+        F.col("o_orderpriority").alias("a"),
+        F.struct(F.col("o_orderstatus").alias("s")).alias("b"),
+    )
+    return o.select(
+        "o_orderkey",
+        info.getField("price").alias("price_out"),
+        info.getField("status").alias("status_out"),
+        nested.getField("b").getField("s").alias("nested_status"),
+        F.to_json(info_r).alias("info_json"),
+    )
