@@ -1,0 +1,172 @@
+"""MinHash + LSH near-duplicate detection (SURVEY.md §2.10 L2).
+
+Classic shingle → minhash → band-bucket → candidate-join pipeline,
+entirely in JVM higher-order expressions (no UDFs):
+
+1. k-word shingles per doc (functions/text.py `shingles`).
+2. Each shingle hashed to a 31-bit integer via md5 (cross-engine
+   reproducible — see functions/text.py `fingerprint` for the trick).
+3. ``N_HASHES`` universal-hash permutations ``(A_i * h + B_i) mod P``;
+   the signature is the per-permutation minimum.
+4. Signatures are split into ``BANDS`` bands of ``ROWS_PER_BAND``; docs
+   sharing any band key become candidate pairs (one exploded
+   shuffle-join on the band key — O(candidates), never O(n²)).
+5. Candidates are verified with exact shingle-set Jaccard and filtered
+   at the caller's threshold.
+
+Scale notes (100 TB): the only shuffles are (a) the band-key self-join,
+whose fan-in is bounded by band-bucket sizes (salt or cap hot buckets —
+a bucket with B docs yields B² candidates; production adds a
+``max_bucket_size`` guard), and (b) the verify join, bounded by the
+candidate count. Signature computation is embarrassingly parallel and
+map-side only. All hash arithmetic is fixed-constant and deterministic:
+the same corpus gives the same pairs on any cluster size.
+
+Determinism: every constant (P, A_i, B_i) is a pure function of the
+permutation index so the DuckDB oracle can regenerate the identical
+signature with no side-channel (queries/llm.py embeds the twin SQL).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ..functions.text import shingles_from_words, tokens
+
+#: Mersenne prime 2^31-1. h < P and A_i < P keep A_i*h < 2^62 (int64-safe).
+MINHASH_P = 2_147_483_647
+N_HASHES = 32
+BANDS = 8
+ROWS_PER_BAND = 4
+assert BANDS * ROWS_PER_BAND == N_HASHES
+
+_SHINGLE_K = 3
+
+
+def shingle_hashes(sh: Column) -> Column:
+    """Shingle array → array of 31-bit integer hashes.
+
+    Hash = first 15 md5 hex digits as bigint, mod P — both engines can
+    compute it bit-identically (Spark conv(); DuckDB '0x'||hex cast).
+    """
+    return F.transform(
+        sh,
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+            F.lit(MINHASH_P),
+        ),
+    )
+
+
+def shingle_stage(
+    docs: DataFrame, id_col: str, text_col: str, k: int = _SHINGLE_K
+) -> DataFrame:
+    """(doc_id, sh, sig) with each intermediate MATERIALIZED as its own
+    projection column. Catalyst inlines expression trees into
+    higher-order lambdas, so composing these as one nested expression
+    re-evaluates split() per element_at and md5 per permutation (32×) —
+    staging through column attributes computes each exactly once per row.
+    """
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w"))
+        .withColumn("sh", shingles_from_words(F.col("w"), k))
+        .withColumn("h", shingle_hashes(F.col("sh")))
+        .select("doc_id", "sh", minhash_signature(F.col("h")).alias("sig"))
+    )
+
+
+def _perm_a(i: Column) -> Column:
+    return F.pmod(i * F.lit(2_654_435_761) + 1, F.lit(MINHASH_P))
+
+
+def _perm_b(i: Column) -> Column:
+    return F.pmod(i * F.lit(40_503) + 17, F.lit(MINHASH_P))
+
+
+def minhash_signature(hashes: Column, n_hashes: int = N_HASHES) -> Column:
+    """array<bigint> signature: sig[i] = min over shingles of perm_i(h).
+
+    Computed as a FOLD over shingles with an n_hashes-wide accumulator
+    (element-wise least), not as a transform-per-permutation: Catalyst
+    inlines referenced columns into lambda bodies, so the per-permutation
+    form re-evaluates the md5 shingle hashing n_hashes times (measured
+    10× slower). The fold touches each hash exactly once.
+
+    Empty shingle arrays yield an all-null signature (matches the
+    DuckDB twin's list_min([]) = NULL semantics).
+    """
+    idx = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+    init = F.array_repeat(F.lit(MINHASH_P).cast("bigint"), n_hashes)
+    folded = F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                idx, lambda i: F.pmod(_perm_a(i) * h + _perm_b(i), F.lit(MINHASH_P))
+            ),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    return F.when(F.size(hashes) > 0, folded).otherwise(
+        F.transform(idx, lambda i: F.lit(None).cast("bigint"))
+    )
+
+
+def band_keys(sig: Column, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> Column:
+    """array<string>: one join key per band — the band's signature slice."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat_ws(
+            "-", F.transform(F.slice(sig, b * rows + 1, rows), lambda x: x.cast("string"))
+        ),
+    )
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.3,
+    k: int = _SHINGLE_K,
+) -> DataFrame:
+    """LSH candidates + exact-Jaccard verify → (doc_a, doc_b, jaccard).
+
+    Emits each qualifying pair once (doc_a < doc_b). ``threshold`` is on
+    the EXACT shingle Jaccard of candidates; banding only bounds which
+    pairs get verified.
+    """
+    base = shingle_stage(docs, id_col, text_col, k)
+
+    banded = base.select(
+        "doc_id",
+        F.posexplode(band_keys(F.col("sig"))).alias("band", "key"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.key") == F.col("b.key"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    sh = base.select("doc_id", "sh")
+    jac = (
+        F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+        / F.size(F.array_distinct(F.concat(F.col("sa"), F.col("sb"))))
+    )
+    return (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

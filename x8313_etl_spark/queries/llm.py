@@ -1,1 +1,377 @@
-"""Placeholder — populated in this round (SURVEY.md §2)."""
+"""LLM-data-pipeline operators (SURVEY.md §2.10 L1-L9).
+
+Exact + near dedup, cosine similarity / top-k search, token stats,
+tf-idf, quality filtering, doc⋈vector join, per-label centroids.
+Everything is JVM Column expressions (no Python UDFs); vector math and
+sums use the decimal-determinism policy (functions/numeric.py) so every
+query here hash-matches its DuckDB twin exactly.
+
+Scale notes per query are in the docstrings: the near-dup pipeline is
+O(candidates) via LSH banding (operators/minhash.py); similarity search
+has a brute-force oracle form here and a bucketed ANN scale path in
+queries/pipeline_q.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.numeric import davg, sql_davg
+from ..functions.vector import sql_cosine
+from ..io import load_table
+from ..operators.dedup import exact_dedup_normalized
+from ..operators.minhash import near_dup_pairs
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB CTE snippets (kept adjacent to the Spark forms so the two
+# sides can never drift; constants mirror operators/minhash.py).
+# ---------------------------------------------------------------------------
+
+_SQL_SHINGLE_CTES = """
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+shv AS (SELECT doc_id,
+        CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+             generate_series(1, len(w) - 2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        ELSE CAST([] AS VARCHAR[]) END AS sh
+        FROM w),
+hs AS (SELECT doc_id, sh,
+       list_transform(sh, s ->
+         CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS h
+       FROM shv),
+sig AS (SELECT doc_id, sh,
+        list_transform(generate_series(0, 31), i ->
+          list_min(list_transform(h, x ->
+            (((i * 2654435761 + 1) % 2147483647) * x
+             + ((i * 40503 + 17) % 2147483647)) % 2147483647))) AS sig
+        FROM hs)
+"""
+
+
+@register(
+    "l1_exact_dedup",
+    category="llm",
+    oracle="""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+),
+h AS (
+  SELECT doc_id,
+         sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_sha
+  FROM u
+)
+SELECT doc_id, text_sha FROM h
+QUALIFY row_number() OVER (PARTITION BY text_sha ORDER BY doc_id) = 1
+""",
+)
+def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact dedup on sha256(normalized text), keeping min doc_id.
+
+    Fixture texts are all unique, so the corpus is unioned with an
+    id-offset copy of itself to guarantee duplicates — the dedup then
+    provably keeps exactly the original ids. Single hash-shuffle on the
+    digest; at 100 TB this never compares full texts.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    u = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    return exact_dedup_normalized(u, "text", "doc_id").select("doc_id", "text_sha")
+
+
+@register(
+    "l2_minhash_signature",
+    category="llm",
+    oracle=f"""
+WITH {_SQL_SHINGLE_CTES}
+SELECT doc_id, sig FROM sig WHERE doc_id < 100
+""",
+)
+def l2_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2a: 32-permutation MinHash signature per document — deterministic
+    universal hashing over md5-derived shingle ids, bit-identical across
+    engines (operators/minhash.py has the constants)."""
+    from ..operators.minhash import shingle_stage
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return shingle_stage(d, "doc_id", "text").select("doc_id", "sig")
+
+
+@register(
+    "l2_near_dup_pairs",
+    category="llm",
+    bench=True,
+    oracle=f"""
+WITH {_SQL_SHINGLE_CTES}
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / len(list_distinct(a.sh || b.sh)) AS jaccard,
+         len(list_filter(generate_series(0, 7), bi ->
+             list_slice(a.sig, bi*4 + 1, bi*4 + 4)
+               = list_slice(b.sig, bi*4 + 1, bi*4 + 4))) AS n_band_hits
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+)
+WHERE n_band_hits > 0 AND jaccard >= 0.3
+""",
+)
+def l2_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2b: full near-dup pipeline — shingle → minhash → 8×4 LSH bands →
+    band-bucket self-join → exact-Jaccard verify at τ=0.3.
+
+    The oracle brute-forces all pairs and applies the same band-match
+    predicate, so LSH recall is not a correctness variable: both sides
+    emit exactly the band-colliding pairs with true Jaccard ≥ τ. Spark
+    side is O(candidates): the only O(n²) risk is a hot band bucket
+    (see operators/minhash.py scale notes).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return near_dup_pairs(d, "doc_id", "text", threshold=0.3)
+
+
+@register(
+    "l3_cosine_pairs",
+    category="llm",
+    oracle=f"""
+SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+       {sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
+FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+WHERE a.vec_id < 8
+""",
+)
+def l3_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: pairwise cosine similarity, probe set × corpus — pure
+    zip_with/aggregate expressions (decimal-exact dot products), no UDF.
+    The probe side is broadcast: at scale this is a map-only pass over
+    the corpus (no shuffle). Norms are computed ONCE PER VECTOR before
+    the join (not per pair): cos = dot/(norm_a·norm_b)."""
+    from ..functions.vector import dot, norm
+
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vnorm", norm(F.col("embedding"))
+    )
+    probes = (
+        e.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("pvec"),
+            F.col("vnorm").alias("pnorm"),
+        )
+    )
+    return (
+        e.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            (
+                dot(F.col("pvec"), F.col("embedding"))
+                / (F.col("pnorm") * F.col("vnorm"))
+            ).alias("cos_sim"),
+        )
+    )
+
+
+@register(
+    "l4_topk_cosine",
+    category="llm",
+    bench=True,
+    oracle=f"""
+SELECT probe_id, vec_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+         {sql_cosine('a.embedding', 'b.embedding')} AS cos_sim,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY {sql_cosine('a.embedding', 'b.embedding')} DESC, b.vec_id
+         ) AS rn
+  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+  WHERE a.vec_id % 25 = 0
+)
+WHERE rn <= 5
+""",
+)
+def l4_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: brute-force top-5 nearest neighbors per probe (cosine), the
+    exact-search baseline. Window top-k runs with WindowGroupLimit
+    pushdown (partial top-5 per partition before the shuffle). The
+    bucketed ANN scale path is p_ivf_topk in queries/pipeline_q.py."""
+    from pyspark.sql import Window
+
+    from ..functions.vector import dot, norm
+
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vnorm", norm(F.col("embedding"))
+    )
+    probes = (
+        e.filter(F.col("vec_id") % 25 == 0)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("pvec"),
+            F.col("vnorm").alias("pnorm"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        e.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            (
+                dot(F.col("pvec"), F.col("embedding"))
+                / (F.col("pnorm") * F.col("vnorm"))
+            ).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "l5_token_stats",
+    category="llm",
+    oracle="""
+WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+c AS (SELECT lang, word, count(*) AS cnt FROM t GROUP BY lang, word)
+SELECT lang, word, cnt FROM c
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) <= 10
+""",
+)
+def l5_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: tokenize → per-(lang, word) counts → top-10 terms per lang
+    (count desc, word asc tiebreak). explode+groupBy partial-aggregates
+    map-side; the window top-k uses WindowGroupLimit."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("word"))
+    return (
+        c.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 10)
+        .drop("__rn")
+    )
+
+
+@register(
+    "l6_tfidf",
+    category="llm",
+    oracle="""
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+       CAST(CAST(CAST(tf.tf AS DOUBLE) * ln(n.n_docs / dfc.df) AS DECIMAL(25,6)) AS DOUBLE) AS tfidf
+FROM tf JOIN dfc USING (term) CROSS JOIN n
+WHERE tf.doc_id < 50
+""",
+)
+def l6_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: tf-idf as a pure agg/join composition (no ML-lib dependency):
+    tf per (doc, term), df per term, idf = ln(N/df). The df table is
+    broadcast (vocabulary ≪ corpus); N comes from an in-plan scalar agg
+    (never a driver collect). JVM and DuckDB ln() can differ by 1 ulp,
+    so tfidf is quantized through decimal(25,6) on both sides (a 1-ulp
+    difference survives a 1e-6 grid with p≈1e-10; functions/numeric.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = t.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    return (
+        tf.filter(F.col("doc_id") < 50)
+        .join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf").cast("double") * F.log(F.col("n_docs") / F.col("df")))
+            .cast("decimal(25,6)")
+            .cast("double")
+            .alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "l7_quality_filter",
+    category="llm",
+    oracle="""
+SELECT doc_id, lang, source, n_chars, CAST(length(text) AS BIGINT) AS text_len
+FROM documents
+WHERE lang IN ('en', 'de') AND n_chars BETWEEN 100 AND 400
+  AND length(text) >= 50
+""",
+)
+def l7_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: language + length quality gate — plain pushed-down predicates
+    (lang/n_chars reach the parquet scan as PushedFilters)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(
+        F.col("lang").isin("en", "de")
+        & F.col("n_chars").between(100, 400)
+        & (F.length("text") >= 50)
+    ).select(
+        "doc_id", "lang", "source", "n_chars", F.length("text").cast("bigint").alias("text_len")
+    )
+
+
+@register(
+    "l8_doc_vec_join",
+    category="llm",
+    oracle="""
+SELECT d.doc_id, d.lang, d.n_chars, e.label,
+       CAST(len(e.embedding) AS INTEGER) AS dim, e.embedding[1] AS e0
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""",
+)
+def l8_doc_vec_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8: multimodal column join — text metadata ⋈ embedding vectors on
+    the shared id. Dim side is whichever is smaller; here embeddings
+    broadcast-ready, but an equi-join lets AQE pick."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("e0"),
+    )
+
+
+@register(
+    "l9_label_centroids",
+    category="llm",
+    oracle=f"""
+WITH x AS (
+  SELECT label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+)
+SELECT label, dim, {sql_davg('val')} AS centroid, count(*) AS n_vecs
+FROM x GROUP BY label, dim
+""",
+)
+def l9_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9: per-label centroid, one row per (label, dimension) — explode
+    to (label, dim, val) then decimal-deterministic mean. Shuffles
+    n_vecs×64 skinny rows once; at 100 TB you'd pre-aggregate per
+    partition (map-side partial agg does exactly that for free)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select("label", F.posexplode("embedding").alias("dim", "val"))
+    return x.groupBy("label", "dim").agg(
+        davg(F.col("val").cast("double")).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
