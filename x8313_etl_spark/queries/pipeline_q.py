@@ -1,0 +1,264 @@
+"""Training-data-pipeline text ops (task-brief additions beyond §2.10):
+language ID, quality scoring, token counting, fingerprinting, SimHash +
+banded SimHash near-dup search.
+
+All JVM expressions over materialized word columns (functions/text.py
+design rule). Every query here is oracle-checked; the SimHash pair
+search is exact-recall LSH (pigeonhole over 4 disjoint bands), so even
+the "approximate" path has a brute-force SQL twin with identical output.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.text import (
+    BPE_TOKEN_RE,
+    LANG_MARKERS,
+    SIMHASH_BITS,
+    char_ratio,
+    fingerprint,
+    marker_hits,
+    mean_word_len,
+    simhash,
+    sql_fingerprint,
+    sql_simhash,
+    sql_word_hashes,
+    stopword_ratio,
+    tokens,
+    word_hashes,
+)
+from ..io import load_table
+from ..registry import register
+
+_STOPWORDS = ("the", "a", "of", "and", "to")
+
+_SQL_MARKER_HITS = (
+    "CAST(len(list_filter(w, x -> list_contains({markers}, x))) AS INTEGER)"
+)
+
+
+def _sql_markers(lang: str) -> str:
+    lst = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return _SQL_MARKER_HITS.format(markers=f"[{lst}]")
+
+
+_LANGS = sorted(LANG_MARKERS)  # de, en, es, fr, zh — CASE order = tiebreak order
+
+_SQL_PREDICT = "CASE " + " ".join(
+    "WHEN hits_{l} >= GREATEST({others}) THEN '{l}'".format(
+        l=lang, others=", ".join(f"hits_{o}" for o in _LANGS if o != lang)
+    )
+    for lang in _LANGS[:-1]
+) + f" ELSE '{_LANGS[-1]}' END"
+
+
+@register(
+    "p_lang_id",
+    category="pipeline",
+    oracle=f"""
+WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+h AS (SELECT doc_id, lang AS lang_meta,
+      {", ".join(f"{_sql_markers(lang)} AS hits_{lang}" for lang in _LANGS)}
+      FROM w)
+SELECT doc_id, lang_meta, {", ".join(f"hits_{lang}" for lang in _LANGS)},
+       {_SQL_PREDICT} AS lang_pred
+FROM h
+""",
+)
+def p_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-vocabulary language ID: per-language marker-token counts +
+    argmax prediction (first-in-alphabet tiebreak, mirrored in the CASE
+    order of the SQL twin). Map-only — no shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents").withColumn("w", tokens(F.col("text")))
+    for lang in _LANGS:
+        d = d.withColumn(f"hits_{lang}", marker_hits(F.col("w"), LANG_MARKERS[lang]))
+    pred = F.lit(_LANGS[-1])
+    # build the when-chain backwards so the first lang wins ties, as in SQL
+    for lang in reversed(_LANGS[:-1]):
+        others = [F.col(f"hits_{o}") for o in _LANGS if o != lang]
+        pred = F.when(
+            F.col(f"hits_{lang}") >= F.greatest(*others), F.lit(lang)
+        ).otherwise(pred)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_meta"),
+        *[f"hits_{lang}" for lang in _LANGS],
+        pred.alias("lang_pred"),
+    )
+
+
+@register(
+    "p_quality_score",
+    category="pipeline",
+    oracle=f"""
+WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(w) AS INTEGER) AS wc,
+         CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS mwl,
+         CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
+           / len(w) AS stop_ratio,
+         CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
+           / length(text) AS vowel_ratio
+  FROM w
+)
+SELECT doc_id, wc, mwl, stop_ratio, vowel_ratio,
+       CAST(CAST(0.4 * stop_ratio + 0.3 * LEAST(mwl / 10.0, 1.0) + 0.3 * vowel_ratio
+            AS DECIMAL(18,6)) AS DOUBLE) AS quality
+FROM m
+""",
+)
+def p_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality metrics (word count, mean word length, stopword
+    and vowel ratios) + a weighted composite score. Every ratio is one
+    exact int/int double division; the composite is quantized through
+    decimal(18,6) on both sides so expression-tree rounding can never
+    diverge. Map-only."""
+    d = load_table(spark, sf_dir, "documents").withColumn("w", tokens(F.col("text")))
+    m = d.select(
+        "doc_id",
+        F.size("w").alias("wc"),
+        mean_word_len(F.col("w")).alias("mwl"),
+        stopword_ratio(F.col("w"), _STOPWORDS).alias("stop_ratio"),
+        char_ratio(F.col("text"), "[aeiou]").alias("vowel_ratio"),
+    )
+    quality = (
+        F.lit(0.4) * F.col("stop_ratio")
+        + F.lit(0.3) * F.least(F.col("mwl") / 10.0, F.lit(1.0))
+        + F.lit(0.3) * F.col("vowel_ratio")
+    )
+    return m.withColumn(
+        "quality", quality.cast("decimal(18,6)").cast("double")
+    )
+
+
+@register(
+    "p_token_count",
+    category="pipeline",
+    oracle=rf"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS INTEGER) AS bpe_tokens
+FROM documents
+""",
+)
+def p_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    (word runs / single punctuation — Java regex and RE2 agree on the
+    pattern). The building block for corpus token accounting; map-only."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), F.lit(0))).alias(
+            "bpe_tokens"
+        ),
+    )
+
+
+@register(
+    "p_fingerprint",
+    category="pipeline",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+h AS (SELECT doc_id, {sql_word_hashes('w')} AS h FROM w)
+SELECT doc_id, {sql_fingerprint('h')} AS fp FROM h
+""",
+)
+def p_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (md5-derived
+    word hashes folded mod 2^31-1) — catches exact AND
+    same-words-same-order docs regardless of whitespace. Map-only."""
+    d = load_table(spark, sf_dir, "documents").withColumn("w", tokens(F.col("text")))
+    h = d.withColumn("h", word_hashes(F.col("w")))
+    return h.select("doc_id", fingerprint(F.col("h")).alias("fp"))
+
+
+@register(
+    "p_simhash",
+    category="pipeline",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+h AS (SELECT doc_id, {sql_word_hashes('w')} AS h FROM w)
+SELECT doc_id, {sql_simhash('h')} AS simhash FROM h
+""",
+)
+def p_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """31-bit SimHash over the token multiset (per-bit majority vote of
+    md5-derived token hashes). Near-identical docs differ in few bits.
+    Map-only; the pair search is p_simhash_pairs."""
+    d = load_table(spark, sf_dir, "documents").withColumn("w", tokens(F.col("text")))
+    h = d.withColumn("h", word_hashes(F.col("w")))
+    return h.select("doc_id", simhash(F.col("h")).alias("simhash"))
+
+
+_HAMMING_MAX = 3
+_N_BANDS = 4
+
+
+@register(
+    "p_simhash_pairs",
+    category="pipeline",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+h AS (SELECT doc_id, {sql_word_hashes('w')} AS h FROM w),
+s AS (SELECT doc_id, {sql_simhash('h')} AS sh FROM h)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {_HAMMING_MAX}
+""",
+)
+def p_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) via EXACT-RECALL banded LSH:
+    the 31-bit hash splits into 4 disjoint bands, and ≤3 differing bits
+    can touch at most 3 bands, so every qualifying pair shares at least
+    one exact band (pigeonhole) — the banded join provably finds every
+    pair the brute-force SQL twin finds. Scale: one shuffle on (band,
+    chunk); candidates bounded by bucket sizes instead of n²."""
+    d = load_table(spark, sf_dir, "documents").withColumn("w", tokens(F.col("text")))
+    s = d.withColumn("h", word_hashes(F.col("w"))).select(
+        "doc_id", simhash(F.col("h")).alias("sh")
+    )
+    chunk_bits = (SIMHASH_BITS + _N_BANDS - 1) // _N_BANDS  # 8
+    banded = s.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sh"), j * chunk_bits).bitwiseAND(
+                        F.lit((1 << chunk_bits) - 1)
+                    )
+                    for j in range(_N_BANDS)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sha"),
+            F.col("b.sh").alias("shb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+    )

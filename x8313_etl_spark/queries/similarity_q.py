@@ -1,0 +1,137 @@
+"""Similarity search over the embedding corpus (task-brief: ANN +
+embedding-cosine near-dup; complements l3/l4 in queries/llm.py).
+
+Two search strategies, both oracle-checked:
+
+- ``sim_neardup_exact``: brute-force all-pairs cosine at a threshold —
+  the correctness baseline, O(n²); run it only at verification scale.
+- ``sim_ivf_topk``: IVF-style bucketed ANN — assign every vector to its
+  nearest of K seed centroids (one broadcast pass), then probe only
+  within-bucket. This is the 100 TB path: candidate count drops from n²
+  to Σ bucket², the bucket join is an equi-shuffle on cent_id, and K
+  seeds are deterministic (first K vectors) so the DuckDB twin
+  reproduces the identical result — approximation without
+  nondeterminism. (A production system would k-means the seeds;
+  determinism of the *pipeline* is unchanged.)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.vector import dot, norm, sql_cosine
+from ..io import load_table
+from ..registry import register
+
+_NEARDUP_TAU = 0.4
+_K_CENTROIDS = 16
+_TOP_K = 5
+
+
+@register(
+    "sim_neardup_exact",
+    category="similarity",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {sql_cosine('a.embedding', 'b.embedding')} >= {_NEARDUP_TAU}
+""",
+)
+def sim_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: every pair with cos ≥ τ, exact O(n²)
+    scan — the oracle baseline for bucketed variants. Norms precomputed
+    per vector; at scale use sim_ivf_topk-style bucketing instead."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vnorm", norm(F.col("embedding"))
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.col("vnorm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("vnorm").alias("nb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _NEARDUP_TAU)
+    )
+
+
+@register(
+    "sim_ivf_topk",
+    category="similarity",
+    bench=True,
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+         WHERE vec_id < {_K_CENTROIDS}),
+assign AS (
+  SELECT vec_id, cent_id, embedding FROM (
+    SELECT e.vec_id, cent.cent_id, e.embedding,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {sql_cosine('e.embedding', 'cent.cvec')} DESC, cent.cent_id
+           ) AS crn
+    FROM e CROSS JOIN cent
+  ) WHERE crn = 1
+)
+SELECT probe_id, cent_id, vec_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT p.vec_id AS probe_id, p.cent_id, m.vec_id AS vec_id,
+         {sql_cosine('p.embedding', 'm.embedding')} AS cos_sim,
+         row_number() OVER (
+           PARTITION BY p.vec_id
+           ORDER BY {sql_cosine('p.embedding', 'm.embedding')} DESC, m.vec_id
+         ) AS rn
+  FROM assign p JOIN assign m
+    ON p.cent_id = m.cent_id AND m.vec_id != p.vec_id
+  WHERE p.vec_id % 25 = 0
+)
+WHERE rn <= {_TOP_K}
+""",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN top-k (nprobe=1): broadcast the K seed centroids,
+    assign each vector to its nearest (cos, tiebreak cent_id), then
+    search probes against their own bucket only. Two cheap shuffles
+    (assignment window keyed by vec_id is map-local after the broadcast;
+    bucket join keyed by cent_id) — contrast l4_topk_cosine's full scan.
+    Bucket skew at scale → AQE skew-join or re-seed."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vnorm", norm(F.col("embedding"))
+    )
+    cent = e.filter(F.col("vec_id") < _K_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cvec"),
+        F.col("vnorm").alias("cnorm"),
+    )
+    ccos = dot(F.col("embedding"), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm"))
+    crn = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", ccos)
+        .withColumn("crn", F.row_number().over(crn))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "cent_id", "embedding", "vnorm")
+    )
+    probes = assign.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("cent_id"),
+        F.col("embedding").alias("pvec"),
+        F.col("vnorm").alias("pnorm"),
+    )
+    cos = dot(F.col("pvec"), F.col("embedding")) / (F.col("pnorm") * F.col("vnorm"))
+    rn = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        probes.join(assign, on="cent_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "cent_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") <= _TOP_K)
+    )

@@ -48,6 +48,8 @@ _QUERY_MODULES = [
     "funcs_datetime",
     "funcs_array",
     "llm",
+    "pipeline_q",
+    "similarity_q",
     "streaming_q",
     "udf_q",
 ]
