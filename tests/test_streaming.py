@@ -1,0 +1,103 @@
+"""Multi-batch streaming semantics the single-file fixture replay can't
+show: watermark late-data dropping (T4) and cross-batch streaming dedup
+(T5). Crafted micro-fixtures, written as two parquet files consumed one
+per trigger (maxFilesPerTrigger=1 under availableNow)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from x8313_etl_spark.streaming import run_to_memory
+
+_TS_COLS = "event_id long, ts timestamp_ntz, user_id long, event_type string"
+
+
+def _ts(minute: int, hour: int = 10):
+    import datetime as dt
+
+    return dt.datetime(2024, 1, 1, hour, minute, 0)
+
+
+@pytest.fixture()
+def two_batch_dir(spark):
+    """Three parquet files with staggered mtimes → three deterministic
+    microbatches. The watermark a batch APPLIES derives from data seen
+    up to the batch before it (observed empirically: the progress-log
+    watermark lags one batch), so the late row goes in batch 2, two
+    batches after the data that advances the watermark past it."""
+    d = tempfile.mkdtemp(prefix="x8313-stream-fix-")
+    b0 = [
+        (0, _ts(1), 1, "click"),
+        (1, _ts(12), 1, "click"),
+        (2, _ts(25), 2, "view"),
+        (3, _ts(35), 2, "view"),  # max ts 10:35 → watermark 10:25
+    ]
+    b1 = [
+        (10, _ts(36), 2, "view"),  # filler: wm applied in batch 2 ≥ 10:25
+    ]
+    b2 = [
+        (4, _ts(1), 3, "click"),  # LATE: window [10:00,10:10) ends < wm → dropped
+        (5, _ts(40), 3, "view"),  # on time
+        (6, _ts(41), 1, "click"),  # duplicate (user 1, click) for dedup test
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i, rows in enumerate([b0, b1, b2]):
+        path = f"{d}/batch{i}.parquet"
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(tbl, path)
+        # staggered mtimes, 100s apart → stable pick order in the source
+        os.utime(path, (1000000 + i * 100,) * 2)
+    return d
+
+
+def _read_stream(spark, d):
+    return (
+        spark.readStream.schema(_TS_COLS)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+
+
+def test_watermark_drops_late_rows(spark, two_batch_dir):
+    s = (
+        _read_stream(spark, two_batch_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = (
+        s.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("ws"), "n")
+    )
+    out = run_to_memory(spark, agg, "late_drop_test", "append")
+    got = sorted((r.ws.minute, r.n) for r in out.collect())
+    # event_id=4 (late 10:01) must NOT be counted: window 10:00 stays at
+    # n=1 and is emitted exactly once (no reopened-state duplicate).
+    # Final watermark 10:31 finalizes [10:00),[10:10),[10:20); the
+    # [10:30) and [10:40) windows stay in state.
+    assert got == [(0, 1), (10, 1), (20, 1)]
+
+
+def test_stream_dedup_across_batches(spark, two_batch_dir):
+    s = _read_stream(spark, two_batch_dir)
+    dedup = s.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    out = run_to_memory(spark, dedup, "dedup_xbatch_test", "append")
+    rows = [(r.user_id, r.event_type) for r in out.collect()]
+    # event_id=6 duplicates (1, click) from batch 0 → exactly once in output
+    assert sorted(rows) == [(1, "click"), (2, "view"), (3, "click"), (3, "view")]
+    assert len(rows) == len(set(rows))

@@ -97,8 +97,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory that an upstream job appends to.
     """
     ensure_session_invariants(spark)
+    # the streaming file source requires a *directory*; pathGlobFilter
+    # narrows it to the events table file
     raw = (
         spark.readStream.schema(SCHEMAS["events"])
-        .parquet(table_path(sf_dir, "events"))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
     )
     return raw.withColumn("ts", F.expr(_TS_NANOS_TO_NTZ))

@@ -1,1 +1,303 @@
-"""Placeholder — populated in this round (SURVEY.md §2)."""
+"""Streaming operators T1-T8 (SURVEY.md §2.9) over the events stream.
+
+Each query replays the events parquet as a stream (io.py S7), runs to
+completion with availableNow into a memory sink (streaming.py), and
+returns the final sink state; the oracle is the equivalent batch SQL.
+See x8313_etl_spark/streaming.py for the determinism contract and
+output-mode rationale.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.numeric import dsum, sql_dsum
+from ..io import load_table, stream_events
+from ..registry import register
+from ..streaming import run_to_memory
+
+
+@register(
+    "t1_tumbling_window",
+    category="streaming",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS wstart,
+       time_bucket(INTERVAL '10 minutes', ts) + INTERVAL 10 MINUTE AS wend,
+       event_type,
+       count(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def t1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: per-10-minute tumbling counts/sums by event type, complete
+    mode (sink holds the whole result — batch-split-proof). Spark
+    window() and DuckDB time_bucket() share the 1970-01-01 UTC anchor."""
+    s = stream_events(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(spark, agg, "t1_tumbling", "complete")
+
+
+@register(
+    "t2_sliding_window",
+    category="streaming",
+    oracle=f"""
+WITH x AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS s5, event_type, value FROM events
+),
+u AS (
+  SELECT unnest([s5 - INTERVAL 5 MINUTE, s5]) AS wstart, event_type, value FROM x
+)
+SELECT wstart, wstart + INTERVAL 10 MINUTE AS wend, event_type,
+       count(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM u
+GROUP BY 1, 2, 3
+""",
+)
+def t2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: 10-minute window sliding every 5 — each event lands in two
+    windows (twin: unnest of the two aligned starts). Complete mode."""
+    s = stream_events(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(spark, agg, "t2_sliding", "complete")
+
+
+@register(
+    "t3_session_window",
+    category="streaming",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+)
+def t3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: gap-based session windows (30-min inactivity) per user. The
+    batch twin is the classic lag → new-session flag → cumulative-sum
+    sessionization (W3/W4 composition); Spark's session_window closes a
+    session when the next event is ≥ gap after the previous (mirrored by
+    the twin's >= comparison). Complete mode."""
+    s = stream_events(spark, sf_dir)
+    agg = (
+        s.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(spark, agg, "t3_session", "complete")
+
+
+@register(
+    "t4_watermark_append",
+    category="streaming",
+    oracle=f"""
+WITH m AS (SELECT max(ts) AS mx FROM events),
+b AS (
+  SELECT time_bucket(INTERVAL '10 minutes', ts) AS wstart, event_type, value
+  FROM events
+)
+SELECT wstart, wstart + INTERVAL 10 MINUTE AS wend, event_type,
+       count(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM b
+GROUP BY 1, 2, 3
+HAVING wstart + INTERVAL 10 MINUTE <= (SELECT mx - INTERVAL 10 MINUTE FROM m)
+""",
+)
+def t4_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: watermarked tumbling agg in APPEND mode — only windows whose
+    end ≤ final watermark (max event time − 10 min) are emitted; the
+    trailing windows stay in state forever. The twin encodes exactly
+    that cutoff, making watermark semantics themselves oracle-checked.
+    (Late-row *dropping* needs a multi-batch replay — covered by the
+    crafted-fixture unit test, tests/test_streaming.py.)
+
+    Watermarks require a zoned TIMESTAMP column; with the session pinned
+    to UTC the ntz→timestamp→ntz casts are wall-clock identities."""
+    s = stream_events(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).withWatermark("ts", "10 minutes")
+    agg = (
+        s.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("wstart"),
+            F.col("w.end").cast("timestamp_ntz").alias("wend"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(spark, agg, "t4_watermark", "append")
+
+
+@register(
+    "t5_stream_dedup",
+    category="streaming",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def t5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: streaming dedup — first occurrence of each (user, event_type)
+    passes, duplicates drop against the state store. Output = key set
+    (value columns would be arrival-order-dependent). Production bounds
+    the state with dropDuplicatesWithinWatermark; the fixture replay has
+    no watermark so state is exact."""
+    s = stream_events(spark, sf_dir)
+    dedup = s.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+    return run_to_memory(spark, dedup, "t5_dedup", "append")
+
+
+@register(
+    "t6_stream_static_join",
+    category="streaming",
+    oracle="""
+SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""",
+)
+def t6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: enrich the event stream with a static dimension (broadcast
+    per microbatch — no stream state at all). Append mode."""
+    s = stream_events(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    joined = s.join(F.broadcast(c), s.user_id == c.c_custkey).select(
+        "event_id", "user_id", "event_type", "c_mktsegment"
+    )
+    return run_to_memory(spark, joined, "t6_join", "append")
+
+
+@register(
+    "t7_stateful_counter",
+    category="streaming",
+    oracle="""
+SELECT user_id, count(*) AS n_events, max(value) AS max_value
+FROM events GROUP BY user_id
+""",
+)
+def t7_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: custom stateful per-key processing — a per-user counter/max
+    that survives across microbatches. Primary path: Spark 4's
+    transformWithStateInPandas (ValueState per key, update mode). This
+    container lacks the python protobuf package that API's state-server
+    protocol needs, so when it is unavailable the op runs as a
+    foreachBatch state-table merge with identical semantics
+    (streaming.stateful_merge_counter — itself a scalable pattern, not a
+    toy). Tracked stats (count, max) are arrival-order-free, so the
+    final state equals the batch aggregate regardless of batch splits."""
+    from ..streaming import has_state_server_deps, stateful_merge_counter
+
+    s = stream_events(spark, sf_dir)
+    if not has_state_server_deps():
+        return stateful_merge_counter(spark, s, key="user_id")
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("mx", DoubleType())]
+    )
+
+    class UserCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("counter", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, mx = 0, None
+            if self._state.exists():
+                n, mx = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                batch_max = float(pdf["value"].max())
+                mx = batch_max if mx is None else max(mx, batch_max)
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    counted = s.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserCounter(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+    return run_to_memory(spark, counted, "t7_stateful", "update")
+
+
+@register(
+    "t8_update_mode_counts",
+    category="streaming",
+    oracle="SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type",
+)
+def t8_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: output-mode semantics — the same agg as a complete-mode query
+    but in UPDATE mode, emitting only per-batch deltas. With the
+    single-file fixture there is exactly one delta = the batch result;
+    a multi-batch sink would hold one row per (key, updating batch)."""
+    s = stream_events(spark, sf_dir)
+    agg = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return run_to_memory(spark, agg, "t8_update", "update")

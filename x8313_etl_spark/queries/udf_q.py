@@ -1,1 +1,223 @@
-"""Placeholder — populated in this round (SURVEY.md §2)."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.11 X1-X6) + multimodal decode.
+
+Each query demonstrates one Python-extension mechanism with a pure
+function, so a DuckDB SQL twin exists and the driver's value-hash check
+applies to the UDF path itself (catching Arrow round-trip bugs, not
+just plan bugs).
+
+Determinism notes: numpy/pandas elementwise arithmetic is IEEE-exact
+per element (same doubles as JVM/DuckDB). Cross-row reductions inside
+UDFs use exact arithmetic (python Decimal via repr — the same
+shortest-repr semantics as Spark's double→decimal cast) so group order
+never matters. Scale: X1 is the known-slow row-at-a-time path (kept
+because the surface requires it); X2-X6 are Arrow-batched.
+"""
+
+# NOTE: no `from __future__ import annotations` here — pandas-UDF type
+# hints must be real objects for pyspark's signature inference, not the
+# postponed-evaluation strings that import turns them into.
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.numeric import sql_davg
+from ..io import load_table, register_temp_views
+from ..operators.multimodal import attach_binary, media_features
+from ..registry import register
+
+
+@register(
+    "x1_scalar_udf",
+    category="udf",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_rank
+FROM orders
+""",
+)
+def x1_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: row-at-a-time Python UDF (the slow path — one Python call per
+    row; prefer X2's Arrow batching in production)."""
+    from pyspark.sql.types import IntegerType
+
+    @F.udf(IntegerType())
+    def prio_rank(p: str) -> int:
+        return int(p[0])
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", "o_orderpriority", prio_rank("o_orderpriority").alias("prio_rank")
+    )
+
+
+@register(
+    "x2_pandas_udf",
+    category="udf",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS disc_price
+FROM lineitem
+""",
+)
+def x2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: vectorized scalar pandas UDF (Arrow batches, numpy elementwise
+    — same IEEE doubles as the JVM expression it mirrors)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def disc_price(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1 - disc)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_price("l_extendedprice", "l_discount").alias("disc_price"),
+    )
+
+
+@register(
+    "x3_grouped_agg_udf",
+    category="udf",
+    oracle=f"""
+SELECT c_mktsegment, {sql_davg('c_acctbal')} AS avg_bal
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def x3_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: grouped-aggregate pandas UDF — an exact decimal mean.
+    python repr(float) and Spark's double→decimal cast share
+    shortest-repr semantics, so Decimal(repr(x)) sums match the
+    engine-side decimal policy bit-for-bit, in any arrival order."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def exact_mean(v: pd.Series) -> float:
+        from decimal import Decimal
+
+        total = sum((Decimal(repr(float(x))) for x in v), Decimal(0))
+        return float(total) / len(v)
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(exact_mean("c_acctbal").alias("avg_bal"))
+
+
+@register(
+    "x4_apply_in_pandas",
+    category="udf",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       CASE WHEN mx = mn THEN 0.5 ELSE (l_quantity - mn) / (mx - mn) END AS q_norm
+FROM (
+  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+         min(l_quantity) OVER (PARTITION BY l_returnflag) AS mn,
+         max(l_quantity) OVER (PARTITION BY l_returnflag) AS mx
+  FROM lineitem
+)
+""",
+)
+def x4_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: grouped-map applyInPandas — per-group min-max normalization.
+    min/max are order-free and the final (x-mn)/(mx-mn) is one exact
+    double op chain, so the pandas path equals the window-function twin.
+    Scale: each group must fit one executor's memory — that's the
+    operator's documented contract (use window functions otherwise)."""
+
+    def minmax(pdf):
+        mn, mx = pdf["l_quantity"].min(), pdf["l_quantity"].max()
+        out = pdf[["l_orderkey", "l_linenumber", "l_returnflag"]].copy()
+        if mx == mn:
+            out["q_norm"] = 0.5
+        else:
+            out["q_norm"] = (pdf["l_quantity"] - mn) / (mx - mn)
+        return out
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    return li.groupBy("l_returnflag").applyInPandas(
+        minmax,
+        schema="l_orderkey bigint, l_linenumber int, l_returnflag string, q_norm double",
+    )
+
+
+@register(
+    "x5_map_in_pandas",
+    category="udf",
+    oracle="""
+SELECT event_id, user_id, value * 2 AS boosted
+FROM events WHERE value > 50.0
+""",
+)
+def x5_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: partition-wise mapInPandas (iterator of Arrow batches in/out)
+    — filter + transform done batch-at-a-time. Row-wise pure → exact
+    SQL twin despite the Python hop."""
+
+    def boost(batches):
+        for pdf in batches:
+            hit = pdf[pdf["value"] > 50.0]
+            out = hit[["event_id", "user_id"]].copy()
+            out["boosted"] = hit["value"] * 2
+            yield out
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.mapInPandas(boost, schema="event_id bigint, user_id bigint, boosted double")
+
+
+@register(
+    "x6_udtf",
+    category="udf",
+    oracle="""
+SELECT doc_id,
+       CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos,
+       unnest(string_split(text, ' ')) AS word
+FROM documents
+WHERE doc_id < 20
+""",
+)
+def x6_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: Python UDTF — one input row fans out to one row per token,
+    via LATERAL join in the SQL entry point (the UDTF equivalent of
+    F.posexplode)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, word string")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield i, w
+
+    spark.udtf.register("split_words", SplitWords)
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.word
+        FROM documents d, LATERAL split_words(d.text) s
+        WHERE d.doc_id < 20
+        """
+    )
+
+
+@register(
+    "x7_multimodal_decode",
+    category="udf",
+    oracle="""
+SELECT doc_id,
+       'image' AS modality,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       CAST(CAST(CONCAT('0x', substr(md5(text), 1, 2)) AS INTEGER) % 64 + 16 AS INTEGER) AS width,
+       CAST(CAST(CONCAT('0x', substr(md5(text), 3, 2)) AS INTEGER) % 64 + 16 AS INTEGER) AS height
+FROM documents
+""",
+)
+def x7_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline: text → binary content column → Arrow-batched
+    feature extraction over mapInPandas (operators/multimodal.py). The
+    codec is a deterministic byte-level stand-in (real decoders slot
+    into decode_media); the Spark plumbing — binary columns, pinned UDF
+    schema, batch iteration — is the real thing and oracle-checked."""
+    d = load_table(spark, sf_dir, "documents")
+    mm = attach_binary(d, "doc_id", "text", modality="image")
+    return media_features(mm)

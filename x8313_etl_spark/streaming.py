@@ -1,0 +1,129 @@
+"""Structured Streaming operators (SURVEY.md §2.9 T1-T8).
+
+Execution contract for deterministic verification: every streaming query
+replays the ``events`` parquet through ``spark.readStream`` (io.py S7),
+runs with ``trigger(availableNow=True)`` to a named memory sink, and the
+*final sink state* is compared against a batch-SQL twin (the DuckDB
+oracle). The fixture is a single parquet file → a single data batch (+
+Spark's trailing no-data batch that advances the watermark and flushes
+finalized state), so final state is reproducible run-to-run.
+
+Output-mode choices per operator are part of the semantics under test:
+
+- ``complete`` for unbounded-state aggregations (T1/T2/T3/T8): the sink
+  holds the full result — robust to any batch split.
+- ``append`` + watermark for T4: only watermark-finalized windows are
+  emitted, so the result *differs* from the plain batch aggregate by
+  exactly the trailing windows — the twin encodes that.
+- ``append`` for row-wise ops (T5 dedup, T6 stream-static join).
+- ``update`` for T7/T8u: per-batch deltas; with the single-batch fixture
+  the final table equals the batch aggregate.
+
+Scale notes: these are the same physical plans a 1000-executor streaming
+job runs — stateful aggs shuffle by (group keys) into the state store,
+stream-static joins broadcast the static side per microbatch, and
+watermarks bound state size. The memory sink is test scaffolding only;
+production sinks are kafka/parquet (io.py S8).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def has_state_server_deps() -> bool:
+    """transformWithStateInPandas talks to a JVM state server over a
+    protobuf protocol; the python 'protobuf' package is an optional
+    runtime dep of pyspark that this container does not ship."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def run_to_memory(
+    spark: SparkSession,
+    sdf: DataFrame,
+    name: str,
+    output_mode: str,
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a
+    memory sink and return the final sink table.
+
+    Each run gets a fresh checkpoint dir; the memory sink table is
+    replaced on restart, so repeated calls are idempotent.
+    """
+    ckpt = tempfile.mkdtemp(prefix=f"x8313-ckpt-{name}-")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # pragma: no cover - defensive: hung query
+        q.stop()
+        raise TimeoutError(f"streaming query {name} did not finish in {timeout_sec}s")
+    return spark.table(name)
+
+
+def stateful_merge_counter(
+    spark: SparkSession,
+    stream: DataFrame,
+    key: str = "user_id",
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """Custom cross-batch stateful per-key counters WITHOUT the Python
+    state-server: state lives as a compacted parquet table that each
+    microbatch merges into (foreachBatch → batch-agg → union with prior
+    state → re-agg → write next state version).
+
+    This is a classic scalable stateful pattern in its own right — every
+    step is a distributed DataFrame op, state is partitioned by the
+    group key, and merge cost is O(state + batch) per trigger. The
+    tracked stats (count, max) are associative + order-free, so the
+    final state equals the batch aggregate no matter how the input was
+    split into batches.
+    """
+    base = tempfile.mkdtemp(prefix="x8313-state-t7-")
+    ckpt = tempfile.mkdtemp(prefix="x8313-ckpt-t7-")
+    latest: dict[str, str | None] = {"dir": None}
+
+    def process(bdf: DataFrame, batch_id: int) -> None:
+        agg = bdf.groupBy(key).agg(
+            F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value")
+        )
+        if latest["dir"] is not None:
+            prev = spark.read.parquet(latest["dir"])
+            agg = (
+                prev.unionByName(agg)
+                .groupBy(key)
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.max("max_value").alias("max_value"),
+                )
+            )
+        out = f"{base}/v{batch_id}"
+        agg.write.mode("overwrite").parquet(out)
+        latest["dir"] = out
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # pragma: no cover
+        q.stop()
+        raise TimeoutError(f"stateful merge did not finish in {timeout_sec}s")
+    assert latest["dir"] is not None, "stream produced no batches"
+    return spark.read.parquet(latest["dir"])
