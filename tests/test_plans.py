@@ -1,0 +1,84 @@
+"""Plan-shape assertions (SURVEY.md §4): the physical plans must keep
+the scale-critical properties — pushdown, pruning, broadcast, window
+group limits, map-only pipelines — not just produce correct rows."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from x8313_etl_spark.io import load_table
+from x8313_etl_spark.registry import registry
+
+_SPECS = registry()
+
+
+def _plan(spark, name: str, sf_dir: str) -> str:
+    return _SPECS[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """l7's lang/n_chars predicates must reach the parquet reader."""
+    plan = _plan(spark, "l7_quality_filter", sf_dir)
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:", 1)[1].splitlines()[0]
+    assert "lang" in pushed and "n_chars" in pushed, pushed
+
+
+def test_column_pruning(spark, sf_dir):
+    """A two-column projection must not read the other lineitem columns."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = li._jdf.queryExecution().executedPlan().toString()
+    schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_orderkey" in schema and "l_quantity" in schema
+    assert "l_extendedprice" not in schema and "l_comment" not in schema
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    """j3: the nation/region dims must broadcast — a shuffled fact-table
+    join on a 5-row dim would be the 100 TB disaster case."""
+    plan = _plan(spark, "j3_broadcast_star_join", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    """w7: rank<=k filters must push a partial top-k below the shuffle."""
+    plan = _plan(spark, "w7_topk_per_group", sf_dir)
+    assert "WindowGroupLimit" in plan
+
+
+def test_global_topk_avoids_total_sort(spark, sf_dir):
+    """o3: ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-
+    partition heap + merge), never a full sort."""
+    plan = _plan(spark, "o3_global_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["p_fingerprint", "p_simhash", "p_lang_id", "p_quality_score", "p_token_count"]
+)
+def test_pipeline_text_ops_are_map_only(spark, sf_dir, name):
+    """Per-document text ops must not shuffle — at 100 TB an accidental
+    Exchange here dominates everything else."""
+    plan = _plan(spark, name, sf_dir)
+    assert "Exchange" not in plan, f"{name} shuffles:\n{plan[:800]}"
+
+
+def test_broadcast_in_similarity_probe(spark, sf_dir):
+    """l3: the probe set must broadcast (map-only corpus pass)."""
+    plan = _plan(spark, "l3_cosine_pairs", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_has_partial_stage(spark, sf_dir):
+    """a1: hash aggregate must run partial (map-side) + final — the
+    shuffle carries one row per (partition, key), not per input row."""
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2  # partial + final

@@ -1,0 +1,81 @@
+"""Property-based tests (SURVEY.md §5.3) — algebraic invariants on
+generated data, complementing the fixture-bound oracle tests. Spark
+round-trips are expensive, so examples are small and capped."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings, strategies as st
+
+from x8313_etl_spark.functions.vector import cosine
+from x8313_etl_spark.operators.asof import asof_join
+from x8313_etl_spark.operators.dedup import keep_first
+
+_SETTINGS = dict(max_examples=8, deadline=None)
+
+_vec = st.lists(
+    st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+    min_size=4,
+    max_size=4,
+)
+
+
+@settings(**_SETTINGS)
+@given(v=_vec.filter(lambda v: sum(x * x for x in v) > 1e-6))
+def test_cosine_self_is_one(spark, v):
+    df = spark.createDataFrame([(v,)], "v array<float>")
+    got = df.select(cosine(F.col("v"), F.col("v")).alias("c")).first().c
+    assert math.isclose(got, 1.0, rel_tol=1e-9)
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(-5, 5)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_keep_first_idempotent_and_minimal(spark, rows):
+    df = spark.createDataFrame(
+        [(k, o, v) for k, o, v in rows], "k int, o int, v int"
+    )
+    once = keep_first(df, ["k"], [F.col("o"), F.col("v")])
+    twice = keep_first(once, ["k"], [F.col("o"), F.col("v")])
+    got = sorted((r.k, r.o, r.v) for r in once.collect())
+    # one row per key, and it is the (o, v)-minimal one
+    expect = {}
+    for k, o, v in rows:
+        if k not in expect or (o, v) < expect[k]:
+            expect[k] = (o, v)
+    assert got == sorted((k, o, v) for k, (o, v) in expect.items())
+    assert sorted((r.k, r.o, r.v) for r in twice.collect()) == got
+
+
+@settings(**_SETTINGS)
+@given(
+    left=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=12),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 99)),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_asof_join_matches_reference(spark, left, right):
+    # dedupe right on (key, ts): asof_join documents that requirement
+    rmap = {}
+    for k, ts, v in right:
+        rmap[(k, ts)] = v
+    right = [(k, ts, v) for (k, ts), v in rmap.items()]
+    ldf = spark.createDataFrame(left, "k int, lts int")
+    rdf = spark.createDataFrame(right, "k int, rts int, val int")
+    got = {
+        (r.k, r.lts): r.val
+        for r in asof_join(ldf, rdf, ["k"], "lts", "rts", ["val"]).collect()
+    }
+    for k, lts in left:
+        cands = [(ts, v) for (kk, ts, v) in right if kk == k and ts <= lts]
+        want = max(cands)[1] if cands else None
+        assert got[(k, lts)] == want, (k, lts, cands)

@@ -89,6 +89,26 @@ def j2b_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j2c_right_outer_join",
+    category="joins",
+    oracle="""
+SELECT o.o_orderkey, o.o_orderstatus, l.l_linenumber, l.l_quantity
+FROM (SELECT * FROM lineitem WHERE l_quantity > 48) l
+RIGHT JOIN orders o ON o.o_orderkey = l.l_orderkey
+""",
+)
+def j2c_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: right outer — the mirrored padding semantics (planner
+    canonicalizes to a left join with sides swapped; verified it reads
+    identically here)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 48)
+    return li.join(o, o.o_orderkey == li.l_orderkey, "right").select(
+        "o_orderkey", "o_orderstatus", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
     "j3_broadcast_star_join",
     category="joins",
     bench=True,
