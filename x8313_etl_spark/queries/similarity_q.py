@@ -135,3 +135,144 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(rn))
         .filter(F.col("rn") <= _TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (SimHash over vectors) — the classic embedding
+# near-dup scale path. The hyperplane sign matrix is an md5-derived
+# module constant: the SAME ±1 literals are compiled into the Spark
+# expression and the SQL twin, so both engines share it exactly.
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 16
+_DIM = 64
+_PLANE_BANDS = 2  # 2 bands × 8 bits
+_LSH_TAU = 0.35
+
+
+def _plane_sign(j: int, d: int) -> float:
+    import hashlib
+
+    h = hashlib.md5(f"x8313-hp-{j}-{d}".encode()).hexdigest()
+    return 1.0 if int(h[:2], 16) % 2 == 0 else -1.0
+
+
+HYPERPLANES: list[list[float]] = [
+    [_plane_sign(j, d) for d in range(_DIM)] for j in range(_N_PLANES)
+]
+
+
+def _sketch_expr(vec) -> "F.Column":
+    """bigint: bit j = 1 iff dot(vec, plane_j) > 0. ±1 components make
+    the dot a signed sum — exact-double fold, same order both engines."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(c) for c in HYPERPLANES[j]]),
+                    lambda x, p: x.cast("double") * p,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1 << j).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for j in range(_N_PLANES)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _sql_sketch(vec: str) -> str:
+    terms = []
+    for j in range(_N_PLANES):
+        arr = "[" + ", ".join(str(c) for c in HYPERPLANES[j]) + "]"
+        dotj = (
+            f"list_reduce(list_transform(list_zip({vec}, {arr}), "
+            f"p -> CAST(p[1] AS DOUBLE) * p[2]), (acc, x) -> acc + x)"
+        )
+        terms.append(
+            f"CASE WHEN {dotj} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "sim_lsh_neardup",
+    category="similarity",
+    bench=True,
+    oracle=f"""
+WITH s AS (
+  SELECT vec_id, embedding, {_sql_sketch('embedding')} AS sk FROM embeddings
+)
+SELECT vec_a, vec_b, cos_sim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {sql_cosine('a.embedding', 'b.embedding')} AS cos_sim,
+         CASE WHEN (a.sk & 255) = (b.sk & 255)
+                OR (a.sk >> 8) = (b.sk >> 8) THEN 1 ELSE 0 END AS band_hit
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+)
+WHERE band_hit = 1 AND cos_sim >= {_LSH_TAU}
+""",
+)
+def sim_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH: 16 sign bits per
+    vector, banded 2×8; vectors sharing a band become candidates, then
+    exact cosine ≥ τ verifies. The oracle brute-forces all pairs with
+    the same band predicate, so banding recall is not a correctness
+    variable (same trick as l2_near_dup_pairs). Scale: sketching is
+    map-only; the candidate join shuffles on (band, chunk) — Σ bucket²
+    pairs instead of n²."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        norm(F.col("embedding")).alias("vnorm"),
+        _sketch_expr(F.col("embedding")).alias("sk"),
+    )
+    from pyspark import StorageLevel
+
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    chunk = 255  # low 8 bits mask
+    banded = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                F.col("sk").bitwiseAND(F.lit(chunk)),
+                F.shiftright(F.col("sk"), 8),
+            )
+        ).alias("band", "chunk"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
+            ],
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("vnorm").alias("na"),
+    )
+    vb = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("vnorm").alias("nb"),
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _LSH_TAU)
+    )
