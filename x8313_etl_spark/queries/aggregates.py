@@ -175,6 +175,55 @@ def a6_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a6b_cube",
+    category="aggregation",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS cnt, {sql_dsum('o_totalprice')} AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def a6b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: cube — all four granularities of a two-key group in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("total"),
+    )
+
+
+@register(
+    "a6c_grouping_sets",
+    category="aggregation",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS cnt, {sql_dsum('o_totalprice')} AS total,
+       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def a6c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: explicit grouping sets (status-only, priority-only, grand
+    total) + the grouping() marker distinguishing real NULLs from
+    grouped-out keys — via the SQL entry point, which is where grouping
+    sets live in Spark's surface."""
+    from ..io import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS cnt, {sql_dsum('o_totalprice')} AS total,
+               CAST(grouping(o_orderstatus) AS INTEGER) AS g_status
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
     "a7_collect_list_set",
     category="aggregation",
     oracle="""
