@@ -192,40 +192,18 @@ WHERE rn <= 5
 """,
 )
 def l4_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L4: brute-force top-5 nearest neighbors per probe (cosine), the
-    exact-search baseline. Window top-k runs with WindowGroupLimit
-    pushdown (partial top-5 per partition before the shuffle). The
-    bucketed ANN scale path is p_ivf_topk in queries/pipeline_q.py."""
-    from pyspark.sql import Window
+    """L4: exact top-5 nearest neighbors per probe (cosine) via the
+    Arrow-batched probe scan (operators/annscan.py — one corpus pass,
+    probe matrix in the closure, dimension-sequential numpy folds that
+    stay bit-identical to the SQL twin). Window top-k runs with
+    WindowGroupLimit pushdown. The bucketed ANN scale paths are
+    sim_ivf_topk / sim_lsh_neardup in queries/similarity_q.py."""
+    from ..operators.annscan import cosine_probe_topk
 
-    from ..functions.vector import dot, norm
-
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
-        "vnorm", norm(F.col("embedding"))
-    )
-    probes = (
-        e.filter(F.col("vec_id") % 25 == 0)
-        .select(
-            F.col("vec_id").alias("probe_id"),
-            F.col("embedding").alias("pvec"),
-            F.col("vnorm").alias("pnorm"),
-        )
-    )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id")
-    )
-    return (
-        e.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            "vec_id",
-            (
-                dot(F.col("pvec"), F.col("embedding"))
-                / (F.col("pnorm") * F.col("vnorm"))
-            ).alias("cos_sim"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % 25 == 0)
+    return cosine_probe_topk(e, probes, k=5).select(
+        "probe_id", "vec_id", "cos_sim", "rn"
     )
 
 

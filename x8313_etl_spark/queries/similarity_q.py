@@ -227,15 +227,16 @@ def sim_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     variable (same trick as l2_near_dup_pairs). Scale: sketching is
     map-only; the candidate join shuffles on (band, chunk) — Σ bucket²
     pairs instead of n²."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "embedding",
-        norm(F.col("embedding")).alias("vnorm"),
-        _sketch_expr(F.col("embedding")).alias("sk"),
-    )
     from pyspark import StorageLevel
 
-    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    from ..operators.annscan import hyperplane_sketch
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    # Arrow-batched sketch+norm pass (bit-identical to the expression
+    # form — operators/annscan.py); slim (id, sk, vnorm) is what we
+    # persist and band, the vectors stay in the parquet scan until the
+    # verify joins pull the candidates' arrays.
+    e = hyperplane_sketch(raw, HYPERPLANES).persist(StorageLevel.MEMORY_AND_DISK)
     chunk = 255  # low 8 bits mask
     banded = e.select(
         "vec_id",
@@ -259,12 +260,13 @@ def sim_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    va = e.select(
+    norms = e.select("vec_id", "vnorm")
+    va = raw.join(norms, "vec_id").select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
         F.col("vnorm").alias("na"),
     )
-    vb = e.select(
+    vb = raw.join(norms, "vec_id").select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
         F.col("vnorm").alias("nb"),
