@@ -11,7 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.numeric import davg, dsum, sql_davg, sql_dsum
+from ..functions.numeric import davg, dsum, dsum_cents, sql_davg, sql_dsum, sql_dsum_cents
 from ..io import load_table
 from ..registry import register
 
@@ -24,10 +24,10 @@ from ..registry import register
 SELECT l_returnflag,
        l_linestatus,
        COUNT(*) AS cnt,
-       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum_cents('l_quantity')} AS sum_qty,
        MIN(l_extendedprice) AS min_price,
        MAX(l_extendedprice) AS max_price,
-       {sql_davg('l_discount')} AS avg_disc
+       ({sql_dsum_cents('l_discount')} / COUNT(*)) AS avg_disc
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """,
@@ -39,11 +39,13 @@ def a1_groupby_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            dsum("l_quantity").alias("sum_qty"),
+            dsum_cents("l_quantity").alias("sum_qty"),
             F.min("l_extendedprice").alias("min_price"),
             F.max("l_extendedprice").alias("max_price"),
-            davg("l_discount").alias("avg_disc"),
+            dsum_cents("l_discount").alias("_sd"),
         )
+        .withColumn("avg_disc", F.col("_sd") / F.col("cnt"))
+        .drop("_sd")
     )
 
 
