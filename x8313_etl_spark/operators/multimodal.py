@@ -94,3 +94,68 @@ def media_features(mm: DataFrame) -> DataFrame:
             )
 
     return mm.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_offset_ms bigint, frame_md5 string"
+)
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, out_width int, out_height int, "
+    "scale_num int, scale_den int"
+)
+
+
+def sample_frames(mm: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling plumbing: each media row fans out to ``n_frames``
+    rows with deterministic offsets (md5-derived duration stand-in,
+    evenly spaced — exactly the shape a real ffmpeg-backed sampler
+    yields, one row per decoded frame). Pure function of the bytes →
+    SQL twin exists. Fan-out is the scale knob: output rows =
+    n_frames × input rows, so partition AFTER sampling when frames are
+    heavy."""
+
+    def extract(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_offset_ms": [], "frame_md5": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(content)
+                d = hashlib.md5(b).hexdigest()
+                duration_ms = int(d[4:8], 16) % 60_000 + 1_000  # fake probe
+                step = duration_ms // n_frames
+                for i in range(n_frames):
+                    off = i * step
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_offset_ms"].append(off)
+                    # hex-string domain so the DuckDB twin can recompute
+                    # it (md5(BLOB) does not exist there)
+                    rows["frame_md5"].append(
+                        hashlib.md5(f"{d}-{off}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return mm.mapInPandas(extract, schema=FRAME_SCHEMA)
+
+
+def resize_plan(features: DataFrame, max_side: int = 32) -> DataFrame:
+    """Resize planning over extracted dimensions: compute the integer
+    target box (longest side → ``max_side``, aspect preserved via exact
+    integer arithmetic — no float rounding ambiguity cross-engine). The
+    pixel resample itself belongs in decode_media's codec; this is the
+    distributed part that decides what every worker does."""
+    w, h = F.col("width"), F.col("height")
+    longest = F.greatest(w, h)
+    return features.select(
+        "doc_id",
+        "width",
+        "height",
+        F.floor((w * max_side) / longest).cast("int").alias("out_width"),
+        F.floor((h * max_side) / longest).cast("int").alias("out_height"),
+        F.lit(max_side).alias("scale_num"),
+        longest.cast("int").alias("scale_den"),
+    )

@@ -301,3 +301,36 @@ def t8_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = stream_events(spark, sf_dir)
     agg = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
     return run_to_memory(spark, agg, "t8_update", "update")
+
+
+@register(
+    "t9_stream_parquet_sink",
+    category="streaming",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM events WHERE event_type IN ('purchase', 'signup')
+""",
+)
+def t9_stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/T8: durable file sink — filtered stream appended to a parquet
+    directory (exactly-once via the checkpoint/commit log), then read
+    back. The read-back equals the batch filter, which is precisely the
+    end-to-end exactly-once guarantee under test. Production shape: this
+    plus partitionBy on the sink for downstream partition pruning."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="x8313-t9-sink-")
+    ckpt = tempfile.mkdtemp(prefix="x8313-ckpt-t9-")
+    s = stream_events(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "signup")
+    ).select("event_id", "user_id", "event_type", "value")
+    q = (
+        s.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.schema("event_id long, user_id long, event_type string, value double").parquet(out)

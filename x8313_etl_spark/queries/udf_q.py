@@ -221,3 +221,64 @@ def x7_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     mm = attach_binary(d, "doc_id", "text", modality="image")
     return media_features(mm)
+
+
+@register(
+    "x8_multimodal_frames",
+    category="udf",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, md5(text) AS d,
+         CAST(CONCAT('0x', substr(md5(text), 5, 4)) AS BIGINT) % 60000 + 1000 AS duration_ms
+  FROM documents
+),
+f AS (
+  SELECT doc_id, d, duration_ms, unnest(generate_series(0, 3)) AS frame_idx FROM m
+)
+SELECT doc_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       frame_idx * (duration_ms // 4) AS frame_offset_ms,
+       md5(d || '-' || CAST(frame_idx * (duration_ms // 4) AS VARCHAR)) AS frame_md5
+FROM f
+""",
+)
+def x8_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-typed binary columns: 4 evenly-spaced
+    frames per media row (md5-derived duration stand-in; a real sampler
+    swaps in ffmpeg inside operators/multimodal.py and keeps this exact
+    fan-out shape). mapInPandas in, one row per frame out."""
+    from ..operators.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    mm = attach_binary(d, "doc_id", "text", modality="video")
+    return sample_frames(mm, n_frames=4)
+
+
+@register(
+    "x9_resize_plan",
+    category="udf",
+    oracle="""
+WITH feat AS (
+  SELECT doc_id,
+         CAST(CAST(CONCAT('0x', substr(md5(text), 1, 2)) AS INTEGER) % 64 + 16 AS INTEGER) AS width,
+         CAST(CAST(CONCAT('0x', substr(md5(text), 3, 2)) AS INTEGER) % 64 + 16 AS INTEGER) AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+       CAST(FLOOR((width * 32.0) / GREATEST(width, height)) AS INTEGER) AS out_width,
+       CAST(FLOOR((height * 32.0) / GREATEST(width, height)) AS INTEGER) AS out_height,
+       32 AS scale_num,
+       CAST(GREATEST(width, height) AS INTEGER) AS scale_den
+FROM feat
+""",
+)
+def x9_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning over extracted media dimensions: exact integer
+    target box (longest side → 32, aspect preserved); the distributed
+    decision layer above the codec. Composes feature extraction →
+    resize plan in one pipeline."""
+    from ..operators.multimodal import media_features, resize_plan
+
+    d = load_table(spark, sf_dir, "documents")
+    mm = attach_binary(d, "doc_id", "text", modality="image")
+    return resize_plan(media_features(mm), max_side=32)
