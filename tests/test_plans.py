@@ -82,3 +82,22 @@ def test_agg_has_partial_stage(spark, sf_dir):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
+    """S5→scan: a filter on the partition column must prune directories
+    (PartitionFilters), not scan-and-discard."""
+    from x8313_etl_spark.io import write_parquet_partitioned
+
+    out = str(tmp_path / "orders_by_status")
+    o = load_table(spark, sf_dir, "orders")
+    write_parquet_partitioned(o, out, "o_orderstatus")
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters:", 1)
+    assert len(seg) == 2, plan[:600]
+    assert "o_orderstatus" in seg[1].splitlines()[0]
+    # and the data filter did NOT become a post-scan filter on all rows
+    n_f = back.count()
+    n_all = spark.read.parquet(out).count()
+    assert 0 < n_f < n_all

@@ -103,21 +103,25 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (assignment window keyed by vec_id is map-local after the broadcast;
     bucket join keyed by cent_id) — contrast l4_topk_cosine's full scan.
     Bucket skew at scale → AQE skew-join or re-seed."""
+    from ..operators.annscan import cosine_probe_scan
+
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "vnorm", norm(F.col("embedding"))
     )
-    cent = e.filter(F.col("vec_id") < _K_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("cvec"),
-        F.col("vnorm").alias("cnorm"),
+    # assignment stage = probe scan with the centroids as probes (Arrow-
+    # batched numpy folds, bit-identical to the expression form)
+    cent = e.filter(F.col("vec_id") < _K_CENTROIDS).select("vec_id", "embedding")
+    scored = cosine_probe_scan(e, cent, exclude_self=False).withColumnRenamed(
+        "probe_id", "cent_id"
     )
-    ccos = dot(F.col("embedding"), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm"))
-    crn = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    crn = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cent_id")
+    )
     assign = (
-        e.crossJoin(F.broadcast(cent))
-        .withColumn("ccos", ccos)
-        .withColumn("crn", F.row_number().over(crn))
+        scored.withColumn("crn", F.row_number().over(crn))
         .filter(F.col("crn") == 1)
+        .select("vec_id", "cent_id")
+        .join(e, "vec_id")
         .select("vec_id", "cent_id", "embedding", "vnorm")
     )
     probes = assign.filter(F.col("vec_id") % 25 == 0).select(
