@@ -144,7 +144,12 @@ def near_dup_pairs(
     end-to-end). At 100 TB, checkpoint that stage to parquet instead —
     same idea, spill-proof and resumable.
     """
-    base = shingle_stage(docs, id_col, text_col, k)
+    # Docs with no shingles (< k words) have all-null signatures; every
+    # band key would collapse to "" and cross-match them all, and the
+    # verify Jaccard would divide 0/0 (an ANSI error). They cannot be
+    # near-dups under this metric — drop them up front, matching the
+    # SQL twin's NULL-comparison semantics.
+    base = shingle_stage(docs, id_col, text_col, k).filter(F.size("sh") > 0)
     if cache:
         from pyspark import StorageLevel
 
