@@ -385,3 +385,32 @@ def j11_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
+
+
+@register(
+    "j12_salted_skew_join",
+    category="joins",
+    oracle="""
+SELECT e.user_id, c.c_mktsegment,
+       COUNT(*) AS n_events
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY e.user_id, c.c_mktsegment
+""",
+)
+def j12_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12 (skew path): explicit salting — the events side joins through
+    a deterministic 16-way salt so a hot user spreads over 16 reducers;
+    the customer side replicates 16×. Result-identical to the plain
+    join (the twin), only the shuffle distribution differs. Use when
+    AQE's runtime skew split can't apply (operators/skew.py)."""
+    from ..operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment")
+    )
+    return (
+        salted_join(e, c, on="user_id", salt_by="event_id", n_salts=16)
+        .groupBy("user_id", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
