@@ -239,6 +239,7 @@ def l5_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l6_tfidf",
+    bench=True,
     category="llm",
     oracle="""
 WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -202,6 +202,7 @@ _N_BANDS = 4
 
 @register(
     "p_simhash_pairs",
+    bench=True,
     category="pipeline",
     oracle=f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -220,9 +221,15 @@ def p_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one exact band (pigeonhole) — the banded join provably finds every
     pair the brute-force SQL twin finds. Scale: one shuffle on (band,
     chunk); candidates bounded by bucket sizes instead of n²."""
+    from pyspark import StorageLevel
+
     d = load_table(spark, sf_dir, "documents").withColumn("w", tokens(F.col("text")))
-    s = d.withColumn("h", word_hashes(F.col("w"))).select(
-        "doc_id", simhash(F.col("h")).alias("sh")
+    # the (doc_id, sh) stage feeds both sides of the band self-join —
+    # persist the 16-byte-per-doc table instead of hashing twice
+    s = (
+        d.withColumn("h", word_hashes(F.col("w")))
+        .select("doc_id", simhash(F.col("h")).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     chunk_bits = (SIMHASH_BITS + _N_BANDS - 1) // _N_BANDS  # 8
     banded = s.select(
