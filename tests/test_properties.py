@@ -79,3 +79,54 @@ def test_asof_join_matches_reference(spark, left, right):
         cands = [(ts, v) for (kk, ts, v) in right if kk == k and ts <= lts]
         want = max(cands)[1] if cands else None
         assert got[(k, lts)] == want, (k, lts, cands)
+
+
+@settings(**_SETTINGS)
+@given(
+    big=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 1000)), min_size=1, max_size=30
+    ),
+    small=st.lists(
+        st.tuples(st.integers(0, 4), st.text("abc", min_size=1, max_size=3)),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_salted_join_equals_plain_join(spark, big, small):
+    from x8313_etl_spark.operators.skew import salted_join
+
+    # unique small-side keys (dim-table shape)
+    smap = dict(small)
+    small = list(smap.items())
+    bdf = spark.createDataFrame(big, "k int, uid int")
+    sdf = spark.createDataFrame(small, "k int, v string")
+    got = sorted(
+        (r.k, r.uid, r.v)
+        for r in salted_join(bdf, sdf, on="k", salt_by="uid", n_salts=4).collect()
+    )
+    want = sorted((r.k, r.uid, r.v) for r in bdf.join(sdf, "k").collect())
+    assert got == want
+
+
+def test_simhash_close_docs_low_hamming(spark):
+    """Deterministic (fixed md5 constants): a one-word edit of a long doc
+    must stay within a few sketch bits; an unrelated doc must not be
+    hamming-close to either."""
+    import pyspark.sql.functions as F
+
+    from x8313_etl_spark.functions.text import simhash, tokens, word_hashes
+
+    a = " ".join(f"tok{i}" for i in range(60))
+    b = a.replace("tok30", "changed")
+    c = " ".join(f"other{i}" for i in range(60))
+    df = spark.createDataFrame([(0, a), (1, b), (2, c)], "doc_id long, text string")
+    s = {
+        r.doc_id: r.sh
+        for r in df.withColumn("w", tokens(F.col("text")))
+        .withColumn("h", word_hashes(F.col("w")))
+        .select("doc_id", simhash(F.col("h")).alias("sh"))
+        .collect()
+    }
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert ham(s[0], s[1]) <= 6
+    assert ham(s[0], s[2]) >= 8
