@@ -38,6 +38,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+class SchemaDriftError(RuntimeError):
+    """Pinned schema does not match what the files actually contain."""
+
+
+def validate_table_schema(spark: SparkSession, sf_dir: str, name: str) -> None:
+    """S2 enforcement: fail LOUDLY on any drift, including columns that
+    the pinned schema expects but the files lack (Spark's reader would
+    silently null those; type mismatches it already rejects). One footer
+    read — run it at pipeline ingress, not per query."""
+    ensure_session_invariants(spark)
+    actual = {f.name: f.dataType for f in spark.read.parquet(table_path(sf_dir, name)).schema}
+    pinned = {f.name: f.dataType for f in SCHEMAS[name]}
+    missing = sorted(set(pinned) - set(actual))
+    extra = sorted(set(actual) - set(pinned))
+    wrong = sorted(
+        f"{c}: pinned={pinned[c].simpleString()} actual={actual[c].simpleString()}"
+        for c in set(pinned) & set(actual)
+        if pinned[c] != actual[c]
+    )
+    if missing or extra or wrong:
+        raise SchemaDriftError(
+            f"{name}: missing={missing} extra={extra} type_mismatch={wrong}"
+        )
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     use = names or TABLE_NAMES
     return {n: load_table(spark, sf_dir, n) for n in use}
