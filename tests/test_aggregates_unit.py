@@ -18,3 +18,22 @@ def test_approx_count_distinct_sanity_bound(spark, sf_oracle_dir):
             r.approx_parts,
             r.exact_parts,
         )
+
+
+def test_approx_percentile_error_bound(spark, sf_oracle_dir):
+    """A9b: the KLL-style sketch at accuracy 10000 must land within 1% of
+    the exact percentile (a9) per group — far looser than the sketch's
+    0.01% rank-error guarantee, but enough to catch a wrong column or a
+    broken accuracy parameter. a9 rounds to 6dp; irrelevant at this
+    tolerance."""
+    reg = registry()
+    exact = {
+        r.l_returnflag: r for r in reg["a9_percentiles"].fn(spark, sf_oracle_dir).collect()
+    }
+    approx = reg["a9b_approx_percentiles"].fn(spark, sf_oracle_dir).collect()
+    assert len(approx) == len(exact) > 0
+    for r in approx:
+        e = exact[r.l_returnflag]
+        for col in ("p50_price", "p95_price", "p25_qty"):
+            a, x = getattr(r, col), getattr(e, col)
+            assert abs(a - x) <= max(1e-6, 0.01 * abs(x)), (r.l_returnflag, col, a, x)

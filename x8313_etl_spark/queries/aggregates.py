@@ -230,19 +230,30 @@ def a6c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="aggregation",
     oracle="""
 SELECT s_nationkey,
-       list_sort(list(s_suppkey)) AS supp_keys,
-       list_sort(list(DISTINCT s_name)) AS supp_names
+       array_to_string(list_sort(list(s_suppkey)), '|') AS supp_keys,
+       array_to_string(list_sort(list(DISTINCT s_name)), '|') AS supp_names
 FROM supplier
 GROUP BY s_nationkey
 """,
 )
 def a7_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: collect_list / collect_set, sorted for determinism (collection
-    order is partition-dependent; sort_array pins it)."""
+    order is partition-dependent; sort_array pins it). The sorted lists
+    are serialized to '|'-joined strings: array-typed result columns
+    crash the grading harness's pandas canonicalization (unhashable
+    list), and the string form is hash-identical across engines. Sorting
+    happens on the native element type (numeric for keys), THEN the
+    elements are stringified."""
     s = load_table(spark, sf_dir, "supplier")
     return s.groupBy("s_nationkey").agg(
-        F.sort_array(F.collect_list("s_suppkey")).alias("supp_keys"),
-        F.sort_array(F.collect_set("s_name")).alias("supp_names"),
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.sort_array(F.collect_list("s_suppkey")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("supp_keys"),
+        F.concat_ws("|", F.sort_array(F.collect_set("s_name"))).alias("supp_names"),
     )
 
 
@@ -331,6 +342,28 @@ def a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.median("l_extendedprice"), 6).alias("p50_price"),
         F.round(F.percentile("l_extendedprice", 0.95), 6).alias("p95_price"),
         F.round(F.percentile("l_quantity", 0.25), 6).alias("p25_qty"),
+    )
+
+
+@register(
+    "a9b_approx_percentiles",
+    category="aggregation",
+    oracle=None,  # sketch output is engine-specific; rows-only check —
+    # tests/test_aggregates_unit.py bounds its error against exact a9
+)
+def a9b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9b: approx_percentile — the 100 TB percentile path. Exact
+    percentile (a9) materializes every group's values for interpolation;
+    the KLL-style sketch here is one map-side pass with mergeable
+    partials, accuracy 1/10000 (worst-case rank error 0.01%), no global
+    sort. Like a4's HLL sketch, the result is engine-specific, so the
+    driver records a rows-only check; the error bound vs a9 is pinned by
+    a unit test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("p50_price"),
+        F.approx_percentile("l_extendedprice", 0.95, 10000).alias("p95_price"),
+        F.approx_percentile("l_quantity", 0.25, 10000).alias("p25_qty"),
     )
 
 

@@ -23,8 +23,12 @@ from ..registry import register
 SELECT vec_id,
        CAST(len(embedding) AS INTEGER) AS dim,
        embedding[1] AS first_val,
-       list_slice(embedding, 1, 3) AS head3,
-       list_sort(list_slice(embedding, 1, 3)) AS head3_sorted,
+       CAST(list_slice(embedding, 1, 3)[1] AS DOUBLE) AS head3_1,
+       CAST(list_slice(embedding, 1, 3)[2] AS DOUBLE) AS head3_2,
+       CAST(list_slice(embedding, 1, 3)[3] AS DOUBLE) AS head3_3,
+       CAST(list_sort(list_slice(embedding, 1, 3))[1] AS DOUBLE) AS head3_min,
+       CAST(list_sort(list_slice(embedding, 1, 3))[2] AS DOUBLE) AS head3_mid,
+       CAST(list_sort(list_slice(embedding, 1, 3))[3] AS DOUBLE) AS head3_max,
        list_max(embedding) AS max_val,
        list_contains(list_transform(embedding, x -> x > 0), true) AS any_positive
 FROM embeddings
@@ -32,15 +36,24 @@ FROM embeddings
 )
 def f9_array_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9: size / element_at (1-based in both engines) / slice /
-    sort_array / array_max / array_contains."""
+    sort_array / array_max / array_contains. The slice and its sorted
+    form are surfaced as fixed scalar columns (the slice length is a
+    query constant) because array result columns crash the grading
+    harness; doubles avoid any string-formatting dependence."""
     e = load_table(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
+    head3 = F.slice(emb, 1, 3)
+    head3_sorted = F.sort_array(F.slice(emb, 1, 3))
     return e.select(
         "vec_id",
         F.size(emb).alias("dim"),
         F.element_at(emb, 1).alias("first_val"),
-        F.slice(emb, 1, 3).alias("head3"),
-        F.sort_array(F.slice(emb, 1, 3)).alias("head3_sorted"),
+        F.element_at(head3, 1).cast("double").alias("head3_1"),
+        F.element_at(head3, 2).cast("double").alias("head3_2"),
+        F.element_at(head3, 3).cast("double").alias("head3_3"),
+        F.element_at(head3_sorted, 1).cast("double").alias("head3_min"),
+        F.element_at(head3_sorted, 2).cast("double").alias("head3_mid"),
+        F.element_at(head3_sorted, 3).cast("double").alias("head3_max"),
         F.array_max(emb).alias("max_val"),
         F.array_contains(F.transform(emb, lambda x: x > 0), F.lit(True)).alias(
             "any_positive"
@@ -79,7 +92,10 @@ SELECT vec_id,
        CAST(list_sum(list_transform(embedding,
             x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(25,6)))) AS DOUBLE) AS sq_sum,
        CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
-       list_transform(list_slice(embedding, 1, 4), x -> CAST(x AS DOUBLE) * 2) AS head_doubled,
+       CAST(embedding[1] AS DOUBLE) * 2 AS hd_1,
+       CAST(embedding[2] AS DOUBLE) * 2 AS hd_2,
+       CAST(embedding[3] AS DOUBLE) * 2 AS hd_3,
+       CAST(embedding[4] AS DOUBLE) * 2 AS hd_4,
        CAST(list_sum(list_transform(list_zip(list_slice(embedding, 1, 8), list_reverse(list_slice(embedding, 1, 8))),
             p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(25,6)))) AS DOUBLE) AS rev_dot8
 FROM embeddings
@@ -119,9 +135,12 @@ def f11_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_sum.alias("vec_sum"),
         sq_sum.alias("sq_sum"),
         F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
-        F.transform(F.slice(emb, 1, 4), lambda x: x.cast("double") * 2).alias(
-            "head_doubled"
-        ),
+        *[
+            F.element_at(F.transform(emb, lambda x: x.cast("double") * 2), i).alias(
+                f"hd_{i}"
+            )
+            for i in (1, 2, 3, 4)
+        ],
         rev_dot8.alias("rev_dot8"),
     )
 
@@ -131,7 +150,7 @@ def f11_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="functions",
     oracle="""
 SELECT event_id,
-       json_keys(props) AS prop_keys,
+       array_to_string(list_sort(json_keys(props)), '|') AS prop_keys,
        CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
        CAST(len(json_keys(props)) AS INTEGER) AS n_props
 FROM events
@@ -139,12 +158,14 @@ FROM events
 )
 def f12_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12: parse props into MapType → map_keys / element_at / size
-    (DuckDB twin stays in JSON land, same values)."""
+    (DuckDB twin stays in JSON land, same values). Key lists are sorted
+    then '|'-joined: map iteration order is engine-dependent, and array
+    result columns crash the grading harness."""
     ev = load_table(spark, sf_dir, "events")
     m = F.from_json(F.col("props"), "map<string,bigint>")
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
+        F.concat_ws("|", F.sort_array(F.map_keys(m))).alias("prop_keys"),
         F.element_at(m, "k").alias("k_value"),
         F.size(F.map_keys(m)).alias("n_props"),
     )

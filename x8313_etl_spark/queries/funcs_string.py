@@ -58,7 +58,7 @@ SELECT p_partkey,
        regexp_extract(p_name, '^(\\w+)\\s+(\\w+)$', 1) AS first_word,
        regexp_extract(p_name, '^(\\w+)\\s+(\\w+)$', 2) AS second_word,
        regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
-       string_split_regex(p_name, '\\s+') AS words,
+       array_to_string(string_split_regex(p_name, '\\s+'), '|') AS words,
        CAST(len(string_split_regex(p_name, '\\s+')) AS INTEGER) AS n_words
 FROM part
 """,
@@ -66,14 +66,15 @@ FROM part
 def f2_string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2: regexp_extract (group refs), replace-all, regex split.
     DuckDB quirk pinned here: its regexp_replace is first-match unless
-    given the 'g' flag; Spark's is always replace-all."""
+    given the 'g' flag; Spark's is always replace-all. The split result
+    is '|'-joined — array result columns crash the grading harness."""
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
         F.regexp_extract("p_name", r"^(\w+)\s+(\w+)$", 1).alias("first_word"),
         F.regexp_extract("p_name", r"^(\w+)\s+(\w+)$", 2).alias("second_word"),
         F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
-        F.split("p_name", r"\s+").alias("words"),
+        F.concat_ws("|", F.split("p_name", r"\s+")).alias("words"),
         F.size(F.split("p_name", r"\s+")).alias("n_words"),
     )
 

@@ -86,17 +86,24 @@ def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="llm",
     oracle=f"""
 WITH {_SQL_SHINGLE_CTES}
-SELECT doc_id, sig FROM sig WHERE doc_id < 100
+SELECT doc_id, array_to_string(sig, '|') AS sig FROM sig WHERE doc_id < 100
 """,
 )
 def l2_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2a: 32-permutation MinHash signature per document — deterministic
     universal hashing over md5-derived shingle ids, bit-identical across
-    engines (operators/minhash.py has the constants)."""
+    engines (operators/minhash.py has the constants). The signature is
+    serialized '|'-joined (array result columns crash the grading
+    harness); integer→string formatting is identical across engines."""
     from ..operators.minhash import shingle_stage
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return shingle_stage(d, "doc_id", "text").select("doc_id", "sig")
+    return shingle_stage(d, "doc_id", "text").select(
+        "doc_id",
+        F.concat_ws(
+            "|", F.transform(F.col("sig"), lambda x: x.cast("string"))
+        ).alias("sig"),
+    )
 
 
 @register(
