@@ -1,0 +1,70 @@
+"""Record the DuckDB proxy baseline (BASELINE.md's plan, SURVEY.md §6).
+
+No reference benchmark numbers exist (empty reference tree), so the
+closest observable single-node baseline is DuckDB 1.x executing every
+``oracle_sql()`` twin on the same sf0.1 parquet. This script times each
+oracle (median of 3, warm cache, full materialization via fetchall) and
+writes ``BASELINE_PROXY.json`` at the repo root; BASELINE.md carries the
+summary. bench.py timings are then comparable query-by-query: the twin
+computes the identical result, so "Spark within 2× of the proxy" is a
+meaningful single-node bar (Spark pays JVM/scheduling fixed costs DuckDB
+doesn't; Spark's win is the scale-out axis the proxy cannot measure).
+
+Usage: python scripts/baseline_proxy.py [sf_dir] (default /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from x8313_etl_spark.registry import registry
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    out: dict[str, float] = {}
+    for name, spec in sorted(registry().items()):
+        if spec.oracle is None:
+            continue
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(spec.oracle).fetchall()
+            times.append(time.perf_counter() - t0)
+        out[name] = round(statistics.median(times), 4)
+        print(f"{name}: {out[name]:.3f}s", file=sys.stderr)
+    payload = {
+        "engine": f"duckdb {duckdb.__version__}",
+        "sf_dir": sf_dir,
+        "runs_per_query": 3,
+        "protocol": "median wall-clock, warm cache, full fetchall",
+        "total_sec": round(sum(out.values()), 4),
+        "queries": out,
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "BASELINE_PROXY.json")
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    print(json.dumps({"total_sec": payload["total_sec"], "n": len(out)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -101,3 +101,80 @@ def test_stream_dedup_across_batches(spark, two_batch_dir):
     # event_id=6 duplicates (1, click) from batch 0 → exactly once in output
     assert sorted(rows) == [(1, "click"), (2, "view"), (3, "click"), (3, "view")]
     assert len(rows) == len(set(rows))
+
+
+# ---------------------------------------------------------------------------
+# T7 primary path (transformWithStateInPandas). The live state server
+# needs python protobuf, which this container may not ship — the class
+# logic is therefore covered DIRECTLY with a fake ValueState, and the
+# live wiring is a skip-with-reason marker so CI shows the gating.
+# ---------------------------------------------------------------------------
+
+
+class _FakeValueState:
+    def __init__(self):
+        self.value = None
+
+    def exists(self):
+        return self.value is not None
+
+    def get(self):
+        return self.value
+
+    def update(self, v):
+        self.value = tuple(v)
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttl_duration_ms=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def test_t7_user_counter_merges_state_across_calls():
+    import pandas as pd
+
+    from x8313_etl_spark.streaming import UserCounter
+
+    proc = UserCounter()
+    proc.init(_FakeHandle())
+
+    out1 = list(
+        proc.handleInputRows((42,), iter([pd.DataFrame({"value": [1.0, 5.0]})]), None)
+    )
+    assert len(out1) == 1
+    assert out1[0].to_dict("records") == [
+        {"user_id": 42, "n_events": 2, "max_value": 5.0}
+    ]
+
+    # second microbatch, two pandas chunks: prior state must merge in
+    out2 = list(
+        proc.handleInputRows(
+            (42,),
+            iter(
+                [pd.DataFrame({"value": [7.0]}), pd.DataFrame({"value": [3.0]})]
+            ),
+            None,
+        )
+    )
+    assert out2[0].to_dict("records") == [
+        {"user_id": 42, "n_events": 4, "max_value": 7.0}
+    ]
+    proc.close()
+
+
+def test_t7_live_state_server(spark, sf_dir):
+    from x8313_etl_spark.streaming import has_state_server_deps
+
+    if not has_state_server_deps():
+        pytest.skip(
+            "transformWithStateInPandas needs python protobuf (state-server "
+            "protocol); not installed here — t7 runs its foreachBatch merge "
+            "fallback, and UserCounter logic is covered by the fake-state test"
+        )
+    from x8313_etl_spark.registry import registry
+
+    rows = registry()["t7_stateful_counter"].fn(spark, sf_dir).collect()
+    assert rows

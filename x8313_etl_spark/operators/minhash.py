@@ -15,9 +15,10 @@ entirely in JVM higher-order expressions (no UDFs):
    at the caller's threshold.
 
 Scale notes (100 TB): the only shuffles are (a) the band-key self-join,
-whose fan-in is bounded by band-bucket sizes (salt or cap hot buckets —
-a bucket with B docs yields B² candidates; production adds a
-``max_bucket_size`` guard), and (b) the verify join, bounded by the
+whose fan-in is bounded by band-bucket sizes — a bucket with B docs
+yields B² candidates, so it runs through
+``operators/bandjoin.guarded_band_self_join`` with a live
+``max_bucket_size`` cap — and (b) the verify join, bounded by the
 candidate count. Signature computation is embarrassingly parallel and
 map-side only. All hash arithmetic is fixed-constant and deterministic:
 the same corpus gives the same pairs on any cluster size.
@@ -33,6 +34,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from ..functions.text import shingles_from_words, tokens
+from .bandjoin import DEFAULT_MAX_BUCKET_SIZE, guarded_band_self_join
 
 #: Mersenne prime 2^31-1. h < P and A_i < P keep A_i*h < 2^62 (int64-safe).
 MINHASH_P = 2_147_483_647
@@ -131,12 +133,22 @@ def near_dup_pairs(
     threshold: float = 0.3,
     k: int = _SHINGLE_K,
     cache: bool = True,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """LSH candidates + exact-Jaccard verify → (doc_a, doc_b, jaccard).
 
     Emits each qualifying pair once (doc_a < doc_b). ``threshold`` is on
     the EXACT shingle Jaccard of candidates; banding only bounds which
     pairs get verified.
+
+    ``max_bucket_size`` caps band buckets (operators/bandjoin.py): a
+    degenerate bucket of B docs otherwise emits B² candidates. The
+    default cap is live in the registered query — it cannot trigger on
+    a corpus without a 5000-strong near-identical cluster, so the
+    DuckDB twin's exact band predicate still holds on any test corpus,
+    while a real boilerplate-heavy crawl gets the bound. ``None``
+    disables the guard (exact band semantics unconditionally).
 
     The (doc_id, sh, sig) stage feeds four plan branches (both sides of
     the band join, both sides of the verify join); ``cache`` persists it
@@ -159,20 +171,13 @@ def near_dup_pairs(
         "doc_id",
         F.posexplode(band_keys(F.col("sig"))).alias("band", "key"),
     )
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.key") == F.col("b.key"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    cand = guarded_band_self_join(
+        banded,
+        "doc_id",
+        ("band", "key"),
+        max_bucket_size=max_bucket_size,
+        log_dropped=log_dropped,
+        log_label="minhash-lsh",
     )
 
     sh = base.select("doc_id", "sh")

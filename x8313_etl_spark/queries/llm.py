@@ -53,6 +53,7 @@ sig AS (SELECT doc_id, sh,
 @register(
     "l1_exact_dedup",
     category="llm",
+    bench=True,
     oracle="""
 WITH u AS (
   SELECT doc_id, text FROM documents

@@ -220,8 +220,13 @@ def p_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     can touch at most 3 bands, so every qualifying pair shares at least
     one exact band (pigeonhole) — the banded join provably finds every
     pair the brute-force SQL twin finds. Scale: one shuffle on (band,
-    chunk); candidates bounded by bucket sizes instead of n²."""
+    chunk); candidates bounded by bucket sizes instead of n², with the
+    guarded band join capping degenerate buckets (operators/bandjoin.py;
+    the cap cannot trigger without a 5000-doc near-identical cluster,
+    so the exact-recall proof vs the twin is undisturbed here)."""
     from pyspark import StorageLevel
+
+    from ..operators.bandjoin import guarded_band_self_join
 
     d = load_table(spark, sf_dir, "documents").withColumn("w", tokens(F.col("text")))
     # the (doc_id, sh) stage feeds both sides of the band self-join —
@@ -246,25 +251,14 @@ def p_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "chunk"),
     )
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.chunk") == F.col("b.chunk"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sha"),
-            F.col("b.sh").alias("shb"),
-        )
-        .distinct()
+    cand = guarded_band_self_join(
+        banded,
+        "doc_id",
+        ("band", "chunk"),
+        carry=("sh",),
+        log_label="simhash-lsh",
     )
-    hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= _HAMMING_MAX)

@@ -230,10 +230,13 @@ def sim_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same band predicate, so banding recall is not a correctness
     variable (same trick as l2_near_dup_pairs). Scale: sketching is
     map-only; the candidate join shuffles on (band, chunk) — Σ bucket²
-    pairs instead of n²."""
+    pairs instead of n², and the guarded band join caps degenerate
+    buckets (operators/bandjoin.py; the default cap cannot trigger on
+    the fixture corpus, so the twin's band predicate is undisturbed)."""
     from pyspark import StorageLevel
 
     from ..operators.annscan import hyperplane_sketch
+    from ..operators.bandjoin import guarded_band_self_join
 
     raw = load_table(spark, sf_dir, "embeddings")
     # Arrow-batched sketch+norm pass (bit-identical to the expression
@@ -251,18 +254,8 @@ def sim_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "chunk"),
     )
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.chunk") == F.col("b.chunk"),
-                F.col("a.vec_id") < F.col("b.vec_id"),
-            ],
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
+    cand = guarded_band_self_join(
+        banded, "vec_id", ("band", "chunk"), log_label="hyperplane-lsh"
     )
     norms = e.select("vec_id", "vnorm")
     va = raw.join(norms, "vec_id").select(

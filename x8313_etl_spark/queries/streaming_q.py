@@ -21,6 +21,7 @@ from ..streaming import run_to_memory
 @register(
     "t1_tumbling_window",
     category="streaming",
+    bench=True,
     oracle=f"""
 SELECT time_bucket(INTERVAL '10 minutes', ts) AS wstart,
        time_bucket(INTERVAL '10 minutes', ts) + INTERVAL 10 MINUTE AS wend,
@@ -229,59 +230,20 @@ def t7_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming.stateful_merge_counter — itself a scalable pattern, not a
     toy). Tracked stats (count, max) are arrival-order-free, so the
     final state equals the batch aggregate regardless of batch splits."""
-    from ..streaming import has_state_server_deps, stateful_merge_counter
+    from ..streaming import (
+        T7_OUTPUT_SCHEMA,
+        UserCounter,
+        has_state_server_deps,
+        stateful_merge_counter,
+    )
 
     s = stream_events(spark, sf_dir)
     if not has_state_server_deps():
         return stateful_merge_counter(spark, s, key="user_id")
 
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
-
-    out_schema = StructType(
-        [
-            StructField("user_id", LongType()),
-            StructField("n_events", LongType()),
-            StructField("max_value", DoubleType()),
-        ]
-    )
-    state_schema = StructType(
-        [StructField("n", LongType()), StructField("mx", DoubleType())]
-    )
-
-    class UserCounter(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._state = handle.getValueState("counter", state_schema)
-
-        def handleInputRows(self, key, rows, timerValues):
-            import pandas as pd
-
-            n, mx = 0, None
-            if self._state.exists():
-                n, mx = self._state.get()
-            for pdf in rows:
-                n += len(pdf)
-                batch_max = float(pdf["value"].max())
-                mx = batch_max if mx is None else max(mx, batch_max)
-            self._state.update((n, mx))
-            yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
-            )
-
-        def close(self) -> None:
-            pass
-
     counted = s.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=UserCounter(),
-        outputStructType=out_schema,
+        outputStructType=T7_OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
     )
@@ -332,5 +294,9 @@ def t9_stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        # A hung query must fail loudly here — falling through would read
+        # a partially-written sink and return silently incomplete rows.
+        q.stop()
+        raise TimeoutError("t9 parquet-sink stream did not finish in 180s")
     return spark.read.schema("event_id long, user_id long, event_type string, value double").parquet(out)

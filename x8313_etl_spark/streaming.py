@@ -32,6 +32,55 @@ import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+#: transformWithStateInPandas output/state schemas for T7 (module-level so
+#: the processor is unit-testable even where the state server can't run).
+T7_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+T7_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("mx", DoubleType())]
+)
+
+
+class UserCounter(StatefulProcessor):
+    """T7 primary path: per-user (count, max) ValueState, update mode.
+
+    The class itself is pure logic over the handle/state interfaces, so
+    its cross-batch merge semantics are covered by direct unit tests
+    (tests/test_streaming.py) with a fake ValueState; the live
+    state-server wiring only runs where python protobuf is installed
+    (has_state_server_deps)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("counter", T7_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        n, mx = 0, None
+        if self._state.exists():
+            n, mx = self._state.get()
+        for pdf in rows:
+            n += len(pdf)
+            batch_max = float(pdf["value"].max())
+            mx = batch_max if mx is None else max(mx, batch_max)
+        self._state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    def close(self) -> None:
+        pass
 
 
 def has_state_server_deps() -> bool:
