@@ -178,3 +178,33 @@ def test_t7_live_state_server(spark, sf_dir):
 
     rows = registry()["t7_stateful_counter"].fn(spark, sf_dir).collect()
     assert rows
+
+
+def test_t7b_apws_state_survives_batches(spark, two_batch_dir):
+    """applyInPandasWithState must carry GroupState across microbatches:
+    with maxFilesPerTrigger=1 the 3-file fixture forces 3 batches, and
+    the final per-user counters must equal the batch aggregate. Update
+    mode appends one row per (key, updating batch) to the sink; the
+    final state per key is the row with the highest running count."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from x8313_etl_spark.streaming import apws_counter, run_to_memory
+
+    s = _read_stream(spark, two_batch_dir).selectExpr(
+        "user_id", "cast(event_id as double) as value"
+    )
+    out = s.groupBy("user_id").applyInPandasWithState(
+        apws_counter,
+        "user_id long, n_events long, max_value double",
+        "n long, mx double",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_memory(spark, out, "t7b_xbatch_test", "update")
+    final = {}
+    for r in sink.collect():
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.max_value)
+    # user 1: events 0,1 (batch 0) + 6 (batch 2); user 2: 2,3 + 10 (batch 1);
+    # user 3: 4,5 (batch 2)
+    assert final == {1: (3, 6.0), 2: (3, 10.0), 3: (2, 5.0)}

@@ -201,7 +201,11 @@ def sql_simhash(h: str, bits: int = SIMHASH_BITS) -> str:
         f"list_reduce(list_prepend({zeros}, list_transform({h}, x -> {bitsof})), "
         f"(acc, bl) -> list_transform(list_zip(acc, bl), p -> p[1] + p[2]))"
     )
+    # the outer CAST matters: DuckDB's list_sum over BIGINT yields
+    # HUGEINT, which pandas materializes as float64 — an int64-vs-float64
+    # column would defeat a strict dtype-sensitive value hash even though
+    # every value is equal
     return (
-        f"COALESCE(list_sum(list_transform(list_zip({counts}, {masks}), "
-        f"p -> CASE WHEN p[1] > 0 THEN p[2] ELSE CAST(0 AS BIGINT) END)), 0)"
+        f"CAST(COALESCE(list_sum(list_transform(list_zip({counts}, {masks}), "
+        f"p -> CASE WHEN p[1] > 0 THEN p[2] ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT)"
     )

@@ -140,6 +140,79 @@ def l2_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l2c_ngram_jaccard",
+    category="llm",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(text) - 2),
+                                      i -> substr(text, i, 3))) AS grams
+  FROM documents WHERE doc_id < 300 AND len(text) >= 3
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+           / (len(a.grams) + len(b.grams)
+              - len(list_intersect(a.grams, b.grams))) AS jaccard
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+)
+WHERE jaccard >= 0.4
+""",
+)
+def l2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2c: character-trigram Jaccard near-dup — the n-gram flavor of the
+    dedup family (word-shingle MinHash is l2, bit-sketch is p_simhash).
+
+    Spark side is the INVERTED-INDEX algorithm, not all-pairs: explode
+    distinct grams to a posting list, self-join postings on the gram
+    (pairs materialize only for docs sharing a gram, grouped into
+    |A∩B| counts), then |A∪B| = |A|+|B|-|A∩B| — exact Jaccard with
+    shuffle bounded by Σ df(gram)² instead of n². The DuckDB twin
+    brute-forces all pairs, so index recall is part of what's verified.
+
+    Scale caveat mirrors the LSH band joins: a stop-gram shared by most
+    docs is a hot posting (df² pairs). Production composes the same
+    guards — drop top-df grams (prefix filtering keeps exactness above a
+    threshold) or fall back to l2's banded MinHash.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 300) & (F.length("text") >= 3)
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - 2),
+            lambda i: F.col("text").substr(i, F.lit(3)),
+        )
+    )
+    g = d.select("doc_id", grams.alias("grams"))
+    sizes = g.select("doc_id", F.size("grams").alias("n"))
+    post = g.select("doc_id", F.explode("grams").alias("gram"))
+    common = (
+        post.alias("a")
+        .join(
+            post.alias("b"),
+            on=[
+                F.col("a.gram") == F.col("b.gram"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    )
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.4)
+    )
+
+
+@register(
     "l3_cosine_pairs",
     category="llm",
     oracle=f"""

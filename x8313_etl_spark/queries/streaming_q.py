@@ -251,6 +251,37 @@ def t7_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t7b_stateful_apws",
+    category="streaming",
+    oracle="""
+SELECT user_id, count(*) AS n_events, max(value) AS max_value
+FROM events GROUP BY user_id
+""",
+)
+def t7b_stateful_apws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7b: the same per-user stateful counter as t7, but through
+    ``applyInPandasWithState`` (GroupState, Arrow-batched) — the classic
+    custom-stateful-operator API, which runs LIVE here (no state-server
+    protobuf dependency), so unlike t7's gated primary path this one
+    exercises real cross-batch streaming state end-to-end. Count/max are
+    order-free, so final state equals the batch aggregate under any
+    batch split."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..streaming import apws_counter
+
+    s = stream_events(spark, sf_dir)
+    out = s.groupBy("user_id").applyInPandasWithState(
+        apws_counter,
+        "user_id long, n_events long, max_value double",
+        "n long, mx double",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(spark, out, "t7b_apws", "update")
+
+
+@register(
     "t8_update_mode_counts",
     category="streaming",
     oracle="SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type",

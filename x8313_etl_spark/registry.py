@@ -151,6 +151,7 @@ _DRIVER_GREEN_R01 = frozenset(
 #: t1/t3/t7 stay in-window as harness probes for the whole t-family.
 #: Round 3 front-loads whatever still lacks a green row.
 _DEFER = (
+    "l2c_ngram_jaccard",  # added r2 after the window filled; scalar output, low harness risk
     "u1_union_all",
     "u2_union_by_name",
     "u3_union_distinct",

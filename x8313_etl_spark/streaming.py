@@ -83,6 +83,25 @@ class UserCounter(StatefulProcessor):
         pass
 
 
+def apws_counter(pdfs_key, pdfs, state):
+    """applyInPandasWithState body for T7b: per-key (count, max) in
+    GroupState, update mode. Unlike transformWithStateInPandas, this API
+    speaks the classic GroupState protocol — no python-protobuf state
+    server — so it runs live everywhere this repo runs. Module-level so
+    it is also unit-testable with a fake GroupState."""
+    import pandas as pd
+
+    n, mx = state.get if state.exists else (0, None)
+    for pdf in pdfs:
+        n += len(pdf)
+        batch_max = float(pdf["value"].max())
+        mx = batch_max if mx is None else max(mx, batch_max)
+    state.update((n, mx))
+    yield pd.DataFrame(
+        {"user_id": [pdfs_key[0]], "n_events": [n], "max_value": [mx]}
+    )
+
+
 def has_state_server_deps() -> bool:
     """transformWithStateInPandas talks to a JVM state server over a
     protobuf protocol; the python 'protobuf' package is an optional
