@@ -56,7 +56,16 @@ def test_global_topk_avoids_total_sort(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["p_fingerprint", "p_simhash", "p_lang_id", "p_quality_score", "p_token_count"]
+    "name",
+    [
+        "p_fingerprint",
+        "p_simhash",
+        "p_lang_id",
+        "p_quality_score",
+        "p_token_count",
+        "p_hash_split",
+        "p_chunk_text",
+    ],
 )
 def test_pipeline_text_ops_are_map_only(spark, sf_dir, name):
     """Per-document text ops must not shuffle — at 100 TB an accidental

@@ -1,0 +1,100 @@
+"""Connected components over an edge table — the cluster-assignment step
+of large-scale dedup (SURVEY.md §2.12): near-dup PAIRS (MinHash / SimHash
+/ LSH candidates) become canonical document GROUPS, so a pipeline can
+keep one representative per cluster instead of resolving pairs ad hoc.
+
+Algorithm: Pregel-style min-label propagation. Every vertex starts
+labeled with its own id; each round every vertex takes the min of its
+own label and its neighbors' labels; at fixpoint every vertex carries
+the minimum vertex id of its component. Rounds needed = graph diameter,
+and dedup graphs are quasi-cliques (diameter 2-3), so convergence is a
+handful of rounds even at corpus scale.
+
+Scale shape per round: one equi-join of the (symmetrized, distinct)
+edge table against the label table on vertex id, one min-aggregation on
+vertex id — both shuffle on the same key, so a cluster reuses the
+exchange; the edge table is persisted once and re-read every round.
+Lineage is truncated every round with an eager ``localCheckpoint``
+(executor-local blocks): without it the iterated plan doubles each
+round and Catalyst analysis itself becomes the bottleneck. On a real
+cluster prefer ``spark.sparkContext.setCheckpointDir`` + ``checkpoint``
+for fault tolerance — localCheckpoint trades lineage-based recovery
+away, which is the right trade in local mode only.
+
+For adversarial topologies (million-hop chains) the round count makes
+min-propagation a poor fit; the published fix is alternating
+large-star/small-star contraction (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14), which converges in
+O(log n) rounds with the same per-round join/agg shape. Dedup graphs
+never look like that, so this module implements the simple variant and
+documents the upgrade path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+
+class ConvergenceError(RuntimeError):
+    """Label propagation did not reach a fixpoint within max_iter."""
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) with component = min node id in the component.
+
+    ``nodes`` must hold every vertex (isolated vertices become singleton
+    components); ``edges`` may be directed, duplicated, or self-looped —
+    it is symmetrized and de-duplicated here. The result is returned
+    materialized (the final checkpointed label table), not as a lazy
+    plan over the whole iteration history.
+    """
+    sym = (
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+        .union(edges.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst")))
+        .filter(F.col("e_src") != F.col("e_dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("component")
+    ).localCheckpoint(eager=True)
+
+    try:
+        for _ in range(max_iter):
+            msgs = sym.join(labels, sym["e_src"] == labels["node"]).select(
+                F.col("e_dst").alias("node"), F.col("component")
+            )
+            new = (
+                labels.unionByName(msgs)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+                .localCheckpoint(eager=True)
+            )
+            # min() is monotone non-increasing, so "no label got smaller"
+            # is exactly the fixpoint test
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.component") < F.col("o.component"))
+                .take(1)
+            )
+            labels = new
+            if not changed:
+                return labels.withColumnRenamed("node", node_col)
+    finally:
+        sym.unpersist()
+    raise ConvergenceError(
+        f"connected_components: no fixpoint after {max_iter} rounds "
+        "(graph diameter exceeds max_iter — raise it, or switch to "
+        "large-star/small-star contraction)"
+    )

@@ -30,6 +30,7 @@ from ..functions.text import (
     word_hashes,
 )
 from ..io import load_table
+from ..operators.concomp import connected_components
 from ..registry import register
 
 _STOPWORDS = ("the", "a", "of", "and", "to")
@@ -199,6 +200,55 @@ def p_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HAMMING_MAX = 3
 _N_BANDS = 4
 
+#: shared oracle prefix: documents → (doc_id, sh) SimHash table
+_SQL_SIMHASH_TABLE = f"""
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+h AS (SELECT doc_id, {sql_word_hashes('w')} AS h FROM w),
+s AS (SELECT doc_id, {sql_simhash('h')} AS sh FROM h)"""
+
+
+def _simhash_table(spark: SparkSession, sf_dir: str):
+    """(doc_id, sh) persisted — feeds both sides of the band self-join
+    (and every downstream stage), so the 16-byte-per-doc table is
+    computed once instead of per plan branch."""
+    from pyspark import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents").withColumn("w", tokens(F.col("text")))
+    return (
+        d.withColumn("h", word_hashes(F.col("w")))
+        .select("doc_id", simhash(F.col("h")).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def _simhash_candidates(s) -> DataFrame:
+    """Banded exact-recall LSH candidates (doc_a, doc_b, sh_a, sh_b) from
+    a (doc_id, sh) table — see p_simhash_pairs for the recall proof."""
+    from ..operators.bandjoin import guarded_band_self_join
+
+    chunk_bits = (SIMHASH_BITS + _N_BANDS - 1) // _N_BANDS  # 8
+    banded = s.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sh"), j * chunk_bits).bitwiseAND(
+                        F.lit((1 << chunk_bits) - 1)
+                    )
+                    for j in range(_N_BANDS)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    return guarded_band_self_join(
+        banded,
+        "doc_id",
+        ("band", "chunk"),
+        carry=("sh",),
+        log_label="simhash-lsh",
+    )
+
 
 @register(
     "p_simhash_pairs",
@@ -224,42 +274,54 @@ def p_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarded band join capping degenerate buckets (operators/bandjoin.py;
     the cap cannot trigger without a 5000-doc near-identical cluster,
     so the exact-recall proof vs the twin is undisturbed here)."""
-    from pyspark import StorageLevel
-
-    from ..operators.bandjoin import guarded_band_self_join
-
-    d = load_table(spark, sf_dir, "documents").withColumn("w", tokens(F.col("text")))
-    # the (doc_id, sh) stage feeds both sides of the band self-join —
-    # persist the 16-byte-per-doc table instead of hashing twice
-    s = (
-        d.withColumn("h", word_hashes(F.col("w")))
-        .select("doc_id", simhash(F.col("h")).alias("sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    chunk_bits = (SIMHASH_BITS + _N_BANDS - 1) // _N_BANDS  # 8
-    banded = s.select(
-        "doc_id",
-        "sh",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("sh"), j * chunk_bits).bitwiseAND(
-                        F.lit((1 << chunk_bits) - 1)
-                    )
-                    for j in range(_N_BANDS)
-                ]
-            )
-        ).alias("band", "chunk"),
-    )
-    cand = guarded_band_self_join(
-        banded,
-        "doc_id",
-        ("band", "chunk"),
-        carry=("sh",),
-        log_label="simhash-lsh",
-    )
+    cand = _simhash_candidates(_simhash_table(spark, sf_dir))
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= _HAMMING_MAX)
     )
+
+
+@register(
+    "p_dedup_clusters",
+    category="pipeline",
+    oracle=f"""
+WITH RECURSIVE {_SQL_SIMHASH_TABLE},
+p AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM s a JOIN s b
+    ON a.doc_id <> b.doc_id
+   AND bit_count(xor(a.sh, b.sh)) <= {_HAMMING_MAX}
+),
+reach AS (
+  SELECT doc_id, doc_id AS label FROM s
+  UNION
+  SELECT p.dst AS doc_id, reach.label FROM reach JOIN p ON p.src = reach.doc_id
+)
+SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
+""",
+)
+def p_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster assignment: SimHash near-dup pairs (hamming ≤ 3,
+    exact-recall banded LSH per p_simhash_pairs) become per-document
+    cluster ids via distributed connected components — cluster id = min
+    doc_id in the component, singletons keep their own id. This is the
+    step that turns pairwise candidates into "keep one per group": a
+    downstream `row_number() over (partition by cluster_id)` picks the
+    canonical document.
+
+    Spark side is iterative min-label propagation (operators/concomp.py:
+    O(diameter) rounds of join+min-agg, and near-dup components are
+    quasi-cliques, so 2-3 rounds); the DuckDB twin computes the same
+    fixpoint declaratively with a recursive CTE, so transitive-closure
+    equality — not just edge equality — is what gets verified."""
+    s = _simhash_table(spark, sf_dir)
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    pairs = (
+        _simhash_candidates(s)
+        .filter(hamming <= _HAMMING_MAX)
+        .select("doc_a", "doc_b")
+    )
+    return connected_components(
+        s.select("doc_id"), pairs, node_col="doc_id", src="doc_a", dst="doc_b"
+    ).withColumnRenamed("component", "cluster_id")

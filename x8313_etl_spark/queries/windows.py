@@ -13,6 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..functions.numeric import dsum, sql_dsum
 from ..io import load_table
 from ..registry import register
 
@@ -230,4 +231,68 @@ def w7_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+_SESSION_GAP_US = 4 * 3600 * 1_000_000  # 4h inactivity closes a session
+
+
+@register(
+    "w8_sessionize",
+    category="windows",
+    oracle=f"""
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       {sql_dsum('value')} AS total_value
+FROM s
+GROUP BY user_id, session_seq
+""",
+)
+def w8_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: batch sessionization — a new session starts after >4h of
+    per-user inactivity; session_seq is the running count of boundary
+    flags (gap test in integer microseconds, exact in both engines).
+    The lag and the running sum share one window spec, so Catalyst
+    evaluates them in a single Window exec over a single shuffle on
+    user_id; the session rollup then aggregates on a superset of that
+    key. Batch twin of t3's streaming session_window (which the
+    fixtures' single-batch replay can't carry across restarts —
+    this form also backfills history at 100 TB scale).
+
+    Event ts values are unique per user in the fixtures AND the gap
+    flag only compares consecutive-row differences, so ORDER BY ts is
+    total and the result is deterministic."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "um", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("um")
+    gap = F.col("um") - F.lag("um").over(w)
+    new_sess = F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
+    sessions = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_seq",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dsum("value").alias("total_value"),
     )

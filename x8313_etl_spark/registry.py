@@ -49,6 +49,7 @@ _QUERY_MODULES = [
     "funcs_array",
     "llm",
     "pipeline_q",
+    "corpus_q",
     "similarity_q",
     "streaming_q",
     "udf_q",
@@ -152,6 +153,13 @@ _DRIVER_GREEN_R01 = frozenset(
 #: Round 3 front-loads whatever still lacks a green row.
 _DEFER = (
     "l2c_ngram_jaccard",  # added r2 after the window filled; scalar output, low harness risk
+    # r2 additions below: the ~50-slot window was already full of
+    # never-verified queries, so these wait for round 3's front-load
+    "p_dedup_clusters",
+    "p_hash_split",
+    "p_sample_stratified",
+    "p_chunk_text",
+    "w8_sessionize",
     "u1_union_all",
     "u2_union_by_name",
     "u3_union_distinct",
