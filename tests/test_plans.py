@@ -65,6 +65,8 @@ def test_global_topk_avoids_total_sort(spark, sf_dir):
         "p_token_count",
         "p_hash_split",
         "p_chunk_text",
+        "p_repetition_filter",
+        "p_quantize_embeddings",
     ],
 )
 def test_pipeline_text_ops_are_map_only(spark, sf_dir, name):

@@ -151,3 +151,202 @@ def p_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk.alias("chunk"),
         F.length(chunk).cast("int").alias("chunk_len"),
     )
+
+
+#: Gopher-style duplicate-n-gram thresholds (Rae et al. 2021, "Scaling
+#: Language Models: ... Gopher", Table A1 — public): docs whose repeated
+#: 2-/3-gram mass is too high are boilerplate/spam-shaped.
+DUP_2GRAM_MAX = 0.55
+DUP_3GRAM_MAX = 0.45
+
+
+def _ngrams(w: Column, n: int) -> Column:
+    """NON-distinct word n-grams (repetition is the signal here, unlike
+    functions/text.py shingles which deduplicate for MinHash)."""
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _sql_ngrams(w: str, n: int) -> str:
+    parts = " || ' ' || ".join(f"{w}[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({w}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({w}) - {n - 1}), i -> {parts}) "
+        f"ELSE [] END"
+    )
+
+
+def _dup_frac(g: Column) -> Column:
+    """(total - distinct) / total n-grams; 0 for empty gram arrays."""
+    return F.when(
+        F.size(g) > 0,
+        (F.size(g) - F.size(F.array_distinct(g))).cast("double") / F.size(g),
+    ).otherwise(F.lit(0.0))
+
+
+def _sql_dup_frac(g: str) -> str:
+    return (
+        f"CASE WHEN len({g}) > 0 THEN "
+        f"CAST(len({g}) - len(list_distinct({g})) AS DOUBLE) / len({g}) "
+        f"ELSE 0.0 END"
+    )
+
+
+@register(
+    "p_repetition_filter",
+    category="pipeline",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id,
+             {_sql_dup_frac('w')} AS dup_word_frac,
+             {_sql_dup_frac(_sql_ngrams('w', 2))} AS dup_2gram_frac,
+             {_sql_dup_frac(_sql_ngrams('w', 3))} AS dup_3gram_frac
+      FROM w)
+SELECT doc_id, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
+       (dup_2gram_frac <= {DUP_2GRAM_MAX} AND dup_3gram_frac <= {DUP_3GRAM_MAX})
+         AS keep
+FROM g
+""",
+)
+def p_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: the duplicated fraction of words,
+    2-grams and 3-grams per document (repeated-n-gram mass ⇒ boilerplate
+    / degenerate text), plus the keep/drop verdict at the published
+    thresholds. Every fraction is one exact int/int double division;
+    n-gram arrays are built once from the materialized word column
+    (Catalyst lambda-inlining rule, functions/text.py). Map-only — the
+    filter pipelines into the scan at any scale."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "w", F.split(F.col("text"), " ")
+    )
+    g = d.select(
+        "doc_id",
+        _dup_frac(F.col("w")).alias("dup_word_frac"),
+        _dup_frac(_ngrams(F.col("w"), 2)).alias("dup_2gram_frac"),
+        _dup_frac(_ngrams(F.col("w"), 3)).alias("dup_3gram_frac"),
+    )
+    keep = (F.col("dup_2gram_frac") <= DUP_2GRAM_MAX) & (
+        F.col("dup_3gram_frac") <= DUP_3GRAM_MAX
+    )
+    return g.withColumn("keep", keep)
+
+
+TOKENS_PER_SHARD = 1_000
+
+
+@register(
+    "p_token_shards",
+    category="pipeline",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+  FROM t
+)
+SELECT doc_id, source, n_tok, tok_before,
+       tok_before // {TOKENS_PER_SHARD} AS shard
+FROM c
+""",
+)
+def p_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sharding: within each source, documents (in doc_id
+    order) are assigned to contiguous ~1000-token shards by exclusive
+    running token count — the deterministic "pack the corpus into
+    fixed-budget training files" step. Partitioning by source keeps the
+    prefix-sum window parallel (one shuffle on source, no global sort);
+    a single logical corpus would instead use the two-phase per-range
+    partial-sum + broadcast-offsets form, which this window shape
+    compiles from directly."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "tok_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("bigint")
+    )
+    return c.withColumn(
+        "shard", F.floor(F.col("tok_before") / TOKENS_PER_SHARD).cast("bigint")
+    )
+
+
+@register(
+    "p_quantize_embeddings",
+    category="pipeline",
+    oracle="""
+WITH m AS (
+  SELECT vec_id, label, embedding,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS max_abs
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, label, max_abs,
+         CASE WHEN max_abs > 0 THEN
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / max_abs) + 0.5)
+                                    AS BIGINT))
+         ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qv
+  FROM m
+)
+SELECT vec_id, label, max_abs,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_max(qv) AS BIGINT) AS q_max,
+       array_to_string(qv, '|') AS q_csv
+FROM q
+""",
+)
+def p_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (the 4× footprint cut ANN
+    indexes take before sharding): per-vector scale 127/max|x|, values
+    mapped by floor(x·scale + 0.5) — floor(+0.5) instead of round()
+    because the engines disagree on round-half semantics while floor is
+    IEEE-exact in both. float→double widening is exact, so the quantized
+    ints match DuckDB bit-for-bit. The int vector is emitted as a '|'
+    string (driver-harness-hashable; arrays crash its canonicalizer —
+    ADVICE r1). Map-only."""
+    e = load_table(spark, sf_dir, "embeddings")
+    m = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x)))
+        .cast("double")
+        .alias("max_abs"),
+    )
+    scale = F.lit(127.0) / F.col("max_abs")
+    qv = F.when(
+        F.col("max_abs") > 0,
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("bigint"),
+        ),
+    ).otherwise(
+        F.transform(F.col("embedding"), lambda x: F.lit(0).cast("bigint"))
+    )
+    q = m.withColumn("qv", qv)
+    return q.select(
+        "vec_id",
+        "label",
+        "max_abs",
+        F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.array_max("qv").alias("q_max"),
+        F.concat_ws("|", F.transform("qv", lambda x: x.cast("string"))).alias("q_csv"),
+    )

@@ -331,3 +331,67 @@ def t9_stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("t9 parquet-sink stream did not finish in 180s")
     return spark.read.schema("event_id long, user_id long, event_type string, value double").parquet(out)
+
+
+@register(
+    "t10_stream_stream_join",
+    category="streaming",
+    oracle="""
+SELECT a.user_id,
+       a.event_id AS view_id,
+       b.event_id AS click_id,
+       CAST((epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS BIGINT) AS delay_s
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view'
+ AND b.event_type = 'click'
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 60 MINUTE
+""",
+)
+def t10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10: stream-STREAM inner join (T6 is stream-static) — views paired
+    with same-user clicks that land within the following hour. Both
+    sides carry watermarks and the join has a two-sided time-range
+    predicate, which is what lets Spark bound and expire the join state
+    buffers (without them an inner stream-stream join must buffer both
+    streams forever — the unbounded-state trap at 100 TB). Append mode:
+    a matched pair is final once emitted, so the batch twin is the plain
+    interval self-join."""
+    views = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").cast("timestamp").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        on=[
+            F.col("user_id") == F.col("c_user_id"),
+            F.col("click_ts") > F.col("view_ts"),
+            F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 60 MINUTES"),
+        ],
+    ).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        F.expr("(unix_micros(click_ts) - unix_micros(view_ts)) div 1000000").alias(
+            "delay_s"
+        ),
+    )
+    return run_to_memory(spark, joined, "t10_ss_join", "append")

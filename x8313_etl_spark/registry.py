@@ -160,6 +160,10 @@ _DEFER = (
     "p_sample_stratified",
     "p_chunk_text",
     "w8_sessionize",
+    "p_repetition_filter",
+    "p_token_shards",
+    "p_quantize_embeddings",
+    "t10_stream_stream_join",
     "u1_union_all",
     "u2_union_by_name",
     "u3_union_distinct",
