@@ -112,3 +112,43 @@ def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
     n_f = back.count()
     n_all = spark.read.parquet(out).count()
     assert 0 < n_f < n_all
+
+
+def test_bucketed_join_needs_no_exchange(spark, sf_dir):
+    """s9: after bucketBy(8, custkey) writes, a forced SortMergeJoin of
+    the two bucketed tables must read co-located buckets with ZERO
+    shuffle exchanges (at tiny SF, AQE rightly prefers broadcast — the
+    merge hint pins the strategy whose scale property we care about)."""
+    _SPECS["s9_bucketed_join"].fn(spark, sf_dir)  # writes + registers tables
+    tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    j = (
+        spark.table(f"x8313_orders_b_{tag}")
+        .hint("merge")
+        .join(
+            spark.table(f"x8313_customer_b_{tag}"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:800]
+    assert "Exchange" not in plan, f"bucketed join shuffled:\n{plan[:1200]}"
+    assert plan.count("Bucketed: true") == 2, plan[:1200]
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """A partition-column join against a filtered dim must plan a
+    dynamicpruning subquery on the fact scan's PartitionFilters — at
+    100 TB this is what keeps a fact/dim join from reading every
+    partition (DPP is on by default; this pins that our partitioned
+    layout actually triggers it)."""
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "ev_by_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 2.0), ("purchase", 3.0), ("error", 4.0), ("signup", 5.0)],
+        "event_type string, weight double",
+    ).filter(F.col("weight") < 2.5)
+    j = fact.join(dim, "event_type").groupBy("event_type").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, f"no DPP subquery:\n{plan[:1500]}"

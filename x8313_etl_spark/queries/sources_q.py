@@ -127,3 +127,53 @@ def s6_temp_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "s9_bucketed_join",
+    category="sources",
+    oracle=f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def s9_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: bucketed tables → exchange-free co-located join. Both sides
+    are written with ``bucketBy(8, custkey).sortBy(custkey)`` (Spark's
+    native bucketing: file-per-bucket layout + bucket spec in the
+    catalog), so the join keys are already hash-co-located on disk and
+    the SortMergeJoin needs NO shuffle on either side — the plan test
+    asserts zero Exchange between scans and join. This is the canonical
+    pre-shuffle amortization at 100 TB: pay the bucketing once at write
+    time, then every custkey join/agg over the fact table reads
+    co-partitioned buckets forever. Data lands under .scratch via the
+    explicit path option (the catalog entry is session-scoped in-memory;
+    re-registration per run is idempotent)."""
+    tag = _tag(sf_dir).replace(".", "_")
+    ord_t, cust_t = f"x8313_orders_b_{tag}", f"x8313_customer_b_{tag}"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    for name, df, key in ((ord_t, orders, "o_custkey"), (cust_t, customer, "c_custkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", scratch(f"{name}"))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    j = spark.table(ord_t).join(
+        spark.table(cust_t),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )

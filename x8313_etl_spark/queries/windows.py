@@ -296,3 +296,51 @@ def w8_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         dsum("value").alias("total_value"),
     )
+
+
+@register(
+    "w9_scd2_intervals",
+    category="windows",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+),
+v AS (SELECT user_id, event_type, ts FROM c WHERE chg = 1)
+SELECT user_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL) AS is_current
+FROM v
+""",
+)
+def w9_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9: slowly-changing-dimension (type 2) interval build — the CDC
+    compaction step that turns an event log into versioned dimension
+    rows. Pass 1 keeps only state CHANGES (event_type distinct from its
+    lag per user); pass 2 assigns [valid_from, valid_to) from
+    consecutive change timestamps, open interval = current version.
+    Both passes share the (user_id, ts) window key, so the second
+    window reuses the first's shuffle/sort — one Exchange total.
+    Event ts are unique per user, making the compaction deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    changed = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    ).filter(F.col("chg") == 1)
+    v = changed.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(Window.partitionBy("user_id").orderBy("ts")).alias(
+            "valid_to"
+        ),
+    )
+    return v.withColumn("is_current", F.col("valid_to").isNull())

@@ -164,6 +164,8 @@ _DEFER = (
     "p_token_shards",
     "p_quantize_embeddings",
     "t10_stream_stream_join",
+    "s9_bucketed_join",
+    "w9_scd2_intervals",
     "u1_union_all",
     "u2_union_by_name",
     "u3_union_distinct",
