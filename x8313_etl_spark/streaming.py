@@ -114,6 +114,36 @@ def has_state_server_deps() -> bool:
         return False
 
 
+#: State-store partition count for streaming starts. A stateful
+#: operator creates one state-store instance per shuffle partition, and
+#: every microbatch pays a per-instance commit (delta file + snapshot
+#: bookkeeping) regardless of how little state it holds — measured at
+#: sf0.1: 32 instances ≈ 1.8s per run vs 8 ≈ 0.97s for t1. Size state
+#: partitions to STATE VOLUME (≈ state / 128 MB per instance), not to
+#: core count; the checkpoint pins the value at the first batch, so this
+#: is a per-query-start decision, exactly like here.
+STREAM_STATE_PARTITIONS = 8
+
+
+class _stream_state_partitions:
+    """Scoped override of shuffle partitions around a streaming START.
+
+    Only the FIRST microbatch's setting matters (the checkpoint pins the
+    state partitioning thereafter), so restoring the session value right
+    after q.start() would be enough; we restore in __exit__ which also
+    covers start() raising."""
+
+    def __init__(self, spark: SparkSession, n: int):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def run_to_memory(
     spark: SparkSession,
     sdf: DataFrame,
@@ -128,15 +158,16 @@ def run_to_memory(
     replaced on restart, so repeated calls are idempotent.
     """
     ckpt = tempfile.mkdtemp(prefix=f"x8313-ckpt-{name}-")
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
+    with _stream_state_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
     if q.isActive:  # pragma: no cover - defensive: hung query
         q.stop()
         raise TimeoutError(f"streaming query {name} did not finish in {timeout_sec}s")
@@ -183,13 +214,14 @@ def stateful_merge_counter(
         agg.write.mode("overwrite").parquet(out)
         latest["dir"] = out
 
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
+    with _stream_state_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
     if q.isActive:  # pragma: no cover
         q.stop()
         raise TimeoutError(f"stateful merge did not finish in {timeout_sec}s")
