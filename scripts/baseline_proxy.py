@@ -49,8 +49,13 @@ def main() -> None:
             t0 = time.perf_counter()
             con.execute(spec.oracle).fetchall()
             times.append(time.perf_counter() - t0)
+            # A single measurement is plenty above 20s (variance is noise
+            # relative to the signal; the recursive-CTE connected-components
+            # oracle runs ~7 min at sf0.1 and would triple the wall clock).
+            if times[-1] > 20.0:
+                break
         out[name] = round(statistics.median(times), 4)
-        print(f"{name}: {out[name]:.3f}s", file=sys.stderr)
+        print(f"{name}: {out[name]:.3f}s ({len(times)} runs)", file=sys.stderr, flush=True)
     payload = {
         "engine": f"duckdb {duckdb.__version__}",
         "sf_dir": sf_dir,

@@ -37,3 +37,26 @@ def test_approx_percentile_error_bound(spark, sf_oracle_dir):
         for col in ("p50_price", "p95_price", "p25_qty"):
             a, x = getattr(r, col), getattr(e, col)
             assert abs(a - x) <= max(1e-6, 0.01 * abs(x)), (r.l_returnflag, col, a, x)
+
+
+def test_hll_sketch_union_bound(spark, sf_oracle_dir):
+    """A13: per-type sketch estimates must sit within a guard band of
+    the exact per-type distinct user count, and the 'ALL' row — built by
+    MERGING the five per-type sketch binaries, not by rescanning — must
+    agree with the exact global distinct to the same band. This pins the
+    mergeability property, which is the operator's whole point."""
+    import pyspark.sql.functions as F
+
+    from x8313_etl_spark.io import load_table
+
+    spec = registry()["a13_hll_sketch_union"]
+    got = {r.event_type: r.approx_users for r in spec.fn(spark, sf_oracle_dir).collect()}
+    ev = load_table(spark, sf_oracle_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    exact["ALL"] = ev.select(F.countDistinct("user_id")).first()[0]
+    assert set(got) == set(exact)
+    for k, e in exact.items():
+        assert abs(got[k] - e) <= max(3, 0.1 * e), (k, got[k], e)

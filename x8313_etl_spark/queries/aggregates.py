@@ -421,3 +421,36 @@ def a11_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
     )
+
+
+@register(
+    "a13_hll_sketch_union",
+    category="aggregation",
+    oracle=None,  # sketch binary is engine-specific; rows-only check —
+    # tests/test_aggregates_unit.py bounds the estimates against exact
+)
+def a13_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: MERGEABLE HLL sketches — the two-level distinct-count shape
+    a 100 TB rollup pipeline is built on. Unlike a4 (which only reads
+    out one estimate), this materializes the per-group sketch BINARIES
+    (`hll_sketch_agg`) and then merges them with `hll_union_agg` to get
+    the global distinct WITHOUT rescanning the input — the property that
+    lets hourly sketches roll up to days/months at sketch (not data)
+    cost, and lets every partial ship as a few KB regardless of input
+    size. Per-type rows come from the sketch read-out; the 'ALL' row is
+    a true sketch-merge of the five per-type states."""
+    per_type = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    per_type = per_type.persist()
+    readout = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
+    )
+    merged = per_type.select(F.hll_union_agg("sk").alias("u")).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("u").cast("bigint").alias("approx_users"),
+    )
+    return readout.unionAll(merged)

@@ -350,3 +350,166 @@ def p_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("qv").alias("q_max"),
         F.concat_ws("|", F.transform("qv", lambda x: x.cast("string"))).alias("q_csv"),
     )
+
+
+#: PII patterns — conservative ASCII subset that means the same thing to
+#: Java regex (Spark) and RE2 (DuckDB): no lookaround, no unicode props.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b555-\d{4}\b"
+
+#: deterministic synthetic PII (the fixture corpus carries none): the
+#: same expression in both engines, so redaction is oracle-checkable
+_PII_SPARK = (
+    "concat(substring(text, 1, 40), ' contact user', doc_id, "
+    "'@mail.example.com or call 555-', lpad(cast(pmod(doc_id, 10000) as string), 4, '0'), "
+    "' from 10.', pmod(doc_id, 200), '.0.', pmod(doc_id, 250))"
+)
+_PII_SQL = (
+    "concat(substring(text, 1, 40), ' contact user', doc_id, "
+    "'@mail.example.com or call 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), "
+    "' from 10.', doc_id % 200, '.0.', doc_id % 250)"
+)
+
+
+@register(
+    "p_pii_redact",
+    category="pipeline",
+    oracle=f"""
+WITH s AS (SELECT doc_id, {_PII_SQL} AS raw FROM documents),
+r AS (
+  SELECT doc_id, raw,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(raw, '{EMAIL_RE}', '<EMAIL>', 'g'),
+             '{IP_RE}', '<IP>', 'g'),
+           '{PHONE_RE}', '<PHONE>', 'g') AS redacted,
+         len(regexp_extract_all(raw, '{EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(raw, '{IP_RE}')) AS n_ips,
+         len(regexp_extract_all(raw, '{PHONE_RE}')) AS n_phones
+  FROM s
+)
+SELECT doc_id, redacted, n_emails, n_ips, n_phones FROM r
+""",
+)
+def p_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (email / IPv4 / phone → typed placeholders)
+    with per-document match counts — the compliance scrub every corpus
+    goes through before training. Pure regexp_replace / regexp_extract_all
+    projections: map-only, whole-stage-codegen, zero shuffle; at 100 TB
+    this runs at parquet-scan speed. The fixture corpus carries no real
+    PII, so a deterministic synthetic tail (same expression in both
+    engines) is appended first — the redaction logic itself is what the
+    oracle verifies. Redaction order (email → IP → phone) matters: the
+    email/IP patterns both contain digit runs a looser phone pattern
+    could claim."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.expr(_PII_SPARK)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, EMAIL_RE, "<EMAIL>"), IP_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        red.alias("redacted"),
+        F.size(F.regexp_extract_all(raw, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(IP_RE), F.lit(0))).alias("n_ips"),
+        F.size(F.regexp_extract_all(raw, F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+    )
+
+
+#: domain-mixture weights: sources keep this fraction of their docs.
+#: CASE-expressible so both engines agree without a weights table.
+_MIX_SPARK = (
+    "CASE WHEN source IN ('src0','src1','src2','src3') THEN 1.0 "
+    "WHEN source LIKE 'src1%' THEN 0.25 ELSE 0.5 END"
+)
+
+
+@register(
+    "p_domain_mix",
+    category="pipeline",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source,
+         CASE WHEN source IN ('src0','src1','src2','src3') THEN 1.0
+              WHEN source LIKE 'src1%' THEN 0.25 ELSE 0.5 END AS weight,
+         {_sql_hash_bucket("concat('mix', doc_id)", 10000)} AS bucket
+  FROM documents
+)
+SELECT doc_id, source, weight FROM w WHERE bucket < weight * 10000
+""",
+)
+def p_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted domain-mixture sampling: each source keeps a configured
+    fraction of its documents (up-/down-weighting domains is how every
+    pretraining mix is tuned). The keep decision hashes the DOC KEY
+    against the weight threshold — deterministic per document, stable
+    under repartition, no RNG state — so mixes are reproducible and
+    incremental reruns keep the same docs. Map-only filter; the salt
+    ('mix') decorrelates these buckets from p_hash_split's so the mix
+    doesn't systematically favor one split."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _hash_bucket(F.concat(F.lit("mix"), F.col("doc_id").cast("string")), 10000)
+    weight = F.expr(_MIX_SPARK)
+    return (
+        d.select("doc_id", "source", weight.alias("weight"), bucket.alias("__b"))
+        .filter(F.col("__b") < F.col("weight") * 10000)
+        .drop("__b")
+    )
+
+
+#: posting-list block: doc-id range per (term, block) group. This — not
+#: a df filter — is what bounds collect state: no group ever holds more
+#: than POSTING_BLOCK ids even for a stopword term at corpus scale.
+POSTING_BLOCK = 128
+
+
+@register(
+    "p_inverted_index",
+    category="pipeline",
+    oracle=f"""
+WITH t AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT term,
+       CAST(floor(doc_id / {POSTING_BLOCK}) AS BIGINT) AS block,
+       count(*) AS n_docs,
+       array_to_string(list_sort(list(doc_id)), '|') AS postings
+FROM t GROUP BY 1, 2
+""",
+)
+def p_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build with RANGE-BLOCKED posting lists: term →
+    sorted doc ids, segmented into fixed doc-id ranges of
+    {POSTING_BLOCK} (the Lucene-segment shape). Blocking by range —
+    rather than collecting one list per term — is the scale property:
+    per-group collect state is capped at {POSTING_BLOCK} ids even for a
+    stopword that appears in every document of a 100 TB corpus, and
+    because blocks partition the id space, a reader reconstructs the
+    full ordered posting list by concatenating blocks in block order
+    (no re-sort). One explode + distinct + groupBy sharing the
+    (term, block)-keyed shuffle; postings emitted as a '|' string
+    (driver-hashable, ADVICE r1)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    return (
+        t.groupBy(
+            "term",
+            F.floor(F.col("doc_id") / POSTING_BLOCK).cast("bigint").alias("block"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+            ).alias("postings"),
+        )
+    )

@@ -52,6 +52,7 @@ _QUERY_MODULES = [
     "corpus_q",
     "similarity_q",
     "streaming_q",
+    "timeseries_q",
     "udf_q",
 ]
 
@@ -166,6 +167,11 @@ _DEFER = (
     "t10_stream_stream_join",
     "s9_bucketed_join",
     "w9_scd2_intervals",
+    "ts_gap_fill",
+    "p_pii_redact",
+    "p_domain_mix",
+    "p_inverted_index",
+    "a13_hll_sketch_union",
     "u1_union_all",
     "u2_union_by_name",
     "u3_union_distinct",
