@@ -491,25 +491,25 @@ def p_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword that appears in every document of a 100 TB corpus, and
     because blocks partition the id space, a reader reconstructs the
     full ordered posting list by concatenating blocks in block order
-    (no re-sort). One explode + distinct + groupBy sharing the
-    (term, block)-keyed shuffle; postings emitted as a '|' string
+    (no re-sort). ONE shuffle: term-occurrence dedup rides inside the
+    aggregation as ``collect_set`` state (a separate ``.distinct()``
+    would add a second exchange on (doc_id, term) — and the set state is
+    just as block-capped); postings emitted as a '|' string
     (driver-hashable, ADVICE r1)."""
     d = load_table(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
-    ).distinct()
+    t = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     return (
         t.groupBy(
             "term",
             F.floor(F.col("doc_id") / POSTING_BLOCK).cast("bigint").alias("block"),
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("__ids"))
+        .select(
+            "term",
+            "block",
+            F.size("__ids").alias("n_docs"),
             F.concat_ws(
-                "|",
-                F.transform(
-                    F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
-                ),
+                "|", F.transform("__ids", lambda x: x.cast("string"))
             ).alias("postings"),
         )
     )

@@ -50,6 +50,7 @@ _QUERY_MODULES = [
     "llm",
     "pipeline_q",
     "corpus_q",
+    "etl_q",
     "similarity_q",
     "streaming_q",
     "timeseries_q",
@@ -172,6 +173,10 @@ _DEFER = (
     "p_domain_mix",
     "p_inverted_index",
     "a13_hll_sketch_union",
+    "m1_merge_upsert",
+    "dq_profile",
+    "s11_schema_evolution",
+    "a14_cohort_retention",
     "u1_union_all",
     "u2_union_by_name",
     "u3_union_distinct",
