@@ -19,12 +19,13 @@ documents carries ~no signal; its 10¹² candidate pairs would stall any
 cluster). The drop is opt-out (``max_bucket_size=None``) and observable
 (``log_dropped`` / ``hot_buckets``), never silent-by-design.
 
-The size join back onto ``banded`` is left to AQE: the size table has
-one row per distinct bucket (often small enough to broadcast, but NOT
-guaranteed — a mostly-singleton corpus has ~bands×n buckets, so forcing
-a broadcast would be wrong at scale), and when it does shuffle it
-shuffles on exactly the bucket columns the self-join shuffles on next,
-so the exchange is reused.
+The exclusion is a broadcast ANTI-join against the HOT bucket set only
+— never a join against the full size table (which has ~one row per
+distinct bucket and must not be assumed broadcastable). The hot set is
+provably tiny by pigeonhole: every hot bucket holds > max_bucket_size
+rows, so there are at most N / max_bucket_size of them no matter how
+adversarial the corpus — the broadcast is safe at any scale, and the
+banded table itself never takes an extra shuffle for the guard.
 """
 
 from __future__ import annotations
@@ -81,14 +82,13 @@ def guarded_band_self_join(
     registered queries stay pure plan builders.
     """
     if max_bucket_size is not None:
-        sizes = banded.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias(_SIZE_COL))
+        hot = (
+            banded.groupBy(*bucket_cols)
+            .agg(F.count(F.lit(1)).alias(_SIZE_COL))
+            .filter(F.col(_SIZE_COL) > max_bucket_size)
+        )
         if log_dropped:
-            top = (
-                sizes.filter(F.col(_SIZE_COL) > max_bucket_size)
-                .orderBy(F.col(_SIZE_COL).desc())
-                .limit(5)
-                .collect()
-            )
+            top = hot.orderBy(F.col(_SIZE_COL).desc()).limit(5).collect()
             if top:
                 logger.warning(
                     "%s: dropping buckets over max_bucket_size=%d "
@@ -98,10 +98,9 @@ def guarded_band_self_join(
                     max_bucket_size,
                     [(tuple(r[c] for c in bucket_cols), r[_SIZE_COL]) for r in top],
                 )
-        banded = (
-            banded.join(sizes, list(bucket_cols))
-            .filter(F.col(_SIZE_COL) <= max_bucket_size)
-            .drop(_SIZE_COL)
+        # ≤ N/max_bucket_size rows by pigeonhole → always broadcastable
+        banded = banded.join(
+            F.broadcast(hot.select(*bucket_cols)), list(bucket_cols), "left_anti"
         )
 
     sa, sb = out_suffixes

@@ -171,6 +171,14 @@ def near_dup_pairs(
         "doc_id",
         F.posexplode(band_keys(F.col("sig"))).alias("band", "key"),
     )
+    if cache and max_bucket_size is not None:
+        # The guard adds a third consumer of `banded` (the size agg, on
+        # top of the join's two sides). Persist the slim exploded table
+        # — (id, band, key) only, bands× rows but narrow — so band keys
+        # are computed once and the guard's extra pass reads cached rows.
+        from pyspark import StorageLevel
+
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     cand = guarded_band_self_join(
         banded,
         "doc_id",

@@ -454,3 +454,43 @@ def a13_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("u").cast("bigint").alias("approx_users"),
     )
     return readout.unionAll(merged)
+
+
+#: fixed histogram spec for o_totalprice: [0, 500k) in 25k buckets
+HIST_STEP = 25_000
+HIST_BUCKETS = 20
+
+
+@register(
+    "a15_histogram",
+    category="aggregation",
+    oracle=f"""
+SELECT LEAST(CAST(floor(o_totalprice / {HIST_STEP}) AS BIGINT), {HIST_BUCKETS - 1}) AS bucket,
+       CAST(LEAST(CAST(floor(o_totalprice / {HIST_STEP}) AS BIGINT), {HIST_BUCKETS - 1}) * {HIST_STEP} AS DOUBLE) AS lo,
+       count(*) AS cnt
+FROM orders GROUP BY 1, 2
+""",
+)
+def a15_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: fixed-width histogram — bucket = floor(x/step) clamped to
+    the top bucket. The bucketing is a pure projection, so the whole
+    histogram is one map-side-combined agg with at most {HIST_BUCKETS}
+    groups: constant-size shuffle no matter the input (the way to
+    histogram 100 TB; contrast with exact percentiles, which move every
+    value). Float division by a power-of-10 step then floor is
+    cross-engine exact for this data range."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / HIST_STEP).cast("bigint"),
+        F.lit(HIST_BUCKETS - 1),
+    )
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bucket",
+            (F.col("bucket") * HIST_STEP).cast("double").alias("lo"),
+            "cnt",
+        )
+    )

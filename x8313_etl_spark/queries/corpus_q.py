@@ -513,3 +513,63 @@ def p_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("postings"),
         )
     )
+
+
+@register(
+    "p_vocab_encode",
+    category="pipeline",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (
+  SELECT doc_id, t.i - 1 AS pos, ws[t.i] AS term
+  FROM w, LATERAL unnest(generate_series(1, len(ws))) AS t(i)
+),
+vocab AS (
+  SELECT term, count(*) AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, term) AS token_id
+  FROM tok GROUP BY term
+)
+SELECT doc_id, count(*) AS n_tokens,
+       array_to_string(list(v.token_id ORDER BY tok.pos), '|') AS ids
+FROM tok JOIN vocab v USING (term)
+GROUP BY doc_id
+""",
+)
+def p_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + corpus encoding: rank terms by frequency into
+    a dense token-id table (id 1 = most frequent; ties break
+    lexicographically, so the vocab is reproducible), then re-emit every
+    document as its token-id sequence — the tokenize-and-bin step in
+    front of training. The global row_number runs on the VOCAB, not the
+    corpus: term counts partial-aggregate map-side, and the ranked vocab
+    (vocabulary-sized, ~10⁵-10⁶ rows in practice) is the single-
+    partition window + broadcast-join side, while the corpus side stays
+    a map pass + one doc-keyed collect. Sequence order is restored from
+    posexplode positions, not collection order (which Spark does not
+    guarantee)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "token_id",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("term"))
+            ),
+        )
+    )
+    enc = tok.join(F.broadcast(vocab.select("term", "token_id")), "term")
+    return (
+        enc.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "token_id"))).alias("__seq"))
+        .select(
+            "doc_id",
+            F.size("__seq").alias("n_tokens"),
+            F.concat_ws(
+                "|", F.transform("__seq", lambda s: s.token_id.cast("string"))
+            ).alias("ids"),
+        )
+    )

@@ -96,3 +96,63 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hourly_sum").isNull().cast("int").alias("is_gap"),
         )
     )
+
+
+@register(
+    "ts_ohlc_bars",
+    category="timeseries",
+    oracle=f"""
+WITH ranked AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour_s,
+       count(*) AS n,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high, min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close
+FROM ranked GROUP BY event_type, hour
+""",
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars: per (series, hour) the first/last/extreme values — the
+    canonical financial downsample. First/last are defined by
+    (ts, event_id) order so ties are deterministic (min_by/first alone
+    are not, and would flap under retries at scale). Both row_number
+    windows share one (series, hour)-keyed sort-shuffle; the final agg
+    reuses the same partitioning, so the whole query is one exchange."""
+    ranked = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "value",
+            "ts",
+            "event_id",
+        )
+    )
+    w_a = Window.partitionBy("event_type", "hour").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("event_type", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ranked.withColumn("rn_a", F.row_number().over(w_a))
+        .withColumn("rn_d", F.row_number().over(w_d))
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        )
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+            "n", "open", "high", "low", "close",
+        )
+    )

@@ -51,6 +51,7 @@ _QUERY_MODULES = [
     "pipeline_q",
     "corpus_q",
     "etl_q",
+    "graph_q",
     "similarity_q",
     "streaming_q",
     "timeseries_q",
@@ -177,6 +178,10 @@ _DEFER = (
     "dq_profile",
     "s11_schema_evolution",
     "a14_cohort_retention",
+    "ts_ohlc_bars",
+    "a15_histogram",
+    "p_vocab_encode",
+    "g1_pagerank",
     "u1_union_all",
     "u2_union_by_name",
     "u3_union_distinct",
