@@ -237,3 +237,63 @@ def a14_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sizes), "cohort_day")
         .select("cohort", "day_offset", "active_users", "cohort_n")
     )
+
+
+@register(
+    "a16_funnel_conversion",
+    category="etl",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+)
+SELECT '1_view' AS step, count(*) AS users FROM v
+UNION ALL SELECT '2_click', count(*) FROM c
+UNION ALL SELECT '3_purchase', count(*) FROM p
+""",
+)
+def a16_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: ordered-step funnel (view → click → purchase) — users count
+    at step k only if step k's FIRST event falls strictly after their
+    step-(k-1) anchor, the semantics dashboards mean by "conversion"
+    (a click before your first view doesn't count). Three min-aggs
+    chained by user-keyed joins; every stage shuffles on user_id, so
+    the exchange is planned once and each successive stage's input only
+    shrinks. Counts are exact BIGINTs — no rate division, so the oracle
+    needs no float reasoning."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    def _count(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(label).alias("step"), "users"
+        )
+    return (
+        _count(v, "1_view")
+        .unionAll(_count(c, "2_click"))
+        .unionAll(_count(p, "3_purchase"))
+    )

@@ -177,3 +177,68 @@ def s9_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("revenue"),
     )
+
+
+#: z-order quantization: 8 bits per dimension → 16-bit z-values
+Z_BITS = 8
+Z_SIDE = 1 << Z_BITS  # 256
+PRICE_HI = 500_000.0  # o_totalprice upper bound for quantization
+
+
+def _z_interleave_sql(qx: str, qy: str) -> str:
+    return " | ".join(
+        f"(((({qx} >> {i}) & 1) << {2 * i + 1}) | ((({qy} >> {i}) & 1) << {2 * i}))"
+        for i in range(Z_BITS)
+    )
+
+
+@register(
+    "s12_zorder_layout",
+    category="sources",
+    oracle=f"""
+WITH mx AS (SELECT max(o_custkey) AS maxk FROM orders),
+q AS (
+  SELECT o_orderkey,
+         CAST(LEAST((o_custkey * {Z_SIDE}) // (mx.maxk + 1), {Z_SIDE - 1}) AS BIGINT) AS qx,
+         CAST(LEAST(CAST(floor(o_totalprice * {Z_SIDE} / {PRICE_HI}) AS BIGINT), {Z_SIDE - 1}) AS BIGINT) AS qy
+  FROM orders, mx
+)
+SELECT o_orderkey, qx, qy,
+       CAST({_z_interleave_sql('qx', 'qy')} AS BIGINT) AS z
+FROM q
+""",
+)
+def s12_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: Z-order (Morton) values over (customer, price) — the
+    multi-dimensional clustering key that makes file-level min/max
+    pruning work for BOTH dimensions at once: writing
+    ``repartitionByRange(z).sortWithinPartitions(z)`` gives every file
+    a tight z-interval, and any 2-D box predicate touches only the few
+    files whose interval intersects the box's z-ranges
+    (tests/test_zorder.py demonstrates the pruning on a real written
+    layout). The z math is pure integer bit interleaving — 8 bits per
+    dimension via shift/mask, identical in any engine; the custkey
+    quantizer takes its range from an in-plan scalar agg (no collect),
+    the price quantizer multiplies by a power of two (exact) before one
+    division. Map-only + one tiny crossed-in agg."""
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_custkey").alias("maxk"))
+    q = o.crossJoin(mx).select(
+        "o_orderkey",
+        F.least(
+            F.expr(f"(o_custkey * {Z_SIDE}) div (maxk + 1)"), F.lit(Z_SIDE - 1)
+        ).cast("bigint").alias("qx"),
+        F.least(
+            F.floor(F.col("o_totalprice") * Z_SIDE / PRICE_HI).cast("bigint"),
+            F.lit(Z_SIDE - 1),
+        ).alias("qy"),
+    )
+    z = None
+    for i in range(Z_BITS):
+        bit = F.shiftleft(
+            F.shiftright(F.col("qx"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("qy"), i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        z = bit if z is None else z.bitwiseOR(bit)
+    return q.select("o_orderkey", "qx", "qy", z.cast("bigint").alias("z"))

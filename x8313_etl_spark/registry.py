@@ -182,6 +182,8 @@ _DEFER = (
     "a15_histogram",
     "p_vocab_encode",
     "g1_pagerank",
+    "a16_funnel_conversion",
+    "s12_zorder_layout",
     "u1_union_all",
     "u2_union_by_name",
     "u3_union_distinct",
