@@ -60,3 +60,54 @@ def test_hll_sketch_union_bound(spark, sf_oracle_dir):
     assert set(got) == set(exact)
     for k, e in exact.items():
         assert abs(got[k] - e) <= max(3, 0.1 * e), (k, got[k], e)
+
+
+def test_mergeable_moments_rollup_equals_rescan(spark, sf_oracle_dir):
+    """A17's whole claim: merging (flag, status) partials up to flag
+    gives BIT-IDENTICAL variance to computing per-flag from scratch
+    (a8's var_qty over the same column). Exact ==, no tolerance."""
+    reg = registry()
+    rolled = {
+        r.l_returnflag: r.var_qty
+        for r in reg["a17_mergeable_moments"].fn(spark, sf_oracle_dir).collect()
+    }
+    direct = {
+        r.l_returnflag: r.var_qty
+        for r in reg["a8_statistical_aggs"].fn(spark, sf_oracle_dir).collect()
+    }
+    assert set(rolled) == set(direct)
+    for k in direct:
+        assert rolled[k] == direct[k], (k, rolled[k], direct[k])
+
+
+def test_sliding_dau_bound(spark, sf_oracle_dir):
+    """ts_sliding_dau: every windowed HLL estimate must sit within a
+    guard band of the exact trailing-7-day distinct count (computed here
+    by brute force per day — fine at test scale, the thing the sketch
+    exists to avoid at real scale)."""
+    import pyspark.sql.functions as F
+
+    from x8313_etl_spark.io import load_table
+
+    got = {
+        r.day_s: r.dau7
+        for r in registry()["ts_sliding_dau"].fn(spark, sf_oracle_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_oracle_dir, "events")
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .collect()
+    )
+    import collections, datetime
+
+    by_day = collections.defaultdict(set)
+    for r in ev:
+        by_day[r.day.date()].add(r.user_id)
+    for day_s, est in got.items():
+        d = datetime.date.fromisoformat(day_s)
+        exact = len(
+            set().union(
+                *[by_day.get(d - datetime.timedelta(days=k), set()) for k in range(7)]
+            )
+        )
+        assert abs(est - exact) <= max(3, 0.1 * exact), (day_s, est, exact)

@@ -494,3 +494,59 @@ def a15_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
+
+
+@register(
+    "a17_mergeable_moments",
+    category="aggregation",
+    oracle="""
+WITH part AS (
+  SELECT l_returnflag, l_linestatus,
+         COUNT(*) AS cnt,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx2
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+),
+merged AS (
+  SELECT l_returnflag,
+         SUM(cnt) AS cnt,
+         CAST(SUM(CAST(sx AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(sx2 AS DECIMAL(25,6))) AS DOUBLE) AS sx2
+  FROM part GROUP BY l_returnflag
+)
+SELECT l_returnflag, cnt,
+       (sx2 - (sx * sx) / cnt) / (cnt - 1) AS var_qty
+FROM merged
+""",
+)
+def a17_mergeable_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: MERGEABLE moment partials — variance computed by rolling up
+    fine-grained (flag, status) partial states (count, Σx, Σx²) into
+    coarse per-flag groups WITHOUT rescanning the input. This is the
+    algebraic-aggregate property a 100 TB rollup pipeline lives on
+    (hourly partials → daily → monthly at partial, not data, cost) —
+    a13 shows it for distinct counts (HLL), this shows it for exact
+    statistics. Because the partials are decimal sums of on-grid values,
+    merge-then-finalize is BIT-IDENTICAL to computing from scratch
+    (pinned against a8 by tests/test_aggregates_unit.py: rollup ≡
+    rescan, not just ≈)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    part = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum(x).alias("sx"),
+        dsum(x * x).alias("sx2"),
+    )
+    merged = part.groupBy("l_returnflag").agg(
+        F.sum("cnt").alias("cnt"),
+        dsum("sx").alias("sx"),
+        dsum("sx2").alias("sx2"),
+    )
+    cnt = F.col("cnt")
+    return merged.select(
+        "l_returnflag",
+        "cnt",
+        ((F.col("sx2") - (F.col("sx") * F.col("sx")) / cnt) / (cnt - 1)).alias(
+            "var_qty"
+        ),
+    )

@@ -156,3 +156,34 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n", "open", "high", "low", "close",
         )
     )
+
+
+@register(
+    "ts_sliding_dau",
+    category="timeseries",
+    oracle=None,  # HLL estimates are engine-specific; rows-only check —
+    # tests/test_streaming.py-style bound test pins accuracy vs exact
+)
+def ts_sliding_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day ("rolling DAU/WAU") via HLL
+    sketches MERGED OVER A WINDOW: one pass builds a per-day sketch,
+    then `hll_union_agg` over a 7-row trailing frame merges sketch
+    STATES — no re-touching of events, no 7× recount. This is the only
+    tractable shape at 100 TB: exact trailing distinct requires either a
+    7-way self-join or carrying per-day user SETS through the window;
+    sketch merge carries ~KB per day instead. The window runs over
+    day-grain rows (one per day — thousands of rows at most), so its
+    single-partition ordering is irrelevant to scale; the heavy lifting
+    (event → day sketch) is an ordinary mergeable agg.
+    tests/test_ts_unit.py bounds the estimates against exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
+        .cast("bigint")
+        .alias("dau7"),
+    )

@@ -184,6 +184,8 @@ _DEFER = (
     "g1_pagerank",
     "a16_funnel_conversion",
     "s12_zorder_layout",
+    "a17_mergeable_moments",
+    "ts_sliding_dau",
     "u1_union_all",
     "u2_union_by_name",
     "u3_union_distinct",
