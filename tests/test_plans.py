@@ -152,3 +152,59 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     j = fact.join(dim, "event_type").groupBy("event_type").count()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan, f"no DPP subquery:\n{plan[:1500]}"
+
+
+def _hash_exchanges(plan: str) -> int:
+    return sum(1 for l in plan.splitlines() if "Exchange hashpartitioning" in l)
+
+
+def test_merge_upsert_broadcasts_changes(spark, sf_dir):
+    """m1: the CDC change set must broadcast onto the base — a
+    sort-merge join here would shuffle the full base table for a <1%
+    change batch."""
+    plan = _plan(spark, "m1_merge_upsert", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_histogram_single_constant_size_shuffle(spark, sf_dir):
+    """a15: the histogram must be one map-side-combined agg — a single
+    hash exchange whose payload is at most n_buckets rows per task."""
+    plan = _plan(spark, "a15_histogram", sf_dir)
+    assert _hash_exchanges(plan) == 1, plan
+
+
+def test_gap_fill_plan_shape(spark, sf_dir):
+    """ts_gap_fill: two keyed shuffles (hourly agg, per-key bounds) and
+    a broadcast grid join; the forward-fill window must reuse the
+    existing partitioning rather than add a third exchange."""
+    plan = _plan(spark, "ts_gap_fill", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert _hash_exchanges(plan) == 2, plan
+
+
+def test_inverted_index_single_shuffle(spark, sf_dir):
+    """p_inverted_index: dedup rides the collect_set aggregation —
+    exactly one (term, block)-keyed exchange, no standalone distinct."""
+    plan = _plan(spark, "p_inverted_index", sf_dir)
+    assert _hash_exchanges(plan) == 1, plan
+
+
+def test_dq_profile_no_key_shuffle(spark, sf_dir):
+    """dq_profile: column checks are global conditional aggs and the RI
+    check is a broadcast anti-join — the only hash exchange allowed is
+    the count-distinct expand; the fact table itself must never shuffle
+    on a key for a profile pass."""
+    plan = _plan(spark, "dq_profile", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert _hash_exchanges(plan) <= 1, plan
+
+
+def test_zorder_values_map_only_plus_scalar(spark, sf_dir):
+    """s12: z-value computation is a projection; the only plan extras
+    are the crossed-in scalar max (single-partition agg + broadcast),
+    never a keyed shuffle of orders."""
+    plan = _plan(spark, "s12_zorder_layout", sf_dir)
+    assert _hash_exchanges(plan) == 0, plan
