@@ -242,3 +242,56 @@ def s12_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         z = bit if z is None else z.bitwiseOR(bit)
     return q.select("o_orderkey", "qx", "qy", z.cast("bigint").alias("z"))
+
+
+@register(
+    "s13_orc_roundtrip",
+    category="sources",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def s13_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: ORC write → read. Completes the columnar-format matrix next
+    to parquet: same pushdown/pruning machinery (ORC carries its own
+    stripe-level min/max indexes), natively supported by the JVM side
+    with zero extra dependencies. The practical role at scale is
+    interop — reading lakes that standardized on ORC (Hive lineage)
+    without a conversion hop."""
+    path = scratch(f"s13_nation_orc_{_tag(sf_dir)}")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    n.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@register(
+    "s14_text_roundtrip",
+    category="sources",
+    oracle="""
+SELECT CAST(string_split(line, '\x1f')[1] AS BIGINT) AS doc_id,
+       string_split(line, '\x1f')[2] AS lang,
+       md5(string_split(line, '\x1f')[3]) AS text_md5
+FROM (SELECT concat(doc_id, chr(31), lang, chr(31), text) AS line FROM documents)
+""",
+)
+def s14_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: raw text-file sink/source — one string column per line, the
+    lowest-common-denominator format log pipelines hand you. Fields are
+    packed with the ASCII unit separator (0x1f, absent from the corpus
+    by construction) and re-split on read; text integrity is pinned via
+    md5 like s4. The fixture corpus is single-line; at scale a real
+    ingest adds a lineSep contract for embedded newlines."""
+    path = scratch(f"s14_documents_text_{_tag(sf_dir)}")
+    d = load_table(spark, sf_dir, "documents")
+    d.select(
+        F.concat_ws("\x1f", F.col("doc_id"), F.col("lang"), F.col("text")).alias(
+            "value"
+        )
+    ).write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    parts = F.split(F.col("value"), "\x1f")
+    return back.select(
+        parts.getItem(0).cast("bigint").alias("doc_id"),
+        parts.getItem(1).alias("lang"),
+        F.md5(parts.getItem(2)).alias("text_md5"),
+    )

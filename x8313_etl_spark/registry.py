@@ -186,6 +186,8 @@ _DEFER = (
     "s12_zorder_layout",
     "a17_mergeable_moments",
     "ts_sliding_dau",
+    "s13_orc_roundtrip",
+    "s14_text_roundtrip",
     "u1_union_all",
     "u2_union_by_name",
     "u3_union_distinct",
