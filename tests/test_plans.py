@@ -208,3 +208,70 @@ def test_zorder_values_map_only_plus_scalar(spark, sf_dir):
     never a keyed shuffle of orders."""
     plan = _plan(spark, "s12_zorder_layout", sf_dir)
     assert _hash_exchanges(plan) == 0, plan
+
+
+def test_a18_bitmap_shuffles_bitmaps_not_ids(spark, sf_dir):
+    """a18: the merge stage must carry ObjectHashAggregate partials
+    (fixed-size bitmaps) with map-side partial aggregation — the whole
+    point vs a3's raw-value shuffle."""
+    plan = _plan(spark, "a18_bitmap_distinct", sf_dir)
+    # map-side partials for BOTH levels: construct before the first
+    # shuffle, or-merge before the second — so every exchange carries
+    # fixed-size bitmaps, never raw ids
+    assert "partial_bitmap_construct_agg" in plan
+    assert "partial_bitmap_or_agg" in plan
+    # column pruning: only the three needed columns reach the scan
+    schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "o_totalprice" not in schema and "o_comment" not in schema
+
+
+def test_a19_topk_single_sketch_row(spark, sf_dir):
+    """a19: global sketch agg must plan one partial-per-task → single
+    final row (SinglePartition exchange), never a raw-value shuffle."""
+    plan = _plan(spark, "a19_approx_top_k", sf_dir)
+    assert "SinglePartition" in plan
+    assert "approx_top_k" in plan
+
+
+def test_t11_session_window_single_shuffle(spark, sf_dir):
+    """t11: native session windows = ONE hashpartitioning exchange on
+    user_id; a gaps-and-islands self-join shape would show >=2."""
+    plan = _plan(spark, "t11_session_window", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_a11b_unpivot_is_map_only_expand(spark, sf_dir):
+    """a11b: unpivot must plan ONE scan + Expand, not a 3-way
+    self-union (3 scans) and not a shuffle."""
+    plan = _plan(spark, "a11b_unpivot", sf_dir)
+    assert "Expand" in plan
+    assert "Exchange" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """100 TB posture: when a selective dim filter sits across a shuffle
+    join, Spark can inject a bloom filter built from the dim side into
+    the fact scan (row-level runtime filtering) — the shuffle then
+    carries only probable matches. Thresholds are tuned for fixture
+    sizes; on a real cluster the defaults (10 GB scan-side) gate it."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+        # the probe must reach the fact side's scan stage, below the join
+        assert plan.index("might_contain") > plan.index("SortMergeJoin")
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

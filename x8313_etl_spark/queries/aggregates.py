@@ -550,3 +550,137 @@ def a17_mergeable_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_qty"
         ),
     )
+
+
+@register(
+    "a18_bitmap_distinct",
+    category="aggregation",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def a18_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18: EXACT distinct counting over bounded integer ids via
+    fixed-size bitmap segments — the third point on the distinct-count
+    spectrum after a3 (exact, shuffles raw values) and a4/a13 (HLL,
+    approximate). ``bitmap_bucket_number`` shards the id domain into
+    32768-bit segments; each (priority, month, bucket) partial is ONE
+    4 KB bitmap regardless of row count, ``bitmap_or_agg`` merges
+    partials across months without re-touching raw ids, and
+    ``bitmap_count`` + a sum over buckets finalizes. At 100 TB the
+    shuffle carries O(groups × id_domain/32768) fixed-size bitmaps
+    instead of every distinct id — mergeable like HLL but exact, the
+    engine-native pattern for user-id-shaped (dense integer) domains.
+    The month level exists to prove merge-correctness: rollup across
+    partials ≡ direct distinct (the oracle)."""
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+        F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+    )
+    part = keyed.groupBy("o_orderpriority", "month", "bucket").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    merged = part.groupBy("o_orderpriority", "bucket").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm")
+    )
+    return merged.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_customers")
+    )
+
+
+@register(
+    "a19_approx_top_k",
+    category="aggregation",
+    oracle="""
+SELECT event_type AS item,
+       CAST(COUNT(*) AS BIGINT) AS est_count
+FROM events
+GROUP BY event_type
+""",
+)
+def a19_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19: heavy hitters via the ``approx_top_k`` sketch — one
+    map-side pass with a bounded (maxItemsTracked=10000) frequency
+    sketch per partition, merged on the driver-free single-row agg,
+    then exploded to (item, est_count) rows. The exact twin holds
+    because the sketch is EXACT whenever the column's domain fits the
+    tracked capacity (event_type has 5 values at every sf, so counts
+    are exact at 100 TB too — the honest framing: this query
+    demonstrates the operator on a domain where its guarantee is
+    equality; for high-cardinality domains the result degrades to
+    approximate and belongs next to a4's rows-only convention). vs the
+    exact group-by (a1-shape): no shuffle of raw rows at all — each
+    task ships one sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    topk = ev.select(F.expr("approx_top_k(event_type, 5, 10000)").alias("tk"))
+    return topk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"),
+        F.col("e.count").cast("bigint").alias("est_count"),
+    )
+
+
+@register(
+    "a20_listagg",
+    category="aggregation",
+    oracle="""
+SELECT s_nationkey,
+       string_agg(s_name, '|' ORDER BY s_name) AS members,
+       CAST(count(*) AS BIGINT) AS n
+FROM supplier
+GROUP BY s_nationkey
+""",
+)
+def a20_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20: ordered string aggregation (``listagg ... WITHIN GROUP``,
+    SQL:2016; Spark 4 surface). The WITHIN GROUP order makes the result
+    deterministic under any partial-agg merge order — without it,
+    concat order depends on task scheduling and the query is
+    unhashable. Same shuffle shape as a7's collect_list (one exchange
+    on the group key, per-group state linear in group size), so the
+    scale note mirrors a7: fine for bounded groups (names per nation),
+    wrong for unbounded ones."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.expr("listagg(s_name, '|') WITHIN GROUP (ORDER BY s_name)").alias(
+            "members"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "a11b_unpivot",
+    category="aggregation",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'qty' AS metric, l_quantity AS val
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+""",
+)
+def a11b_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11b: unpivot/melt — wide → long, the inverse reshape of a11's
+    pivot. ``DataFrame.unpivot`` plans a single Expand over one scan
+    (each input row fans out to 3 output rows in-place, map-only, no
+    shuffle, no self-union) — the oracle says UNION ALL because that is
+    the relational definition, but executing it that way would scan the
+    table once per metric; the Expand form is the 100 TB shape.
+    Plan-shape pinned (no Exchange, single scan) in test_plans.py."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_discount").alias("discount"),
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"], ["qty", "price", "discount"], "metric", "val"
+    )

@@ -233,3 +233,51 @@ def f14_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         nested.getField("b").getField("s").alias("nested_status"),
         F.to_json(info_r).alias("info_json"),
     )
+
+
+@register(
+    "f15_variant_extract",
+    category="functions",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+       event_type AS et,
+       CAST(user_id AS BIGINT) AS uid,
+       value AS val,
+       CAST(json_extract(props, '$.missing') AS BIGINT) AS absent
+FROM events
+""",
+)
+def f15_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: the VARIANT type (Spark 4) — schema-on-read over
+    semi-structured data. ``parse_json`` ingests a JSON string ONCE
+    into the binary variant encoding; ``variant_get`` then extracts
+    typed values by path without re-parsing text per access — at 100 TB
+    this is the difference between one parse and one parse per field
+    (f12's get_json_object shape). Two sources here: the raw
+    ``props`` column (genuine parse on both engines), and a nested
+    document built in-plan via ``to_json(struct(...))`` so extraction
+    exercises multi-level paths (``$.who.uid``) whose expected values
+    the oracle reads straight from the typed columns. Missing paths
+    yield NULL via ``try_variant_get`` (SQL NULL semantics preserved,
+    not an error)."""
+    ev = load_table(spark, sf_dir, "events")
+    nested = F.parse_json(
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("et"),
+                F.struct(
+                    F.col("user_id").alias("uid"), F.col("value").alias("val")
+                ).alias("who"),
+            )
+        )
+    )
+    pv = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.try_variant_get(pv, "$.k", "bigint").alias("k_value"),
+        F.try_variant_get(nested, "$.et", "string").alias("et"),
+        F.try_variant_get(nested, "$.who.uid", "bigint").alias("uid"),
+        F.try_variant_get(nested, "$.who.val", "double").alias("val"),
+        F.try_variant_get(pv, "$.missing", "bigint").alias("absent"),
+    )

@@ -13,7 +13,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.numeric import dsum, sql_dsum
+from ..functions.numeric import dsum, dsum_cents, sql_dsum, sql_dsum_cents
 from ..io import load_table, read_csv, read_jsonl, write_parquet_partitioned
 from ..registry import register
 from ..schemas import DOCUMENTS, SUPPLIER
@@ -294,4 +294,50 @@ def s14_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.getItem(0).cast("bigint").alias("doc_id"),
         parts.getItem(1).alias("lang"),
         F.md5(parts.getItem(2)).alias("text_md5"),
+    )
+
+
+@register(
+    "s15_compaction",
+    category="sources",
+    oracle=f"""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_dsum_cents('o_totalprice')} AS sum_price
+FROM orders
+""" + "GROUP BY o_orderstatus",
+)
+def s15_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15: small-file compaction — the table-maintenance op every
+    long-lived lake needs. Stage 1 simulates the problem: orders
+    land partitioned by o_orderstatus with 16 writer tasks → up to
+    16 small files per partition (a streaming ingest's natural
+    output). Stage 2 compacts: ``repartition(status)`` routes each
+    partition's rows to one task so the rewrite emits ONE file per
+    partition (test_sources.py asserts the before/after file counts
+    on disk). At 100 TB the same rewrite runs per-partition with a
+    byte-size target (maxRecordsPerFile / AQE advisory size) instead
+    of one-task-per-partition; what matters is that the data path is
+    a shuffle-once rewrite, never a driver-side file loop. The
+    returned rollup reads the COMPACTED layout, so the oracle match
+    proves the rewrite lost/duplicated nothing."""
+    small = scratch(f"s15_small_{_tag(sf_dir)}")
+    compact = scratch(f"s15_compact_{_tag(sf_dir)}")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    o.repartition(16).write.mode("overwrite").partitionBy("o_orderstatus").parquet(
+        small
+    )
+    ingested = spark.read.parquet(small)
+    ingested.repartition(F.col("o_orderstatus")).write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(compact)
+    return (
+        spark.read.parquet(compact)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum_cents("o_totalprice").alias("sum_price"),
+        )
     )

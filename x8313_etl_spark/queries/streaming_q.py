@@ -395,3 +395,62 @@ def t10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return run_to_memory(spark, joined, "t10_ss_join", "append")
+
+
+_T11_GAP_US = 4 * 3600 * 1_000_000  # native session gap, mirrors w8's 4h
+
+
+@register(
+    "t11_session_window",
+    category="streaming",
+    oracle=f"""
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {_T11_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 4 HOUR AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM s
+GROUP BY user_id, sid
+""",
+)
+def t11_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11: the ENGINE-NATIVE session window — ``F.session_window``
+    merges per-user events into dynamic-length sessions (window end =
+    last event + 4h gap) inside a single windowed aggregate, the same
+    operator that runs incrementally under Structured Streaming with
+    watermark-driven state eviction. Executed here in batch mode (the
+    API is mode-agnostic), which is also the 100 TB backfill path: one
+    shuffle on user_id, session merging inside the agg, no self-join.
+    w8 is the hand-rolled gaps-and-islands twin; the oracle replays
+    that logic with the session-window boundary rule (a new session
+    when the gap is >= the timeout, since the previous window ends at
+    prev_ts + gap exclusive)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "4 hours"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -188,6 +188,13 @@ _DEFER = (
     "ts_sliding_dau",
     "s13_orc_roundtrip",
     "s14_text_roundtrip",
+    "a18_bitmap_distinct",
+    "a19_approx_top_k",
+    "f15_variant_extract",
+    "t11_session_window",
+    "s15_compaction",
+    "a20_listagg",
+    "a11b_unpivot",
     "u1_union_all",
     "u2_union_by_name",
     "u3_union_distinct",
