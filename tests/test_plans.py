@@ -275,3 +275,31 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_j13_plans_null_aware_broadcast_anti(spark, sf_dir):
+    """j13: NOT IN must compile to the null-aware broadcast anti join
+    (the trailing `true` is BroadcastHashJoin's isNullAware flag) —
+    a plain LeftAnti would silently change NULL semantics."""
+    plan = _plan(spark, "j13_null_aware_anti_join", sf_dir)
+    assert "LeftAnti, BuildRight, true" in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """p_decontaminate: the benchmark shingle set is fixed-size, so the
+    corpus-side probe must be a broadcast hash join — a sort-merge there
+    would shuffle every corpus shingle at 100 TB."""
+    plan = _plan(spark, "p_decontaminate", sf_dir)
+    probe = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
+    assert probe and "gram" in probe[0], plan
+    # the only permissible shuffle joins are on doc_id (the final
+    # hit-count attach) — never on the exploded gram column
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "gram" not in line, line
+
+
+def test_f16_url_parse_map_only(spark, sf_dir):
+    """f16: parse_url extraction pipelines into the scan — no exchange."""
+    plan = _plan(spark, "f16_url_parse", sf_dir)
+    assert "Exchange" not in plan, plan

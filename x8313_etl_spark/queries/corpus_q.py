@@ -573,3 +573,83 @@ def p_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ids"),
         )
     )
+
+
+#: decontamination geometry: 5-word shingles; benchmark = every 7th doc
+#: (fixture-tuned so planted near-dups straddle the corpus/benchmark
+#: split and the contaminated set is non-empty at every sf)
+DECON_NGRAM = 5
+DECON_BENCH_MOD = 7
+
+
+@register(
+    "p_decontaminate",
+    category="pipeline",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id,
+             list_distinct({_sql_ngrams('w', DECON_NGRAM)}) AS grams
+      FROM w),
+bench AS (
+  SELECT DISTINCT gram, bench_id
+  FROM (SELECT doc_id AS bench_id, unnest(grams) AS gram
+        FROM g WHERE doc_id % {DECON_BENCH_MOD} = 0)
+),
+corpus AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+hits AS (
+  SELECT c.doc_id, CAST(COUNT(DISTINCT c.gram) AS BIGINT) AS n_hit_grams
+  FROM corpus c JOIN bench b ON c.gram = b.gram AND c.doc_id <> b.bench_id
+  GROUP BY c.doc_id
+)
+SELECT g.doc_id,
+       COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+       COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
+FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+""",
+)
+def p_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the eval-integrity pass every
+    training corpus needs: flag documents sharing any exact word
+     5-gram with a held-out benchmark set (here a deterministic 1/7
+    slice of the corpus standing in for the eval suite). Shape at
+    100 TB: the benchmark side is tiny and FIXED-size (eval suites
+    don't grow with the corpus), so its distinct shingles broadcast —
+    the corpus side explodes its shingles map-only, probes the
+    broadcast hash table, and only matching (doc, gram) pairs reach
+    the one real shuffle (the per-doc distinct-hit count). No
+    corpus-vs-corpus self-join anywhere — that's l2/p_simhash_pairs'
+    problem; contamination is corpus-vs-constant. Self-matches are
+    excluded on bench doc id so benchmark members are judged only
+    against OTHER docs' shingles (a benchmark doc flagged here means
+    the corpus carries a copy of it — exactly what decontamination
+    must catch)."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "w", F.split(F.col("text"), " ")
+    )
+    g = d.select(
+        "doc_id", F.array_distinct(_ngrams(F.col("w"), DECON_NGRAM)).alias("grams")
+    )
+    bench = (
+        g.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select(F.col("doc_id").alias("bench_id"), F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    corpus = g.select("doc_id", F.explode("grams").alias("gram"))
+    hits = (
+        corpus.join(
+            F.broadcast(bench),
+            (corpus["gram"] == bench["gram"])
+            & (corpus["doc_id"] != bench["bench_id"]),
+        )
+        .groupBy(corpus["doc_id"])
+        .agg(F.count_distinct(corpus["gram"]).alias("n_hit_grams"))
+    )
+    return (
+        g.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
+            (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

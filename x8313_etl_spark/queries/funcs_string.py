@@ -191,3 +191,52 @@ def f8_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("c_name").alias("name_md5"),
         F.sha2(F.col("c_name"), 256).alias("name_sha256"),
     )
+
+
+@register(
+    "f16_url_parse",
+    category="functions",
+    oracle="""
+SELECT doc_id,
+       source || '.example.com' AS host,
+       '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS path,
+       CAST(n_chars AS VARCHAR) AS q_param,
+       'frag' AS fragment,
+       source AS domain_label
+FROM documents
+""",
+)
+def f16_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16: URL parsing — host / path / query-param / fragment
+    extraction via ``parse_url``, the building block behind per-domain
+    corpus accounting (p_domain_mix's upstream in a real crawl
+    pipeline, where the domain arrives inside a raw URL, not as a
+    column). The URL is constructed in-plan from typed columns, so the
+    oracle can state every expected component exactly without needing
+    a URL parser of its own (same technique as f15's nested VARIANT
+    paths); the Spark side must then round-trip the construction
+    through a genuine parse. ``domain_label`` re-derives the source
+    label from the parsed host (split on '.'), closing the loop
+    parse(build(x)) == x. All JVM expressions, map-only, pipelines
+    into the scan at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?q="),
+        F.col("n_chars").cast("string"),
+        F.lit("#frag"),
+    )
+    host = F.parse_url(url, F.lit("HOST"))
+    return d.select(
+        "doc_id",
+        host.alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("q_param"),
+        F.parse_url(url, F.lit("REF")).alias("fragment"),
+        F.split(host, "\\.").getItem(0).alias("domain_label"),
+    )

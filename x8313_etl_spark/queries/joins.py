@@ -414,3 +414,42 @@ def j12_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "j13_null_aware_anti_join",
+    category="joins",
+    oracle="""
+SELECT o_orderkey, o_custkey
+FROM orders
+WHERE o_custkey NOT IN (
+  SELECT nullif(c_custkey, -1) FROM customer WHERE c_acctbal < 0
+)
+""",
+)
+def j13_null_aware_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13: null-aware anti join — ``NOT IN (subquery)`` under SQL
+    three-valued logic. A plain left-anti join (j5) treats NULL keys as
+    non-matching; NOT IN must instead return UNKNOWN (drop the row) the
+    moment the subquery contains ANY null — so the physical operator
+    has to detect null build-side keys globally, not per-row. Catalyst
+    plans this as a broadcast hash join with the null-aware flag
+    (``LeftAnti, BuildRight, true`` — pinned in test_plans.py), which
+    at 100 TB is the only sane shape: the subquery side must be
+    broadcast anyway because every probe row needs to see the global
+    any-null bit; a shuffled variant cannot answer NOT IN without a
+    full replicate. The build key is typed nullable (``nullif``) so the
+    null-aware machinery is genuinely engaged at plan time; at runtime
+    the sentinel never fires, keeping the result set non-degenerate
+    (one build-side NULL would legally empty the whole output)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("j13_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("j13_customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM j13_orders
+        WHERE o_custkey NOT IN (
+          SELECT nullif(c_custkey, -1) FROM j13_customer WHERE c_acctbal < 0
+        )
+        """
+    )

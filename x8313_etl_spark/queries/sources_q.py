@@ -341,3 +341,63 @@ def s15_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum_cents("o_totalprice").alias("sum_price"),
         )
     )
+
+
+@register(
+    "s16_corrupt_records",
+    category="sources",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 10 <> 0
+GROUP BY lang
+UNION ALL
+SELECT '_corrupt', CAST(count(*) AS BIGINT), CAST(NULL AS BIGINT)
+FROM documents WHERE doc_id % 10 = 0
+""",
+)
+def s16_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16: malformed-input quarantine — PERMISSIVE JSON parsing with a
+    ``_corrupt_record`` column, the ingest posture for any feed you
+    don't control. Stage 1 manufactures the feed: every 10th document
+    serializes as a truncated JSON line (a mid-object cut, the classic
+    partial-write), the rest as valid objects. Stage 2 reads it back
+    schema-pinned in PERMISSIVE mode: bad lines land whole in the
+    quarantine column with every data field NULL, good lines parse
+    normally — one scan, no pre-validation pass, and the job NEVER
+    fails on bad rows (FAILFAST's opposite; s2 covers strictness).
+    The rollup accounts for both populations and the oracle recomputes
+    them from the clean base table via the corruption rule, proving no
+    line was lost or misclassified. At 100 TB quarantined raws are
+    written to a dead-letter sink for replay; the parse/quarantine
+    data path here is exactly that shape."""
+    path = scratch(f"s16_feed_{_tag(sf_dir)}")
+    d = load_table(spark, sf_dir, "documents")
+    line = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string"), F.lit(', "lang": "')),
+    ).otherwise(
+        F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    )
+    d.select(line.alias("value")).write.mode("overwrite").text(path)
+    parsed = (
+        spark.read.schema("doc_id bigint, lang string, n_chars bigint, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    # one scan, one agg: quarantined rows regroup under the '_corrupt'
+    # label, and their all-NULL data fields make sum_chars NULL for that
+    # group with no special-casing (also sidesteps Spark's ban on
+    # querying ONLY the corrupt column off a raw json scan)
+    label = F.when(F.col("_corrupt").isNotNull(), "_corrupt").otherwise(
+        F.col("lang")
+    )
+    return (
+        parsed.groupBy(label.alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

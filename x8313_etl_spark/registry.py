@@ -195,6 +195,10 @@ _DEFER = (
     "s15_compaction",
     "a20_listagg",
     "a11b_unpivot",
+    "j13_null_aware_anti_join",
+    "f16_url_parse",
+    "p_decontaminate",
+    "s16_corrupt_records",
     "u1_union_all",
     "u2_union_by_name",
     "u3_union_distinct",
