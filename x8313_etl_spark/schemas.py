@@ -5,9 +5,11 @@ deterministic tests, no footer-merge cost at scale, and loud failure on
 schema drift. Types verified against the real parquet footers on
 2026-08-13 (FIXTURES.md reproduces the dump commands).
 
-``events.ts`` is parquet INT64 TIMESTAMP(NANOS); with
-``spark.sql.legacy.parquet.nanosAsLong=true`` it surfaces as LongType
-(nanoseconds since epoch) and io.py converts it to TIMESTAMP_NTZ.
+``events.ts`` is parquet INT64 TIMESTAMP(isAdjustedToUTC=false, MICROS)
+as of the 2026-08-13 fixture regeneration (earlier fixture drops used
+NANOS and needed a legacy-conf long read; io.py asserts the unit at
+load so a future regeneration fails loudly instead of silently shifting
+every timestamp 1000x).
 """
 
 from __future__ import annotations
@@ -84,10 +86,9 @@ LINEITEM = _st(
     ("l_shipdate", TimestampNTZType()),
 )
 
-#: raw on-disk shape — ts is LongType nanos (see module docstring)
-EVENTS_RAW = _st(
+EVENTS = _st(
     ("event_id", LongType()),
-    ("ts", LongType()),
+    ("ts", TimestampNTZType()),
     ("user_id", LongType()),
     ("event_type", StringType()),
     ("value", DoubleType()),
@@ -116,7 +117,7 @@ SCHEMAS: dict[str, StructType] = {
     "part": PART,
     "orders": ORDERS,
     "lineitem": LINEITEM,
-    "events": EVENTS_RAW,
+    "events": EVENTS,
     "documents": DOCUMENTS,
     "embeddings": EMBEDDINGS,
 }

@@ -11,13 +11,15 @@ Two concerns live here:
    correctness* (not tuning) and must be (re)applied at runtime on any
    session before reading fixtures:
 
-   - ``spark.sql.legacy.parquet.nanosAsLong=true``: the ``events.ts``
-     column is parquet INT64 TIMESTAMP(NANOS) which Spark 4 rejects
-     outright (PARQUET_TYPE_ILLEGAL) unless read as a long. io.py then
-     converts nanos → TIMESTAMP_NTZ explicitly.
-   - ``spark.sql.session.timeZone=UTC``: makes the nanos→timestamp
-     conversion and any tz-sensitive function agree with the DuckDB
-     oracle (DuckDB treats these parquet timestamps as naive/NTZ).
+   - ``spark.sql.session.timeZone=UTC``: all fixture timestamps are
+     parquet isAdjustedToUTC=false (naive) and pinned TIMESTAMP_NTZ on
+     read, but queries that cast NTZ → LTZ (epoch math, streaming
+     windows) must agree with the DuckDB oracle, which treats naive
+     timestamps as UTC.
+
+   (Until the 2026-08-13 fixture regeneration ``events.ts`` was
+   TIMESTAMP(NANOS) and needed ``spark.sql.legacy.parquet.nanosAsLong``;
+   the fixtures are MICROS now and io.py asserts that unit at load.)
 """
 
 from __future__ import annotations
@@ -28,7 +30,6 @@ from pyspark.sql import SparkSession
 
 #: Correctness-critical runtime confs (see module docstring).
 _INVARIANT_CONFS = {
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
 }
 
