@@ -454,3 +454,89 @@ def t11_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "t12_outer_stream_join",
+    category="streaming",
+    oracle="""
+WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+           FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id AS c_user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'),
+wm AS (
+  -- global watermark = min over both input streams' max event time,
+  -- floored to ms (Spark tracks event-time stats at ms), minus delay
+  SELECT make_timestamp(
+           least((SELECT max(epoch_us(view_ts)) FROM v),
+                 (SELECT max(epoch_us(click_ts)) FROM c)) // 1000 * 1000
+         ) - INTERVAL 2 HOUR AS wm_ts
+),
+j AS (
+  SELECT v.user_id, v.view_id, v.view_ts, c.click_id,
+         CAST((epoch_us(c.click_ts) - epoch_us(v.view_ts)) // 1000000 AS BIGINT)
+           AS delay_s
+  FROM v LEFT JOIN c
+    ON v.user_id = c.c_user_id
+   AND c.click_ts > v.view_ts
+   AND c.click_ts <= v.view_ts + INTERVAL 60 MINUTE
+)
+SELECT user_id, view_id, click_id, delay_s
+FROM j, wm
+WHERE click_id IS NOT NULL
+   OR view_ts + INTERVAL 60 MINUTE < wm_ts
+""",
+)
+def t12_outer_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12: stream-stream LEFT OUTER join — T10's view→click pairing,
+    but views with no click within the hour are emitted with nulls once
+    the watermark proves no match can still arrive. This is the
+    abandonment/attrition shape (impressions without conversion) that
+    an inner join silently drops. State bounding is identical to T10
+    (two-sided watermark + time-range bound); the extra semantics is
+    eviction-time null emission: a view's state expires when the
+    watermark passes view_ts + 60min, at which point an unmatched view
+    is final. The global watermark is the MIN over both input streams'
+    watermarks (each: that stream's max event time, ms-floored, minus
+    the 2h delay) — calibrated against Spark's recentProgress, which
+    showed the naive max(ts)-2h horizon off by the view/click max-ts
+    gap. The twin emits the null row exactly when
+    view_ts + 60min < that watermark; unmatched views younger than the
+    horizon are (correctly) still pending and absent from both sides."""
+    views = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").cast("timestamp").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        on=[
+            F.col("user_id") == F.col("c_user_id"),
+            F.col("click_ts") > F.col("view_ts"),
+            F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 60 MINUTES"),
+        ],
+        how="left_outer",
+    ).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        F.expr("(unix_micros(click_ts) - unix_micros(view_ts)) div 1000000").alias(
+            "delay_s"
+        ),
+    )
+    return run_to_memory(spark, joined, "t12_outer_join", "append")

@@ -344,3 +344,46 @@ def w9_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return v.withColumn("is_current", F.col("valid_to").isNull())
+
+
+@register(
+    "w10_rolling_median",
+    category="windows",
+    oracle="""
+WITH x AS (
+  SELECT event_id, user_id,
+         row_number() OVER w AS rn,
+         median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS roll_med
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, roll_med FROM x WHERE rn >= 9
+""",
+)
+def w10_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10: rolling median — exact `percentile` over a 9-row frame per
+    user (order-statistic windows are the robust-smoothing primitive
+    mean-based W4/W5 can't express; Spark 4 allows `percentile` as a
+    window function over ROWS frames).
+
+    Determinism: the frame is pinned ODD (8 preceding + current) and
+    partial leading frames are dropped (rn >= 9), so the median is
+    always the literal middle element — no midpoint interpolation whose
+    fp rounding could differ between engines. Scale: one shuffle on
+    user_id, per-row state bounded by the 9-row frame; no driver
+    collection, same shape as W4."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.row_number().over(w).alias("rn"),
+            F.expr("percentile(value, 0.5)")
+            .over(w.rowsBetween(-8, 0))
+            .alias("roll_med"),
+        )
+        .filter(F.col("rn") >= 9)
+        .drop("rn")
+    )

@@ -128,16 +128,29 @@ def _load_all() -> None:
         importlib.import_module(f"x8313_etl_spark.queries.{mod}")
 
 
-def _priority(item: tuple[str, QuerySpec]) -> tuple[int, int, int]:
+#: The two round-2 FAILURES (fixture-regeneration timestamp bug, fixed
+#: in round 3) — pinned to the front of the streaming subgroup so their
+#: repaired results are re-verified this round rather than lingering as
+#: stale red rows while never-checked queries take the window slots.
+_R02_FAILED = ("t1_tumbling_window", "t3_session_window")
+
+
+def _priority(item: tuple[str, QuerySpec]) -> tuple[int, int, int, int]:
     """Sort key: driver-unverified first, already-green last; within the
     unverified block, streaming-category queries (slow, multi-second
     jobs that also carried round 2's only harness failures) sort after
-    batch so a time-boxed verify pass isn't starved by them.
-    Registration order breaks ties, keeping the ordering deterministic."""
+    batch so a time-boxed verify pass isn't starved by them, with the
+    repaired r02 failures leading that subgroup. Registration order
+    breaks ties, keeping the ordering deterministic."""
     name, spec = item
     idx = list(_REGISTRY).index(name)
     group = 1 if name in _DRIVER_GREEN else 0
-    return (group, int(spec.category == "streaming"), idx)
+    return (
+        group,
+        int(spec.category == "streaming"),
+        int(name not in _R02_FAILED),
+        idx,
+    )
 
 
 def registry() -> dict[str, QuerySpec]:
