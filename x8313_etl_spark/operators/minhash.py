@@ -33,7 +33,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from ..functions.text import shingles_from_words, tokens
+from ..functions.text import shingles_rx
 from .bandjoin import DEFAULT_MAX_BUCKET_SIZE, guarded_band_self_join
 
 #: Mersenne prime 2^31-1. h < P and A_i < P keep A_i*h < 2^62 (int64-safe).
@@ -71,8 +71,9 @@ def shingle_stage(
     staging through column attributes computes each exactly once per row.
     """
     return (
-        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w"))
-        .withColumn("sh", shingles_from_words(F.col("w"), k))
+        docs.select(
+            F.col(id_col).alias("doc_id"), shingles_rx(F.col(text_col), k).alias("sh")
+        )
         .withColumn("h", shingle_hashes(F.col("sh")))
         .select("doc_id", "sh", minhash_signature(F.col("h")).alias("sig"))
     )

@@ -147,8 +147,8 @@ def _priority(item: tuple[str, QuerySpec]) -> tuple[int, int, int, int]:
     group = 1 if name in _DRIVER_GREEN else 0
     return (
         group,
-        int(spec.category == "streaming"),
         int(name not in _R02_FAILED),
+        int(spec.category == "streaming"),
         idx,
     )
 
