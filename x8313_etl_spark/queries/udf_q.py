@@ -283,3 +283,56 @@ def x9_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     mm = attach_binary(d, "doc_id", "text", modality="image")
     return resize_plan(media_features(mm), max_side=32)
+
+
+@register(
+    "x10_map_in_arrow",
+    category="udf",
+    oracle="""
+SELECT l_orderkey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                 AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+GROUP BY l_orderkey
+""",
+)
+def x10_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10: mapInArrow — the zero-copy end of the Python surface.
+    Batches arrive as pyarrow RecordBatches (no pandas conversion at
+    all); per-line revenue is computed with pyarrow.compute kernels and
+    quantized to integer cents IN ARROW, then the per-order rollup runs
+    engine-side. Fixed-point quantization before the sum keeps the
+    Python leg bit-exact vs the SQL twin (same round-half-even as both
+    engines' round()); the groupBy after the map is partial-aggregated
+    as usual, so the Python hop never sees cross-partition data."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def line_revenue(batches):
+        for batch in batches:
+            price = batch.column("l_extendedprice")
+            disc = batch.column("l_discount")
+            rev = pc.multiply(price, pc.subtract(pa.scalar(1.0), disc))
+            # SQL round() is half-away-from-zero; Arrow's default is
+            # half-to-even — match the engines explicitly
+            cents = pc.cast(
+                pc.round(
+                    pc.multiply(rev, pa.scalar(100.0)),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_orderkey"), cents],
+                names=["l_orderkey", "line_cents"],
+            )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    mapped = li.mapInArrow(line_revenue, schema="l_orderkey bigint, line_cents bigint")
+    return mapped.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("line_cents").alias("revenue_cents"),
+    )

@@ -387,3 +387,55 @@ def w10_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") >= 9)
         .drop("rn")
     )
+
+
+@register(
+    "w11_cumulative_distinct",
+    category="windows",
+    oracle="""
+WITH f AS (
+  SELECT event_id, event_type, ts, user_id,
+         CASE WHEN row_number() OVER (PARTITION BY event_type, user_id
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT event_id, event_type,
+       CAST(SUM(first_seen) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_uniques
+FROM f
+""",
+)
+def w11_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11: cumulative DISTINCT count over a window — running unique
+    users per event type as of each event (the audience-growth curve).
+    COUNT(DISTINCT) isn't a window function in either engine; the
+    standard decomposition is two stacked windows: flag each (type,
+    user)'s first occurrence, then running-sum the flags. Total order
+    (ts, event_id) makes both passes deterministic. Scale: both windows
+    shuffle on event_type-rooted keys; the first pass's per-group state
+    is one row-number counter, the second's a single running sum —
+    nothing accumulates a distinct-set in memory, which is what makes
+    this shape viable where a naive collect_set-over-window OOMs."""
+    ev = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            "ts",
+            "user_id",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.sum("first_seen").over(w_run).cast("bigint").alias("cum_uniques"),
+        )
+    )
