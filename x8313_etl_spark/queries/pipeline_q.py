@@ -207,18 +207,57 @@ h AS (SELECT doc_id, {sql_word_hashes('w')} AS h FROM w),
 s AS (SELECT doc_id, {sql_simhash('h')} AS sh FROM h)"""
 
 
+def simhash_table_native(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, sh) via the ALL-NATIVE SimHash path: explode tokens,
+    hash each once per row, then one groupBy with 31 per-bit
+    ``sum(±1)`` native aggregates and a literal-mask recombination.
+    Bit-identical to the ``simhash`` HOF fold (parity-asserted in
+    tests/test_properties.py) but stays inside whole-stage codegen,
+    where the fold's bits-wide ``zip_with``/``transform`` lambdas are
+    interpreted per token. Same scale shape as minhash
+    ``signature_table``: the per-bit sums partial-combine map-side to
+    one row per doc, so the exchange carries exactly the sketch table.
+    ``split`` never yields an empty array (an empty text has one empty
+    token), so every doc keeps a row — matching the fold's semantics."""
+    from ..functions.text import _FP_MOD
+
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    h0 = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint"),
+        F.lit(_FP_MOD),
+    )
+    exh = ex.select("doc_id", h0.alias("h0"))
+    bits = range(SIMHASH_BITS)
+    aggs = [
+        F.sum(
+            F.when(F.col("h0").bitwiseAND(F.lit(1 << j).cast("bigint")) > 0, 1)
+            .otherwise(-1)
+        ).alias(f"b{j}")
+        for j in bits
+    ]
+    sh = None
+    for j in bits:
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sh = term if sh is None else sh + term
+    return exh.groupBy("doc_id").agg(*aggs).select("doc_id", sh.alias("sh"))
+
+
 def _simhash_table(spark: SparkSession, sf_dir: str):
     """(doc_id, sh) persisted — feeds both sides of the band self-join
     (and every downstream stage), so the 16-byte-per-doc table is
-    computed once instead of per plan branch."""
+    computed once instead of per plan branch. Input repartitioned
+    before the CPU-dense sketch (see queries/corpus_q.py rationale)."""
     from pyspark import StorageLevel
 
-    d = load_table(spark, sf_dir, "documents").withColumn("w", tokens(F.col("text")))
-    return (
-        d.withColumn("h", word_hashes(F.col("w")))
-        .select("doc_id", simhash(F.col("h")).alias("sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
+    return simhash_table_native(d).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _simhash_candidates(s) -> DataFrame:
