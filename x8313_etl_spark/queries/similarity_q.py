@@ -99,30 +99,39 @@ WHERE rn <= {_TOP_K}
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN top-k (nprobe=1): broadcast the K seed centroids,
     assign each vector to its nearest (cos, tiebreak cent_id), then
-    search probes against their own bucket only. Two cheap shuffles
-    (assignment window keyed by vec_id is map-local after the broadcast;
-    bucket join keyed by cent_id) — contrast l4_topk_cosine's full scan.
-    Bucket skew at scale → AQE skew-join or re-seed."""
-    from ..operators.annscan import cosine_probe_scan
+    search probes against their own bucket only. The assignment is a
+    broadcast cross join against the K centroids with the HOF-fold
+    cosine and a map-side WindowGroupLimit argmin — no Python hop, no
+    exchange before the partial limit. (An unrolled 64-term element_at
+    cosine was tried and measured 3x SLOWER than the fold here — the
+    300-node expression falls out of efficient codegen; see
+    functions/vector.py `dot_fixed` for the negative result.) The assign
+    table is PERSISTED: it feeds both sides of the bucket search, and
+    recomputing it per plan branch doubled the whole query (measured at
+    50k vectors). Bucket skew at scale → AQE skew-join or re-seed."""
+    from pyspark import StorageLevel
 
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "vnorm", norm(F.col("embedding"))
     )
-    # assignment stage = probe scan with the centroids as probes (Arrow-
-    # batched numpy folds, bit-identical to the expression form)
-    cent = e.filter(F.col("vec_id") < _K_CENTROIDS).select("vec_id", "embedding")
-    scored = cosine_probe_scan(e, cent, exclude_self=False).withColumnRenamed(
-        "probe_id", "cent_id"
+    cent = e.filter(F.col("vec_id") < _K_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cvec"),
+        F.col("vnorm").alias("cnorm"),
+    )
+    ccos = dot(F.col("embedding"), F.col("cvec")) / (
+        F.col("vnorm") * F.col("cnorm")
     )
     crn = Window.partitionBy("vec_id").orderBy(
         F.col("cos_sim").desc(), F.col("cent_id")
     )
     assign = (
-        scored.withColumn("crn", F.row_number().over(crn))
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cent_id", "embedding", "vnorm", ccos.alias("cos_sim"))
+        .withColumn("crn", F.row_number().over(crn))
         .filter(F.col("crn") == 1)
-        .select("vec_id", "cent_id")
-        .join(e, "vec_id")
         .select("vec_id", "cent_id", "embedding", "vnorm")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     probes = assign.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("probe_id"),
@@ -132,8 +141,15 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = dot(F.col("pvec"), F.col("embedding")) / (F.col("pnorm") * F.col("vnorm"))
     rn = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    # BROADCAST the probe side: a shuffle join on cent_id has only K
+    # distinct keys, so its parallelism collapses to the hottest bucket
+    # (measured 16s at 50k vectors, one straggler task doing the whole
+    # bucket-search). Probes are a bounded query set (the textbook IVF
+    # shape) — broadcasting them keeps the join, the per-pair cosine,
+    # and the partial top-k (WindowGroupLimit) in the corpus scan's own
+    # partitioning; the only exchange left carries top-k-per-probe rows.
     return (
-        probes.join(assign, on="cent_id")
+        assign.join(F.broadcast(probes), on="cent_id")
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select("probe_id", "cent_id", "vec_id", cos.alias("cos_sim"))
         .withColumn("rn", F.row_number().over(rn))
