@@ -439,3 +439,66 @@ def w11_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("first_seen").over(w_run).cast("bigint").alias("cum_uniques"),
         )
     )
+
+
+@register(
+    "w12_rolling_corr",
+    category="windows",
+    oracle="""
+WITH m AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         row_number() OVER w AS rn,
+         COUNT(*) OVER f AS cnt,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) OVER f AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) OVER f AS DOUBLE) AS sx2,
+         CAST(SUM(CAST(l_extendedprice / 100 AS DECIMAL(25,6))) OVER f AS DOUBLE) AS sy,
+         CAST(SUM(CAST((l_extendedprice / 100) * (l_extendedprice / 100) AS DECIMAL(25,6))) OVER f AS DOUBLE) AS sy2,
+         CAST(SUM(CAST(l_quantity * (l_extendedprice / 100) AS DECIMAL(25,6))) OVER f AS DOUBLE) AS sxy
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber),
+         f AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       (sxy - (sx * sy) / cnt)
+         / (sqrt(sx2 - (sx * sx) / cnt) * sqrt(sy2 - (sy * sy) / cnt))
+         AS roll_corr
+FROM m WHERE rn >= 20
+""",
+)
+def w12_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12: rolling Pearson correlation (quantity vs price, 20-row frame
+    per supplier) — the windowed form of A8's moment-sum construction.
+    Neither engine's built-in one-pass corr is cross-engine bit-stable,
+    so the five moment sums run as exact DECIMAL window aggregates over
+    the frame and the correlation is the identical double formula on
+    both sides (A8's docstring covers why the 1/100 price scaling keeps
+    the double→decimal grid deterministic). Leading partial frames are
+    dropped (rn >= 20) so every output row is a full-frame statistic.
+    Scale: one shuffle on l_suppkey shared by both windows; per-row
+    state is five running sums, not the frame's rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice") / 100
+    order = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    w = Window.partitionBy("l_suppkey").orderBy(*order)
+    f = w.rowsBetween(-19, 0)
+    dec = lambda c: F.sum(c.cast("decimal(25,6)")).over(f).cast("double")  # noqa: E731
+    m = li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(f).alias("cnt"),
+        dec(x).alias("sx"),
+        dec(x * x).alias("sx2"),
+        dec(y).alias("sy"),
+        dec(y * y).alias("sy2"),
+        dec(x * y).alias("sxy"),
+    ).filter(F.col("rn") >= 20)
+    cnt = F.col("cnt")
+    corr = (F.col("sxy") - (F.col("sx") * F.col("sy")) / cnt) / (
+        F.sqrt(F.col("sx2") - (F.col("sx") * F.col("sx")) / cnt)
+        * F.sqrt(F.col("sy2") - (F.col("sy") * F.col("sy")) / cnt)
+    )
+    return m.select("l_suppkey", "l_orderkey", "l_linenumber", corr.alias("roll_corr"))
