@@ -1,0 +1,32 @@
+"""Verify-window ordering invariants (registry._priority).
+
+The grading driver checks exactly the FIRST 50 entries of ``queries()``
+per round, so ordering is coverage policy: every window slot must go to
+a query without a green driver row while any remain, with the repaired
+round-2 failures re-verified first. These tests keep a future query
+addition from silently reshuffling the window.
+"""
+
+from __future__ import annotations
+
+from x8313_etl_spark.registry import _DRIVER_GREEN, _R02_FAILED, registry
+
+WINDOW = 50
+
+
+def test_window_is_all_unverified():
+    names = list(registry())
+    window = names[:WINDOW]
+    unverified_total = sum(1 for n in names if n not in _DRIVER_GREEN)
+    in_window = sum(1 for n in window if n not in _DRIVER_GREEN)
+    # every slot spent on an unverified query (until fewer remain than slots)
+    assert in_window == min(WINDOW, unverified_total)
+
+
+def test_repaired_failures_lead_the_window():
+    names = list(registry())
+    assert tuple(names[: len(_R02_FAILED)]) == _R02_FAILED
+
+
+def test_ordering_is_deterministic():
+    assert list(registry()) == list(registry())
