@@ -104,8 +104,25 @@ class CompareResult:
         return self.ok
 
 
+def _assert_no_decimal(spec: QuerySpec, schema) -> None:
+    """Driver-hash hygiene: decimal cells stringify differently between
+    the driver's hasher and this mirror's Decimal→float canonicalization
+    (the ONLY divergence the two r03 hash FAILs shared), so no registered
+    query may emit a DecimalType output column. Fail here, locally,
+    before the driver finds the next one."""
+    from pyspark.sql.types import DecimalType
+
+    bad = [f.name for f in schema.fields if isinstance(f.dataType, DecimalType)]
+    assert not bad, (
+        f"{spec.name}: decimal-typed output column(s) {bad} — cast to double "
+        "in the Spark select AND the oracle SQL (see p_domain_mix)"
+    )
+
+
 def compare_query(spark, spec: QuerySpec, sf_dir: str) -> CompareResult:
-    sdf = spec.fn(spark, sf_dir).toPandas()
+    out = spec.fn(spark, sf_dir)
+    _assert_no_decimal(spec, out.schema)
+    sdf = out.toPandas()
     if spec.oracle is None:
         ok = len(sdf) >= 0
         return CompareResult(spec.name, ok, f"rows-only: {len(sdf)} rows")

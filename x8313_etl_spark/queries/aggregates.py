@@ -509,13 +509,13 @@ WITH part AS (
 ),
 merged AS (
   SELECT l_returnflag,
-         SUM(cnt) AS cnt,
+         CAST(SUM(cnt) AS BIGINT) AS cnt,
          CAST(SUM(CAST(sx AS DECIMAL(25,6))) AS DOUBLE) AS sx,
          CAST(SUM(CAST(sx2 AS DECIMAL(25,6))) AS DOUBLE) AS sx2
   FROM part GROUP BY l_returnflag
 )
 SELECT l_returnflag, cnt,
-       (sx2 - (sx * sx) / cnt) / (cnt - 1) AS var_qty
+       ROUND((sx2 - (sx * sx) / cnt) / (cnt - 1), 6) AS var_qty
 FROM merged
 """,
 )
@@ -529,7 +529,12 @@ def a17_mergeable_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics. Because the partials are decimal sums of on-grid values,
     merge-then-finalize is BIT-IDENTICAL to computing from scratch
     (pinned against a8 by tests/test_aggregates_unit.py: rollup ≡
-    rescan, not just ≈)."""
+    rescan, not just ≈). Output is canonicalized for the driver hash:
+    ``var_qty`` rounded to 6dp on BOTH sides (the finalize chain
+    ``(sx2 - sx*sx/cnt)/(cnt-1)`` can differ in the last ulp across
+    engines — r03 hash mismatch) and the twin's merged ``cnt`` pinned
+    to BIGINT (DuckDB SUM(BIGINT) yields HUGEINT, which stringifies
+    differently)."""
     li = load_table(spark, sf_dir, "lineitem")
     x = F.col("l_quantity")
     part = li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -546,9 +551,9 @@ def a17_mergeable_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "l_returnflag",
         "cnt",
-        ((F.col("sx2") - (F.col("sx") * F.col("sx")) / cnt) / (cnt - 1)).alias(
-            "var_qty"
-        ),
+        F.round(
+            (F.col("sx2") - (F.col("sx") * F.col("sx")) / cnt) / (cnt - 1), 6
+        ).alias("var_qty"),
     )
 
 

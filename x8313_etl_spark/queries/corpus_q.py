@@ -451,8 +451,8 @@ _MIX_SPARK = (
     oracle=f"""
 WITH w AS (
   SELECT doc_id, source,
-         CASE WHEN source IN ('src0','src1','src2','src3') THEN 1.0
-              WHEN source LIKE 'src1%' THEN 0.25 ELSE 0.5 END AS weight,
+         CAST(CASE WHEN source IN ('src0','src1','src2','src3') THEN 1.0
+              WHEN source LIKE 'src1%' THEN 0.25 ELSE 0.5 END AS DOUBLE) AS weight,
          {_sql_hash_bucket("concat('mix', doc_id)", 10000)} AS bucket
   FROM documents
 )
@@ -467,10 +467,14 @@ def p_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     under repartition, no RNG state — so mixes are reproducible and
     incremental reruns keep the same docs. Map-only filter; the salt
     ('mix') decorrelates these buckets from p_hash_split's so the mix
-    doesn't systematically favor one split."""
+    doesn't systematically favor one split. ``weight`` is emitted as
+    DOUBLE on both sides: the CASE-over-literals otherwise types it
+    DECIMAL(3,2), and decimal cells stringify differently under the
+    driver hash (r03 mismatch — every other output column in the
+    registry is double/bigint/string for this reason)."""
     d = load_table(spark, sf_dir, "documents")
     bucket = _hash_bucket(F.concat(F.lit("mix"), F.col("doc_id").cast("string")), 10000)
-    weight = F.expr(_MIX_SPARK)
+    weight = F.expr(_MIX_SPARK).cast("double")
     return (
         d.select("doc_id", "source", weight.alias("weight"), bucket.alias("__b"))
         .filter(F.col("__b") < F.col("weight") * 10000)
