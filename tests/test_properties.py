@@ -130,3 +130,37 @@ def test_simhash_close_docs_low_hamming(spark):
     ham = lambda x, y: bin(x ^ y).count("1")
     assert ham(s[0], s[1]) <= 6
     assert ham(s[0], s[2]) >= 8
+
+
+def test_simhash_native_matches_hof_fold(spark):
+    """simhash_table_native (explode + 31 native ±1-sum aggs) must be
+    bit-identical to the HOF-fold simhash on every doc — the parity the
+    native path's docstring promises (mirrors minhash's
+    test_native_signature_matches_hof_fold). Includes the edge docs the
+    two paths could plausibly diverge on: empty text (split yields one
+    empty token — the doc must KEEP a row), a single token, and heavy
+    duplicate tokens (the ±1 vote counts multiplicity, not presence)."""
+    import pyspark.sql.functions as F
+
+    from x8313_etl_spark.functions.text import simhash, tokens, word_hashes
+    from x8313_etl_spark.queries.pipeline_q import simhash_table_native
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta thetb",
+        "",  # empty text → one empty token → still one sketch row
+        "solo",
+        "repeat repeat repeat repeat repeat distinct",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    ref = (
+        docs.withColumn("w", tokens(F.col("text")))
+        .withColumn("h", word_hashes(F.col("w")))
+        .select("doc_id", simhash(F.col("h")).alias("sh_ref"))
+    )
+    fast = simhash_table_native(docs)
+    joined = ref.join(fast, "doc_id", "full")
+    assert joined.filter("sh_ref IS NULL OR sh IS NULL").count() == 0
+    assert joined.filter("sh_ref != sh").count() == 0

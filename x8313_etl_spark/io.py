@@ -22,21 +22,31 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
-#: (sf_dir, name) pairs whose on-disk timestamp unit has been verified.
-_TS_UNIT_CHECKED: set[tuple[str, str]] = set()
+#: (sf_dir, name, mtime_ns, size) keys whose on-disk timestamp unit has
+#: been verified. Keying on the file's stat — not just the path — means
+#: an IN-PLACE fixture regeneration (the exact hazard this guard
+#: targets; the driver rewrites /root/testdata between rounds) re-checks
+#: instead of silently trusting a stale verdict if the process survives
+#: the swap.
+_TS_UNIT_CHECKED: set[tuple[str, str, int, int]] = set()
 
 
 def _assert_us_timestamps(sf_dir: str, name: str) -> None:
     """Fixture regenerations have switched ``events.ts`` between NANOS
     and MICROS across rounds. A unit change under a pinned
     TimestampNTZType read would silently shift every value 1000x, so
-    fail loudly here instead (one cached footer read per table/dir)."""
-    key = (sf_dir, name)
+    fail loudly here instead (one cached footer read per table/dir,
+    re-done whenever the file's mtime/size changes)."""
+    import os
+
+    path = table_path(sf_dir, name)
+    st = os.stat(path)
+    key = (sf_dir, name, st.st_mtime_ns, st.st_size)
     if key in _TS_UNIT_CHECKED:
         return
     import pyarrow.parquet as pq
 
-    schema = pq.ParquetFile(table_path(sf_dir, name)).schema_arrow
+    schema = pq.ParquetFile(path).schema_arrow
     import pyarrow as pa
 
     for field in schema:

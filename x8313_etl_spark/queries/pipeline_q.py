@@ -250,14 +250,16 @@ def simhash_table_native(docs, id_col: str = "doc_id", text_col: str = "text"):
 def _simhash_table(spark: SparkSession, sf_dir: str):
     """(doc_id, sh) persisted — feeds both sides of the band self-join
     (and every downstream stage), so the 16-byte-per-doc table is
-    computed once instead of per plan branch. Input repartitioned
-    before the CPU-dense sketch (see queries/corpus_q.py rationale)."""
-    from pyspark import StorageLevel
+    computed once instead of per plan branch; keyed swap-pool
+    (operators/cachepool.py) releases the previous invocation's cache.
+    Input repartitioned before the CPU-dense sketch (see
+    queries/corpus_q.py rationale)."""
+    from ..operators.cachepool import swap_persist
 
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return simhash_table_native(d).persist(StorageLevel.MEMORY_AND_DISK)
+    return swap_persist("pipeline.simhash_table", simhash_table_native(d))
 
 
 def _simhash_candidates(s) -> DataFrame:

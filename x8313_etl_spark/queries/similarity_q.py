@@ -108,8 +108,11 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/vector.py `dot_fixed` for the negative result.) The assign
     table is PERSISTED: it feeds both sides of the bucket search, and
     recomputing it per plan branch doubled the whole query (measured at
-    50k vectors). Bucket skew at scale → AQE skew-join or re-seed."""
-    from pyspark import StorageLevel
+    50k vectors) — via the keyed swap-pool (operators/cachepool.py) so
+    repeat invocations release the previous run's cache instead of
+    leaking one per call. Bucket skew at scale → AQE skew-join or
+    re-seed."""
+    from ..operators.cachepool import swap_persist
 
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "vnorm", norm(F.col("embedding"))
@@ -125,13 +128,13 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     crn = Window.partitionBy("vec_id").orderBy(
         F.col("cos_sim").desc(), F.col("cent_id")
     )
-    assign = (
+    assign = swap_persist(
+        "sim_ivf_topk.assign",
         e.crossJoin(F.broadcast(cent))
         .select("vec_id", "cent_id", "embedding", "vnorm", ccos.alias("cos_sim"))
         .withColumn("crn", F.row_number().over(crn))
         .filter(F.col("crn") == 1)
-        .select("vec_id", "cent_id", "embedding", "vnorm")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select("vec_id", "cent_id", "embedding", "vnorm"),
     )
     probes = assign.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("probe_id"),

@@ -303,8 +303,8 @@ def x10_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     all); per-line revenue is computed with pyarrow.compute kernels and
     quantized to integer cents IN ARROW, then the per-order rollup runs
     engine-side. Fixed-point quantization before the sum keeps the
-    Python leg bit-exact vs the SQL twin (same round-half-even as both
-    engines' round()); the groupBy after the map is partial-aggregated
+    Python leg bit-exact vs the SQL twin (same round-half-away-from-zero
+    as both engines' round()); the groupBy after the map is partial-aggregated
     as usual, so the Python hop never sees cross-partition data."""
     import pyarrow as pa
     import pyarrow.compute as pc
