@@ -180,6 +180,154 @@ def test_t7_live_state_server(spark, sf_dir):
     assert rows
 
 
+
+# ---------------------------------------------------------------------------
+# T12 watermark-model pin (VERDICT r03 §Next-round #4). The t12 oracle
+# twin reproduces Spark's outer-join null-emission horizon analytically:
+#     wm = floor_ms(min(max view_ts, max click_ts)) - 2h delay
+#     null row emitted  iff  view_ts + 60min + 1ms <= wm
+# (the 1 ms term is Spark's conservative state-eviction margin — found
+# EMPIRICALLY by this probe: views 1 µs and 999 µs below the naive
+# horizon are NOT emitted, exactly 1 ms below is). That model is the
+# most fragile oracle in the repo — a Spark change to watermark
+# bookkeeping (the ms floor of event-time stats, the 1 ms margin, or
+# the <= at the boundary) would break it SILENTLY at the driver. This
+# fixture straddles the boundary at µs grain so any such change fails
+# loudly here.
+# ---------------------------------------------------------------------------
+
+
+def _t12_events_dir():
+    """events.parquet micro-fixture (full pinned events schema).
+
+    Stream maxima: views 14:00:00, clicks 13:00:00.000500 → min is the
+    click max, ms-floored to 13:00:00.000 → watermark 11:00:00.000.
+      user 1: view 09:59:59.999000 → +60min+1ms == wm → null row (the
+                <= boundary, exactly at the 1 ms eviction margin)
+      user 2: view 09:59:59.999001 → +60min is 999 µs below wm, inside
+                the eviction margin → pending. ALSO proves the ms
+                FLOOR: without it wm would be 11:00:00.000500, the
+                margin 1499 µs, and this view would be emitted
+      user 3: view 12:30:00 + click 13:00:00.000500 → matched, 1800 s
+      user 4: view 14:00:00 (the view-side max) → young, pending
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="x8313-t12-fix-")
+    us = lambda h, m, s, u=0: ((h * 60 + m) * 60 + s) * 1_000_000 + u
+    base = 1704067200_000_000  # 2024-01-01T00:00:00 in epoch µs
+    rows = [
+        (0, us(9, 59, 59, 999_000), 1, "view"),
+        (1, us(9, 59, 59, 999_001), 2, "view"),
+        (2, us(12, 30, 0), 3, "view"),
+        (3, us(13, 0, 0, 500), 3, "click"),
+        (4, us(14, 0, 0), 4, "view"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([base + r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, f"{d}/events.parquet")
+    return d
+
+
+def test_t12_watermark_null_emission_boundary(spark):
+    """Spark's own t12 output on the boundary fixture must equal the
+    hand-derived expectation AND the DuckDB twin's output — pinning the
+    analytic watermark model to the engine's actual behavior."""
+    import duckdb
+
+    from x8313_etl_spark.registry import registry
+
+    d = _t12_events_dir()
+    spec = registry()["t12_outer_stream_join"]
+    got = sorted(
+        (r.user_id, r.view_id, r.click_id, r.delay_s)
+        for r in spec.fn(spark, d).collect()
+    )
+    expected = [
+        (1, 0, None, None),  # exactly at the 1 ms eviction margin → emitted
+        (3, 2, 3, 1800),  # matched within the hour
+    ]
+    assert got == expected, got
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+        )
+        oracle = sorted(
+            (int(u), int(v), None if c is None else int(c), None if s is None else int(s))
+            for u, v, c, s in con.execute(spec.oracle).fetchall()
+        )
+    finally:
+        con.close()
+    assert oracle == expected, oracle
+
+
+def test_t12_reported_watermark_is_ms_floored_min(spark):
+    """The final progress-reported watermark must be exactly
+    floor_ms(min of the two stream maxima) - 2h — the constant the twin
+    derives analytically. recentProgress is only reachable from the
+    query handle, so this test drives writeStream itself instead of
+    run_to_memory."""
+    import json
+
+    from x8313_etl_spark.io import stream_events
+
+    d = _t12_events_dir()
+    views = (
+        stream_events(spark, d)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").cast("timestamp").alias("view_ts"))
+        .withWatermark("view_ts", "2 hours")
+    )
+    clicks = (
+        stream_events(spark, d)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        on=[
+            F.col("user_id") == F.col("c_user_id"),
+            F.col("click_ts") > F.col("view_ts"),
+            F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 60 MINUTES"),
+        ],
+        how="left_outer",
+    )
+    ckpt = tempfile.mkdtemp(prefix="x8313-ckpt-t12wm-")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t12_wm_probe")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    wms = [
+        json.loads(p if isinstance(p, str) else p.json)["eventTime"]["watermark"]
+        for p in q.recentProgress
+        if "watermark" in (json.loads(p if isinstance(p, str) else p.json)["eventTime"])
+    ]
+    # min(max view 14:00:00, max click 13:00:00.000500) ms-floored is
+    # 13:00:00.000 → final watermark 11:00:00 (the .000500 µs dropped)
+    assert wms, "no watermark reported in progress"
+    assert wms[-1] == "2024-01-01T11:00:00.000Z", wms
+
+
 def test_t7b_apws_state_survives_batches(spark, two_batch_dir):
     """applyInPandasWithState must carry GroupState across microbatches:
     with maxFilesPerTrigger=1 the 3-file fixture forces 3 batches, and

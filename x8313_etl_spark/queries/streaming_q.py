@@ -484,7 +484,11 @@ j AS (
 SELECT user_id, view_id, click_id, delay_s
 FROM j, wm
 WHERE click_id IS NOT NULL
-   OR view_ts + INTERVAL 60 MINUTE < wm_ts
+   -- state eviction carries a conservative 1 ms margin (measured:
+   -- tests/test_streaming.py boundary probe): a view's null row is
+   -- emitted iff view_ts + 60min + 1ms <= watermark, NOT iff
+   -- view_ts + 60min < watermark
+   OR view_ts + INTERVAL 60 MINUTE + INTERVAL 1 MILLISECOND <= wm_ts
 """,
 )
 def t12_outer_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,8 +505,12 @@ def t12_outer_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 2h delay) — calibrated against Spark's recentProgress, which
     showed the naive max(ts)-2h horizon off by the view/click max-ts
     gap. The twin emits the null row exactly when
-    view_ts + 60min < that watermark; unmatched views younger than the
-    horizon are (correctly) still pending and absent from both sides."""
+    view_ts + 60min + 1ms <= that watermark (state eviction keeps a
+    conservative 1 ms margin — measured at the µs scale by the boundary
+    probe in tests/test_streaming.py, which pins both the ms-floor and
+    the margin against recentProgress); unmatched views younger than
+    the horizon are (correctly) still pending and absent from both
+    sides."""
     views = (
         stream_events(spark, sf_dir)
         .filter(F.col("event_type") == "view")
