@@ -199,6 +199,7 @@ def near_dup_pairs(
     cache: bool = True,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     log_dropped: bool = False,
+    on_hot: str = "drop",
 ) -> DataFrame:
     """LSH candidates + exact-Jaccard verify → (doc_a, doc_b, jaccard).
 
@@ -213,6 +214,13 @@ def near_dup_pairs(
     DuckDB twin's exact band predicate still holds on any test corpus,
     while a real boilerplate-heavy crawl gets the bound. ``None``
     disables the guard (exact band semantics unconditionally).
+
+    ``on_hot`` picks what happens to buckets over the cap: ``"drop"``
+    (bounded work, reduced recall — the default) or ``"salt"``
+    (recall-complete: hot buckets are block-paired through
+    ``salted_band_self_join``, spreading their B² candidates over
+    parallel tasks instead of one straggler; full recall IS B² work,
+    so this bounds latency, not volume).
 
     The sketch feeds four plan branches (both sides of the band join,
     both sides of the verify join); ``cache`` persists the sig and sh
@@ -249,14 +257,26 @@ def near_dup_pairs(
         from pyspark import StorageLevel
 
         banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    cand = guarded_band_self_join(
-        banded,
-        "doc_id",
-        ("band", "key"),
-        max_bucket_size=max_bucket_size,
-        log_dropped=log_dropped,
-        log_label="minhash-lsh",
-    )
+    if on_hot not in ("drop", "salt"):
+        raise ValueError(f"on_hot must be 'drop' or 'salt', got {on_hot!r}")
+    if on_hot == "salt" and max_bucket_size is not None:
+        from .bandjoin import salted_band_self_join
+
+        cand = salted_band_self_join(
+            banded,
+            "doc_id",
+            ("band", "key"),
+            max_bucket_size=max_bucket_size,
+        )
+    else:
+        cand = guarded_band_self_join(
+            banded,
+            "doc_id",
+            ("band", "key"),
+            max_bucket_size=max_bucket_size,
+            log_dropped=log_dropped,
+            log_label="minhash-lsh",
+        )
 
     jac = (
         F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
