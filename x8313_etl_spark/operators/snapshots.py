@@ -1,0 +1,161 @@
+"""Snapshot-versioned parquet tables: MERGE + time travel without a
+lakehouse format (SURVEY.md §2 "etl" family; VERDICT r03 named the
+missing table format the largest real-user capability gap — this is
+the Spark-first subset of it that needs no external dependency).
+
+Layout (the Delta/Iceberg idea at directory granularity):
+
+    <base>/
+      _manifest/00000000.json   {"version":0,"dirs":["d-<uuid>"],...}
+      _manifest/00000001.json
+      d-<uuid>/part-*.parquet   (immutable once committed)
+
+A commit writes its data directory FIRST, then the manifest entry —
+readers only see directories a manifest names, so a torn write is
+invisible (the classic write-ahead-manifest protocol). ``append``
+commits reference the parent's dirs plus the new delta dir (no
+rewrite); ``overwrite`` commits reference only the new dir.
+Time travel = pick the manifest with the requested version (or the
+largest commit timestamp ≤ the requested one) and read exactly the
+dirs it names — old versions stay readable until explicitly vacuumed.
+
+Scale notes: the manifest is O(commits) tiny JSON files read on the
+driver once per read — the data path is an ordinary multi-dir
+vectorized parquet scan with full predicate pushdown / partition
+parallelism. MERGE is one keyed shuffle (or an AQE broadcast when the
+change set is the usual <1% of base) + a full rewrite of the base into
+the next version dir — copy-on-write semantics, the same cost model as
+Delta's non-deletion-vector MERGE.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST = "_manifest"
+
+
+class SnapshotTable:
+    """A versioned parquet table rooted at ``base`` (local or any
+    Hadoop-visible path when given a path the cluster shares)."""
+
+    def __init__(self, base: str):
+        self.base = base.rstrip("/")
+        os.makedirs(os.path.join(self.base, _MANIFEST), exist_ok=True)
+
+    # -- manifest bookkeeping (driver-side, O(commits) tiny files) ----
+
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.base, _MANIFEST)
+
+    def versions(self) -> list[dict]:
+        out = []
+        for f in sorted(os.listdir(self._manifest_dir())):
+            if f.endswith(".json"):
+                with open(os.path.join(self._manifest_dir(), f)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1]["version"] if vs else None
+
+    def _resolve(self, version: int | None, as_of_ts: float | None) -> dict:
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"snapshot table {self.base} has no commits")
+        if version is not None:
+            for m in vs:
+                if m["version"] == version:
+                    return m
+            raise KeyError(f"version {version} not in {self.base}")
+        if as_of_ts is not None:
+            eligible = [m for m in vs if m["commit_ts"] <= as_of_ts]
+            if not eligible:
+                raise KeyError(f"no version at or before ts={as_of_ts}")
+            return eligible[-1]
+        return vs[-1]
+
+    # -- commits ------------------------------------------------------
+
+    def commit(self, df: DataFrame, mode: str = "overwrite") -> int:
+        """Write ``df`` as the next version. ``append`` keeps the
+        parent's data dirs and adds one delta dir; ``overwrite``
+        replaces the dir set. Data lands before the manifest entry, so
+        concurrent readers never see a half-written version."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        prev = self.versions()
+        version = prev[-1]["version"] + 1 if prev else 0
+        ddir = f"d-{uuid.uuid4().hex[:12]}"
+        df.write.mode("errorifexists").parquet(os.path.join(self.base, ddir))
+        dirs = [ddir]
+        if mode == "append" and prev:
+            dirs = prev[-1]["dirs"] + dirs
+        manifest = {
+            "version": version,
+            "dirs": dirs,
+            "mode": mode,
+            "commit_ts": time.time(),
+        }
+        tmp = os.path.join(self._manifest_dir(), f".{version:08d}.json.tmp")
+        final = os.path.join(self._manifest_dir(), f"{version:08d}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, final)  # atomic on POSIX — the commit point
+        return version
+
+    # -- reads --------------------------------------------------------
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        as_of_ts: float | None = None,
+    ) -> DataFrame:
+        """Latest version, a specific ``version``, or time travel to the
+        last version committed at or before ``as_of_ts``."""
+        m = self._resolve(version, as_of_ts)
+        paths = [os.path.join(self.base, d) for d in m["dirs"]]
+        return spark.read.parquet(*paths)
+
+    # -- MERGE (CDC apply) --------------------------------------------
+
+    def apply_cdc(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        on: str,
+        op_col: str = "cdc_op",
+    ) -> int:
+        """MERGE-statement semantics producing a new version from a CDC
+        change set: ``changes`` carries the target's schema plus
+        ``op_col`` ∈ {'U','D'} — 'D' removes the key, 'U' upserts the
+        full row (update when the key exists, insert when it doesn't).
+        One full-outer join on the key (AQE broadcasts the usual small
+        change batch), then a copy-on-write overwrite commit — the same
+        cost model as a lakehouse MERGE without deletion vectors."""
+        import pyspark.sql.functions as F
+
+        target = self.read(spark)
+        data_cols = [c for c in target.columns if c != on]
+        src = changes.select(
+            F.col(on).alias("__k"),
+            F.col(op_col).alias("__op"),
+            *[F.col(c).alias(f"__s_{c}") for c in data_cols],
+        )
+        joined = target.join(src, target[on] == src["__k"], "full_outer")
+        upsert = F.col("__op") == "U"
+        out = joined.filter(F.col("__op").isNull() | upsert).select(
+            F.coalesce(target[on], F.col("__k")).alias(on),
+            *[
+                F.when(upsert, F.col(f"__s_{c}")).otherwise(target[c]).alias(c)
+                for c in data_cols
+            ],
+        )
+        return self.commit(out, mode="overwrite")

@@ -158,6 +158,85 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m2_time_travel",
+    category="etl",
+    oracle=f"""
+WITH base AS (SELECT c_custkey, c_acctbal FROM customer),
+v1 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % {UPD_MOD} = 0 THEN c_acctbal + 100.0
+              ELSE c_acctbal END AS bal
+  FROM base WHERE c_custkey % {DEL_MOD} != 0
+  UNION ALL
+  SELECT c_custkey + {INS_KEY_OFFSET}, 0.0 FROM base WHERE c_custkey % {INS_MOD} = 0
+)
+SELECT coalesce(b.c_custkey, v1.c_custkey) AS c_custkey,
+       CAST(b.c_acctbal AS DOUBLE) AS bal_v0,
+       CAST(v1.bal AS DOUBLE) AS bal_v1,
+       CASE WHEN v1.c_custkey IS NULL THEN 'deleted'
+            WHEN b.c_custkey IS NULL THEN 'inserted'
+            WHEN v1.bal != b.c_acctbal THEN 'updated'
+            ELSE 'kept' END AS op
+FROM base b FULL JOIN v1 ON b.c_custkey = v1.c_custkey
+""",
+)
+def m2_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: snapshot-versioned table with MERGE + TIME TRAVEL
+    (operators/snapshots.py) — the lakehouse capability VERDICT r03
+    named as the largest real-user gap, expressed without an external
+    table format: commits write data dirs first and an atomic manifest
+    entry second (write-ahead-manifest, so torn writes are invisible),
+    ``append`` commits reference parent dirs without rewriting, and
+    time travel reads exactly the dir set an old manifest names. The
+    query commits the customer base as v0, applies m1's deterministic
+    CDC change set through ``apply_cdc`` (one full-outer key join,
+    copy-on-write commit → v1), then DIFFS v1 against the
+    time-traveled v0 read — the audit query snapshots exist for. The
+    twin recomputes both versions relationally; only the merge/travel
+    machinery differs."""
+    import shutil
+
+    from ..operators.snapshots import SnapshotTable
+
+    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    path = scratch(f"m2_snapshots_{_tag(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)  # deterministic rebuild per call
+    tbl = SnapshotTable(path)
+    tbl.commit(base)  # v0
+    changes = base.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % DEL_MOD == 0, F.lit("D"))
+        .when(F.col("c_custkey") % UPD_MOD == 0, F.lit("U"))
+        .alias("cdc_op"),
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal_new"),
+    ).filter(F.col("cdc_op").isNotNull()).select(
+        "c_custkey", F.col("c_acctbal_new").alias("c_acctbal"), "cdc_op"
+    )
+    inserts = base.filter(F.col("c_custkey") % INS_MOD == 0).select(
+        (F.col("c_custkey") + INS_KEY_OFFSET).alias("c_custkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("U").alias("cdc_op"),
+    )
+    tbl.apply_cdc(spark, changes.unionByName(inserts), "c_custkey")  # v1
+    v0 = tbl.read(spark, version=0).select(
+        F.col("c_custkey").alias("k0"), F.col("c_acctbal").alias("bal_v0")
+    )
+    v1 = tbl.read(spark).select(
+        F.col("c_custkey").alias("k1"), F.col("c_acctbal").alias("bal_v1")
+    )
+    return v0.join(v1, v0.k0 == v1.k1, "full_outer").select(
+        F.coalesce(F.col("k0"), F.col("k1")).alias("c_custkey"),
+        F.col("bal_v0").cast("double"),
+        F.col("bal_v1").cast("double"),
+        F.when(F.col("k1").isNull(), F.lit("deleted"))
+        .when(F.col("k0").isNull(), F.lit("inserted"))
+        .when(F.col("bal_v1") != F.col("bal_v0"), F.lit("updated"))
+        .otherwise(F.lit("kept"))
+        .alias("op"),
+    )
+
+
+@register(
     "s11_schema_evolution",
     category="sources",
     oracle=f"""
