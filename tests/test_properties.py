@@ -132,6 +132,47 @@ def test_simhash_close_docs_low_hamming(spark):
     assert ham(s[0], s[2]) >= 8
 
 
+def test_sequence_pack_segments_tile_the_token_stream(spark):
+    """p_sequence_pack invariants on a crafted corpus: per-doc segments
+    concatenate to exactly [0, n_tok); per-window coverage is exactly
+    PACK_CTX tokens for every window except each source's last; a doc
+    longer than the context straddles multiple windows."""
+    import pyspark.sql.functions as F
+
+    from x8313_etl_spark.queries.corpus_q import PACK_CTX
+
+    # doc 2 is 700 tokens (> PACK_CTX=512) → must straddle
+    texts = {0: 100, 1: 500, 2: 700, 3: 3}
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * n), "s") for i, n in texts.items()],
+        "doc_id long, text string, source string",
+    ).select("doc_id", "text", F.col("source"))
+    docs.createOrReplaceTempView("__packdocs")
+
+    import x8313_etl_spark.queries.corpus_q as cq
+    from unittest import mock
+
+    with mock.patch.object(cq, "load_table", lambda s, d, n: docs):
+        segs = cq.p_sequence_pack(spark, "ignored").collect()
+
+    by_doc = {}
+    for r in segs:
+        by_doc.setdefault(r.doc_id, []).append((r.window_id, r.seg_start, r.seg_end))
+    # per-doc tiling
+    for doc, n in texts.items():
+        spans = sorted(by_doc[doc], key=lambda x: x[1])
+        assert spans[0][1] == 0 and spans[-1][2] == n
+        assert all(a[2] == b[1] for a, b in zip(spans, spans[1:]))
+    assert len(by_doc[2]) >= 2  # the 700-token doc straddles
+    # per-window density: every window but the last holds PACK_CTX tokens
+    per_win = {}
+    for r in segs:
+        per_win[r.window_id] = per_win.get(r.window_id, 0) + (r.seg_end - r.seg_start)
+    last = max(per_win)
+    assert all(v == PACK_CTX for w, v in per_win.items() if w != last)
+    assert sum(per_win.values()) == sum(texts.values())
+
+
 def test_simhash_native_matches_hof_fold(spark):
     """simhash_table_native (explode + 31 native ±1-sum aggs) must be
     bit-identical to the HOF-fold simhash on every doc — the parity the

@@ -304,6 +304,94 @@ def p_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: training context-window length for sequence packing (tokens)
+PACK_CTX = 512
+
+
+@register(
+    "p_sequence_pack",
+    category="pipeline",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+  FROM t
+)
+SELECT doc_id, source, CAST(u.w AS BIGINT) AS window_id,
+       CAST(greatest(tok_before, u.w * {PACK_CTX}) - tok_before AS BIGINT) AS seg_start,
+       CAST(least(tok_before + n_tok, (u.w + 1) * {PACK_CTX}) - tok_before AS BIGINT) AS seg_end
+FROM c, unnest(range(tok_before // {PACK_CTX},
+                     (tok_before + n_tok - 1) // {PACK_CTX} + 1)) AS u(w)
+""",
+)
+def p_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence PACKING for a pretraining dataloader: within each
+    source, documents are concatenated in doc_id order and cut into
+    fixed {PACK_CTX}-token context windows; a document that straddles a
+    boundary emits one SEGMENT per window it touches, with the
+    [seg_start, seg_end) token span to take from that doc. This is the
+    step past p_token_shards (which only assigns whole docs to
+    shards) — the output is directly materializable into dense training
+    batches with zero cross-window waste. Plan shape: the same single
+    prefix-sum window shuffle as sharding, then a MAP-ONLY
+    explode(sequence(first_window, last_window)) — a doc adds one row
+    per spanned window, so output volume is Σ tokens / {PACK_CTX} + one
+    row per doc, linear at 100 TB. Deterministic: token order is
+    (source, doc_id), no RNG."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "tok_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("bigint")
+    )
+    first_w = F.floor(F.col("tok_before") / PACK_CTX)
+    last_w = F.floor((F.col("tok_before") + F.col("n_tok") - 1) / PACK_CTX)
+    return (
+        c.select(
+            "doc_id",
+            "source",
+            "tok_before",
+            "n_tok",
+            F.explode(F.sequence(first_w, last_w)).alias("window_id"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("window_id").cast("bigint"),
+            (
+                F.greatest(F.col("tok_before"), F.col("window_id") * PACK_CTX)
+                - F.col("tok_before")
+            )
+            .cast("bigint")
+            .alias("seg_start"),
+            (
+                F.least(
+                    F.col("tok_before") + F.col("n_tok"),
+                    (F.col("window_id") + 1) * PACK_CTX,
+                )
+                - F.col("tok_before")
+            )
+            .cast("bigint")
+            .alias("seg_end"),
+        )
+    )
+
+
 @register(
     "p_quantize_embeddings",
     category="pipeline",
