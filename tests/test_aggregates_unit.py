@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from x8313_etl_spark.registry import registry
 
 
@@ -65,7 +67,10 @@ def test_hll_sketch_union_bound(spark, sf_oracle_dir):
 def test_mergeable_moments_rollup_equals_rescan(spark, sf_oracle_dir):
     """A17's whole claim: merging (flag, status) partials up to flag
     gives BIT-IDENTICAL variance to computing per-flag from scratch
-    (a8's var_qty over the same column). Exact ==, no tolerance."""
+    (a8's var_qty over the same column). Exact ==, no tolerance —
+    compared at a17's registered 6dp output quantization (added for
+    driver-hash canonicalization in r4), applied to the rescan side by
+    Spark's own round() so the quantizer itself is identical too."""
     reg = registry()
     rolled = {
         r.l_returnflag: r.var_qty
@@ -73,7 +78,10 @@ def test_mergeable_moments_rollup_equals_rescan(spark, sf_oracle_dir):
     }
     direct = {
         r.l_returnflag: r.var_qty
-        for r in reg["a8_statistical_aggs"].fn(spark, sf_oracle_dir).collect()
+        for r in reg["a8_statistical_aggs"]
+        .fn(spark, sf_oracle_dir)
+        .select("l_returnflag", F.round("var_qty", 6).alias("var_qty"))
+        .collect()
     }
     assert set(rolled) == set(direct)
     for k in direct:
