@@ -40,3 +40,21 @@ def test_never_checked_queries_fit_the_window():
 
 def test_ordering_is_deterministic():
     assert list(registry()) == list(registry())
+
+
+def test_ordering_survives_direct_module_import():
+    """Importing a query module directly (as library users and other
+    tests do) must not reshuffle the window: the sort key is the
+    (module, within-module) registration pair, not dict insertion
+    order. Found in round 4 — a test importing corpus_q before
+    registry() flipped the window head."""
+    import x8313_etl_spark.queries.corpus_q  # noqa: F401
+    import x8313_etl_spark.queries.udf_q  # noqa: F401
+
+    names = list(registry())
+    assert tuple(names[: len(_REPAIRED_FAILURES)]) == _REPAIRED_FAILURES
+    # batch unverified before streaming unverified, greens last
+    cats = [
+        (n in _DRIVER_GREEN) for n in names
+    ]
+    assert cats == sorted(cats)

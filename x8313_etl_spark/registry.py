@@ -36,6 +36,16 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
+#: import-order-INDEPENDENT registration key per query:
+#: (module position in _QUERY_MODULES, registration index within the
+#: module). Within a module, decorator execution order is fixed by the
+#: source; across modules, a user importing a query module directly
+#: before registry() must not reshuffle the driver's verify window
+#: (found in round 4: a test importing corpus_q first flipped the
+#: window head).
+_ORDER: dict[str, tuple[int, int]] = {}
+_MODULE_COUNTS: dict[str, int] = {}
+
 _QUERY_MODULES = [
     "pricing",
     "sources_q",
@@ -71,6 +81,12 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+        mod = fn.__module__.rsplit(".", 1)[-1]
+        _MODULE_COUNTS[mod] = _MODULE_COUNTS.get(mod, 0) + 1
+        _ORDER[name] = (
+            _QUERY_MODULES.index(mod) if mod in _QUERY_MODULES else len(_QUERY_MODULES),
+            _MODULE_COUNTS[mod],
+        )
         _REGISTRY[name] = QuerySpec(
             name=name,
             fn=fn,
@@ -150,22 +166,28 @@ def _load_all() -> None:
 _REPAIRED_FAILURES = ("a17_mergeable_moments", "p_domain_mix")
 
 
-def _priority(item: tuple[str, QuerySpec]) -> tuple[int, int, int, int]:
+def _priority(item: tuple[str, QuerySpec]) -> tuple[int, int, int, tuple[int, int]]:
     """Sort key: driver-unverified first, already-green last. The
     repaired prior-round failures lead the ENTIRE window (ahead of all
-    other unverified names); within the rest of the unverified block,
-    streaming-category queries (slow, multi-second jobs) sort after
-    batch so a time-boxed verify pass isn't starved by them.
-    Registration order breaks ties, keeping the ordering
-    deterministic."""
+    other unverified names, in _REPAIRED_FAILURES order); within the
+    rest of the unverified block, streaming-category queries (slow,
+    multi-second jobs) sort after batch so a time-boxed verify pass
+    isn't starved by them. Ties break on the import-order-independent
+    (module, within-module) registration key, keeping the ordering
+    deterministic regardless of which module a caller imported
+    first."""
     name, spec = item
-    idx = list(_REGISTRY).index(name)
     group = 1 if name in _DRIVER_GREEN else 0
+    repaired_rank = (
+        _REPAIRED_FAILURES.index(name)
+        if name in _REPAIRED_FAILURES
+        else len(_REPAIRED_FAILURES)
+    )
     return (
         group,
-        int(name not in _REPAIRED_FAILURES),
+        repaired_rank,
         int(spec.category == "streaming"),
-        idx,
+        _ORDER[name],
     )
 
 
