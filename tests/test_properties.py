@@ -173,6 +173,38 @@ def test_sequence_pack_segments_tile_the_token_stream(spark):
     assert sum(per_win.values()) == sum(texts.values())
 
 
+def test_bm25_self_retrieval_ranks_first(spark):
+    """p_bm25_topk sanity on a crafted corpus with no duplicate texts:
+    every query document must retrieve ITSELF at rank 1 (it contains
+    all its own terms at maximal per-term tf/dl balance), and a document
+    sharing no terms with the query must never appear in its top-k."""
+    import pyspark.sql.functions as F
+    from unittest import mock
+
+    import x8313_etl_spark.queries.corpus_q as cq
+
+    texts = [
+        "apple banana cherry date",
+        "banana cherry elderberry fig grape",
+        "xylophone zebra yak",
+        "apple apple banana",
+        "quince raisin squash tomato",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    with mock.patch.object(cq, "load_table", lambda s, d, n: docs):
+        with mock.patch.object(cq, "BM25_N_QUERIES", 3):
+            rows = cq.p_bm25_topk(spark, "ignored").collect()
+    top1 = {r.q_id: r.doc_id for r in rows if r.rn == 1}
+    assert top1 == {0: 0, 1: 1, 2: 2}
+    # doc 2 (xylophone/zebra/yak) shares no terms with queries 0 and 1
+    assert all(r.doc_id != 2 for r in rows if r.q_id in (0, 1))
+    # and nothing shares terms with query 2 except itself
+    assert [r.doc_id for r in rows if r.q_id == 2] == [2]
+
+
 def test_simhash_native_matches_hof_fold(spark):
     """simhash_table_native (explode + 31 native ±1-sum aggs) must be
     bit-identical to the HOF-fold simhash on every doc — the parity the

@@ -14,6 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
+from ..functions.numeric import davg, dsum, sql_davg, sql_dsum
 from ..io import load_table
 from ..registry import register
 
@@ -304,6 +305,130 @@ def p_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BM25 constants (the Robertson/Okapi defaults) and query workload:
+#: each of the first BM25_N_QUERIES documents acts as a query (its
+#: distinct terms), scored against the whole corpus, top-BM25_TOP_K
+#: returned. Deterministic — no RNG, rank ties broken by doc_id.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_N_QUERIES = 10
+BM25_TOP_K = 5
+
+
+@register(
+    "p_bm25_topk",
+    category="pipeline",
+    bench=True,
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, {sql_davg('dl')} AS avgdl FROM dl),
+qterms AS (
+  SELECT DISTINCT doc_id AS q_id, term FROM tok WHERE doc_id < {BM25_N_QUERIES}
+),
+tfq AS (SELECT tf.* FROM tf SEMI JOIN qterms ON tf.term = qterms.term),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfq GROUP BY term),
+scored AS (
+  SELECT q.q_id, t.doc_id,
+         {sql_dsum(
+             f"ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) "
+             f"* t.tf * ({BM25_K1} + 1) "
+             f"/ (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))"
+         )} AS score
+  FROM qterms q
+  JOIN tfq t ON q.term = t.term
+  JOIN df d ON t.term = d.term
+  JOIN dl l ON t.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT q_id, doc_id, score, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT q_id, doc_id, ROUND(score, 6) AS score,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY ROUND(score, 6) DESC, doc_id) AS rn
+  FROM scored
+) WHERE rn <= {BM25_TOP_K}
+""",
+)
+def p_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval top-k — the lexical-search half of a RAG / data-
+    curation stack (find the corpus documents most relevant to each
+    query) as pure native expressions. Each of the first
+    {BM25_N_QUERIES} docs is a query (its distinct term set); every
+    (query term, doc) posting is scored with Okapi BM25
+    (idf = ln(1+(N-df+.5)/(df+.5)), length-normalized tf with
+    k1={BM25_K1}, b={BM25_B}) and summed per (query, doc); top-
+    {BM25_TOP_K} per query by score (rounded to 6dp BEFORE ranking on
+    BOTH engines, doc_id tiebreak — so last-ulp ln() divergence can
+    never flip a rank). Scale shape: the query term set is tiny and
+    BROADCAST into the tf table (a semi-join prune — only postings of
+    query terms survive, Σ df(term) rows, never the corpus); df/avgdl
+    are aggregates of that pruned table plus one map-only doc-length
+    pass; final agg shuffles (query, doc) pairs bounded by the pruned
+    postings; top-k is a WindowGroupLimit. Self-retrieval sanity: each
+    query's own doc ranks #1 (tested)."""
+    d = load_table(spark, sf_dir, "documents")
+    # dl is computed MAP-SIDE before the explode and carried through the
+    # tf aggregation with first() — no per-doc length table to join back
+    # (a corpus-sized shuffle join saved; measured 8→6 exchanges).
+    tok = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("dl"),
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        # davg: decimal-sum average — shuffle-order-independent, exact
+        # twin of the oracle's sql_davg
+        davg(F.size(F.split(F.col("text"), " ")).cast("double")).alias("avgdl"),
+    )
+    qterms = (
+        tok.filter(F.col("doc_id") < BM25_N_QUERIES)
+        .select(F.col("doc_id").alias("q_id"), "term")
+        .distinct()
+    )
+    # tfq feeds BOTH the df aggregate and the scoring join — persist via
+    # the keyed swap-pool (operators/cachepool.py) so the explode +
+    # (doc_id, term) shuffle runs once, not once per plan branch (the
+    # same two-consumer pattern as sim_ivf_topk's assignment table).
+    from ..operators.cachepool import swap_persist
+
+    tfq = swap_persist(
+        "bm25.tfq",
+        tf.join(F.broadcast(qterms.select("term").distinct()), "term", "semi"),
+    )
+    df_t = tfq.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfnorm = (
+        F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tfq.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("q_id", "doc_id")
+        .agg(F.round(dsum(idf * tfnorm), 6).alias("score"))
+    )
+    rn = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(rn).cast("bigint"))
+        .filter(F.col("rn") <= BM25_TOP_K)
+        .select("q_id", "doc_id", "score", "rn")
+    )
+
+
 #: training context-window length for sequence packing (tokens)
 PACK_CTX = 512
 
@@ -311,6 +436,7 @@ PACK_CTX = 512
 @register(
     "p_sequence_pack",
     category="pipeline",
+    bench=True,
     oracle=f"""
 WITH t AS (
   SELECT doc_id, source,
