@@ -303,3 +303,40 @@ def test_f16_url_parse_map_only(spark, sf_dir):
     """f16: parse_url extraction pipelines into the scan — no exchange."""
     plan = _plan(spark, "f16_url_parse", sf_dir)
     assert "Exchange" not in plan, plan
+
+
+def test_sequence_pack_single_window_shuffle(spark, sf_dir):
+    """p_sequence_pack: exactly ONE hash exchange (the per-source
+    prefix-sum window); the window→segment fan-out must be a map-only
+    Generate above it — a second shuffle would mean the explode
+    repartitioned what the window already co-located."""
+    plan = _plan(spark, "p_sequence_pack", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Generate explode" in plan
+
+
+def test_bm25_semi_prune_below_tf_aggregate(spark, sf_dir):
+    """p_bm25_topk: the query-term semi join must push BELOW the
+    (doc, term) tf aggregate (PushDownLeftSemiAntiJoin), so only
+    query-term tokens ever enter the shuffle — the full-corpus explode
+    stays map-side. If the LeftSemi sat above the aggregate, the whole
+    corpus tf table would shuffle at 100 TB."""
+    plan = _plan(spark, "p_bm25_topk", sf_dir)
+    semi = [l for l in plan.splitlines() if "LeftSemi" in l]
+    assert semi, plan
+    # below the semi join there must be the raw explode, not an agg:
+    # find the subtree indentation — cheap proxy: no HashAggregate line
+    # between the LeftSemi and the Generate directly under it
+    lines = plan.splitlines()
+    i = next(n for n, l in enumerate(lines) if "LeftSemi" in l)
+    below = [l for l in lines[i + 1 : i + 4]]
+    assert any("Generate explode" in l for l in below), below
+
+
+def test_m2_time_travel_reads_are_plain_scans(spark, sf_dir):
+    """m2: both snapshot reads must be ordinary vectorized parquet scans
+    (the manifest resolves on the driver, never in the plan) joined by
+    one key shuffle each — time travel must add zero plan overhead."""
+    plan = _plan(spark, "m2_time_travel", sf_dir)
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "SortMergeJoin" in plan  # full-outer on the key
