@@ -27,3 +27,24 @@ def test_missing_column_raises(spark, sf_dir, monkeypatch):
         validate_table_schema(spark, sf_dir, "region")
     msg = str(ei.value)
     assert "ghost" in msg and "r_name" in msg and "r_regionkey" in msg
+
+
+def test_embedding_dim_matches_pin(spark, sf_dir):
+    """The hyperplane-LSH sign matrix, IVF cosine folds, and int8
+    quantizer are all generated for EMBEDDING_DIM-length vectors; a
+    fixture regeneration with a different dim would zip_with-truncate
+    silently instead of failing. Pin it."""
+    import pyspark.sql.functions as F
+
+    from x8313_etl_spark.io import load_table
+    from x8313_etl_spark.schemas import EMBEDDING_DIM
+
+    stats = (
+        load_table(spark, sf_dir, "embeddings")
+        .agg(
+            F.min(F.size("embedding")).alias("lo"),
+            F.max(F.size("embedding")).alias("hi"),
+        )
+        .first()
+    )
+    assert (stats.lo, stats.hi) == (EMBEDDING_DIM, EMBEDDING_DIM), stats
