@@ -84,6 +84,30 @@ def test_apply_cdc_upsert_delete_insert(spark):
     ]
 
 
+def test_vacuum_drops_old_versions_keeps_shared_dirs(spark):
+    """vacuum(keep_last=1) must delete only data dirs no surviving
+    manifest references: an append lineage shares its parent's dirs, so
+    vacuuming after an append keeps the shared dir alive."""
+    t = _tbl()
+    t.commit(_df(spark, [(1, "a")]))  # v0 → dir A
+    t.commit(_df(spark, [(2, "b")]), mode="append")  # v1 → dirs A+B
+    t.commit(_df(spark, [(9, "z")]))  # v2 → dir C (overwrite)
+    deleted = t.vacuum(keep_last=2)
+    # v0 dropped, but dir A survives — v1 still references it
+    assert deleted == []
+    assert sorted((r.k, r.v) for r in t.read(spark, version=1).collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    with pytest.raises(KeyError):
+        t.read(spark, version=0)
+    deleted = t.vacuum(keep_last=1)  # drops v1 → dirs A and B now dead
+    assert len(deleted) == 2
+    assert [(r.k, r.v) for r in t.read(spark).collect()] == [(9, "z")]
+    data_dirs = [d for d in os.listdir(t.base) if d.startswith("d-")]
+    assert len(data_dirs) == 1
+
+
 def test_unknown_version_raises(spark):
     t = _tbl()
     with pytest.raises(FileNotFoundError):

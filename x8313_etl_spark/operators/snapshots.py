@@ -124,6 +124,37 @@ class SnapshotTable:
         paths = [os.path.join(self.base, d) for d in m["dirs"]]
         return spark.read.parquet(*paths)
 
+    # -- retention ------------------------------------------------------
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Drop the manifests of all but the newest ``keep_last``
+        versions, then delete every data directory no surviving
+        manifest references. Returns the deleted data dirs. Time travel
+        to vacuumed versions raises KeyError afterwards — the same
+        contract as a lakehouse VACUUM breaking time travel past the
+        retention window. Manifest files are removed BEFORE data dirs
+        (a reader that resolved a version pre-vacuum may still be
+        scanning; removing the manifest first means new resolutions
+        can't land on a dir mid-delete)."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        if len(vs) <= keep_last:
+            return []
+        drop, keep = vs[:-keep_last], vs[-keep_last:]
+        live = {d for m in keep for d in m["dirs"]}
+        for m in drop:
+            os.remove(os.path.join(self._manifest_dir(), f"{m['version']:08d}.json"))
+        deleted = []
+        for m in drop:
+            for d in m["dirs"]:
+                if d not in live and os.path.isdir(os.path.join(self.base, d)):
+                    shutil.rmtree(os.path.join(self.base, d))
+                    deleted.append(d)
+        return deleted
+
     # -- MERGE (CDC apply) --------------------------------------------
 
     def apply_cdc(
