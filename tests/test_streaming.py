@@ -210,6 +210,13 @@ def _t12_events_dir():
                 margin 1499 µs, and this view would be emitted
       user 3: view 12:30:00 + click 13:00:00.000500 → matched, 1800 s
       user 4: view 14:00:00 (the view-side max) → young, pending
+      user 5: click 10:59:59.999000 (no view) → below wm → t13 emits
+                the unmatched-RIGHT null row (t12 ignores clicks)
+      user 6: click 10:59:59.999001 (no view) → also below wm → t13
+                emits (the right side has NO 1 ms margin — measured)
+      user 7: click 11:00:00.000000 (no view) → exactly AT wm → t13
+                emits (the right-side predicate is INCLUSIVE)
+      user 8: click 11:00:00.000001 (no view) → 1 µs past wm → pending
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -223,6 +230,10 @@ def _t12_events_dir():
         (2, us(12, 30, 0), 3, "view"),
         (3, us(13, 0, 0, 500), 3, "click"),
         (4, us(14, 0, 0), 4, "view"),
+        (5, us(10, 59, 59, 999_000), 5, "click"),
+        (6, us(10, 59, 59, 999_001), 6, "click"),
+        (7, us(11, 0, 0), 7, "click"),
+        (8, us(11, 0, 0, 1), 8, "click"),
     ]
     tbl = pa.table(
         {
@@ -264,6 +275,48 @@ def test_t12_watermark_null_emission_boundary(spark):
         )
         oracle = sorted(
             (int(u), int(v), None if c is None else int(c), None if s is None else int(s))
+            for u, v, c, s in con.execute(spec.oracle).fetchall()
+        )
+    finally:
+        con.close()
+    assert oracle == expected, oracle
+
+
+def test_t13_full_outer_emits_both_boundary_sides(spark):
+    """t13 on the boundary fixture: the matched pair, the left null row
+    at the 1 ms margin, AND the right (click) null row exactly at its
+    margin — while the 999 µs-inside click stays pending. Spark output
+    must equal both the hand expectation and the DuckDB twin."""
+    import duckdb
+
+    from x8313_etl_spark.registry import registry
+
+    d = _t12_events_dir()
+    spec = registry()["t13_full_outer_stream_join"]
+    got = sorted(
+        (r.user_id, r.view_id, r.click_id, r.delay_s)
+        for r in spec.fn(spark, d).collect()
+    )
+    expected = [
+        (1, 0, None, None),  # left boundary: view at the 1 ms margin
+        (3, 2, 3, 1800),  # matched
+        (5, None, 5, None),  # click below wm
+        (6, None, 6, None),  # click below wm — no right-side margin
+        (7, None, 7, None),  # click exactly AT wm — inclusive
+    ]
+    assert got == expected, got
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+        )
+        oracle = sorted(
+            (
+                int(u),
+                None if v is None else int(v),
+                None if c is None else int(c),
+                None if s is None else int(s),
+            )
             for u, v, c, s in con.execute(spec.oracle).fetchall()
         )
     finally:

@@ -548,3 +548,96 @@ def t12_outer_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return run_to_memory(spark, joined, "t12_outer_join", "append")
+
+
+@register(
+    "t13_full_outer_stream_join",
+    category="streaming",
+    oracle="""
+WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+           FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id AS c_user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'),
+wm AS (
+  SELECT make_timestamp(
+           least((SELECT max(epoch_us(view_ts)) FROM v),
+                 (SELECT max(epoch_us(click_ts)) FROM c)) // 1000 * 1000
+         ) - INTERVAL 2 HOUR AS wm_ts
+),
+j AS (
+  SELECT coalesce(v.user_id, c.c_user_id) AS user_id,
+         v.view_id, v.view_ts, c.click_id, c.click_ts,
+         CAST((epoch_us(c.click_ts) - epoch_us(v.view_ts)) // 1000000 AS BIGINT)
+           AS delay_s
+  FROM v FULL JOIN c
+    ON v.user_id = c.c_user_id
+   AND c.click_ts > v.view_ts
+   AND c.click_ts <= v.view_ts + INTERVAL 60 MINUTE
+)
+SELECT user_id, view_id, click_id, delay_s
+FROM j, wm
+WHERE (view_id IS NOT NULL AND click_id IS NOT NULL)
+   -- left (view) state expires 1ms-margined past its match window (the
+   -- margin comes from the range-condition arithmetic — t12's model)
+   OR (click_id IS NULL AND view_ts + INTERVAL 60 MINUTE
+                            + INTERVAL 1 MILLISECOND <= wm_ts)
+   -- right (click) state keys on the event-time column itself (views
+   -- strictly precede clicks), so eviction is the PLAIN watermark
+   -- predicate: click_ts <= wm, inclusive, NO margin — measured at µs
+   -- grain (tests/test_streaming.py): a click exactly AT the watermark
+   -- emits, 1 µs after does not
+   OR (view_id IS NULL AND click_ts <= wm_ts)
+""",
+)
+def t13_full_outer_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13: stream-stream FULL OUTER join — T12's view→click pairing
+    emitting BOTH unmatched sides: views with no click in the hour
+    (abandonment) AND clicks with no preceding view (attribution gaps —
+    direct/invalid traffic). State bounding is T12's; each side's null
+    row is emitted when ITS state expires against the shared global
+    watermark (ms-floored min over both streams' maxima — see t12).
+    The twin models each side's MEASURED eviction rule (both pinned at
+    µs grain by tests/test_streaming.py): the view side carries the
+    1 ms conservative margin t12 found (view_ts + 60min + 1ms <= wm —
+    the margin arises in the range-condition state-watermark
+    arithmetic), while the click side keys state on the event-time
+    column directly (matching views strictly precede the click) and
+    evicts on the PLAIN inclusive watermark predicate click_ts <= wm —
+    no margin; asymmetry measured, not assumed."""
+    views = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").cast("timestamp").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        on=[
+            F.col("user_id") == F.col("c_user_id"),
+            F.col("click_ts") > F.col("view_ts"),
+            F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 60 MINUTES"),
+        ],
+        how="full_outer",
+    ).select(
+        F.coalesce(F.col("user_id"), F.col("c_user_id")).alias("user_id"),
+        "view_id",
+        "click_id",
+        F.expr("(unix_micros(click_ts) - unix_micros(view_ts)) div 1000000").alias(
+            "delay_s"
+        ),
+    )
+    return run_to_memory(spark, joined, "t13_full_outer_join", "append")
