@@ -381,6 +381,47 @@ def test_t12_reported_watermark_is_ms_floored_min(spark):
     assert wms[-1] == "2024-01-01T11:00:00.000Z", wms
 
 
+def test_stream_restart_is_exactly_once(spark, two_batch_dir):
+    """S8 durability: a parquet-sink streaming query stopped mid-stream
+    and RESTARTED from the same checkpoint must produce exactly the
+    batch-truth rows — no loss, no duplicates — wherever the stop
+    landed (the file sink's manifest commits atomically per batch; the
+    checkpoint replays only uncommitted files). The stop is timed after
+    the first progress event, so the test is robust to scheduling: any
+    of 1–3 batches may complete before the stop."""
+    import time
+
+    out = tempfile.mkdtemp(prefix="x8313-restart-sink-")
+    ckpt = tempfile.mkdtemp(prefix="x8313-restart-ckpt-")
+
+    def start():
+        return (
+            _read_stream(spark, two_batch_dir)
+            .select("event_id", "user_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    for _ in range(600):  # stop as soon as at least one batch committed
+        if q.recentProgress or not q.isActive:
+            break
+        time.sleep(0.05)
+    q.stop()
+    q.awaitTermination(60)
+
+    q2 = start()  # resume from the same checkpoint
+    q2.awaitTermination(120)
+    assert not q2.isActive
+
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == [0, 1, 2, 3, 4, 5, 6, 10], got  # each fixture row exactly once
+
+
 def test_t7b_apws_state_survives_batches(spark, two_batch_dir):
     """applyInPandasWithState must carry GroupState across microbatches:
     with maxFilesPerTrigger=1 the 3-file fixture forces 3 batches, and
