@@ -381,6 +381,64 @@ def test_t12_reported_watermark_is_ms_floored_min(spark):
     assert wms[-1] == "2024-01-01T11:00:00.000Z", wms
 
 
+def test_dedup_within_watermark_reemits_after_state_expiry(spark):
+    """t14's semantic signature vs t5: dropDuplicatesWithinWatermark
+    EVICTS a key's state once the watermark passes its event time, so a
+    duplicate arriving after expiry is re-emitted — that eviction is
+    what makes the operator viable at 100 TB/day. Three batches, 10 min
+    delay, watermark lagging one batch (observed contract):
+      b0: A@10:00 → emitted, state {A, expires 10:10}
+      b1: filler@11:00, B@10:58 → emitted (new keys)
+      b2: filler2@11:01 → emitted; the watermark derived from b1's max
+          (11:00 - 10min = 10:50) gets applied as batches advance and
+          passes A's 10:10 expiry → A evicted; B (expires 11:08)
+          survives
+      b3: A-dup@11:05 re-emits (state gone), B-dup@11:04 drops
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="x8313-t14-fix-")
+    batches = [
+        [(0, _ts(0, 10), 1, "A")],
+        [(1, _ts(0, 11), 2, "filler"), (2, _ts(58, 10), 3, "B")],
+        [(5, _ts(1, 11), 4, "filler2")],
+        [(3, _ts(5, 11), 1, "A"), (4, _ts(4, 11), 3, "B")],
+    ]
+    for i, rows in enumerate(batches):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+        path = f"{d}/batch{i}.parquet"
+        pq.write_table(tbl, path)
+        os.utime(path, (1000000 + i * 100,) * 2)
+
+    s = (
+        _read_stream(spark, d)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+    )
+    dedup = s.select("user_id", "event_type", "ts").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    out = run_to_memory(spark, dedup, "t14_expiry_test", "append")
+    got = sorted((r.user_id, r.event_type, r.ts.hour, r.ts.minute) for r in out.collect())
+    assert got == [
+        (1, "A", 10, 0),  # first occurrence
+        (1, "A", 11, 5),  # RE-EMITTED: state expired before the dup arrived
+        (2, "filler", 11, 0),
+        (3, "B", 10, 58),  # only once: its state survived the watermark
+        (4, "filler2", 11, 1),
+    ], got
+
+
 def test_stream_restart_is_exactly_once(spark, two_batch_dir):
     """S8 durability: a parquet-sink streaming query stopped mid-stream
     and RESTARTED from the same checkpoint must produce exactly the

@@ -1,4 +1,4 @@
-"""Streaming operators T1-T8 (SURVEY.md §2.9) over the events stream.
+"""Streaming operators T1-T14 (SURVEY.md §2.9 + §2.12) over the events stream.
 
 Each query replays the events parquet as a stream (io.py S7), runs to
 completion with availableNow into a memory sink (streaming.py), and
@@ -189,6 +189,34 @@ def t5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = stream_events(spark, sf_dir)
     dedup = s.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
     return run_to_memory(spark, dedup, "t5_dedup", "append")
+
+
+@register(
+    "t14_dedup_within_watermark",
+    category="streaming",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def t14_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14: BOUNDED-STATE streaming dedup — the production-viable form
+    of t5. ``dropDuplicatesWithinWatermark`` only guarantees dedup for
+    duplicates arriving within the watermark horizon of the first
+    occurrence, which is precisely what lets it EVICT state: at 100 TB/
+    day, t5's plain dropDuplicates holds every key ever seen, while
+    this holds one horizon's worth. On the single-file fixture replay
+    (one data batch) every duplicate is within the horizon, so the twin
+    is the same DISTINCT as t5's — the semantic difference (a duplicate
+    arriving after its key's state expired is RE-EMITTED) cannot appear
+    in a single batch and is pinned by the crafted 3-batch unit test in
+    tests/test_streaming.py instead."""
+    s = stream_events(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).withWatermark("ts", "24 hours")
+    dedup = s.select("user_id", "event_type", "ts").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    return run_to_memory(
+        spark, dedup.select("user_id", "event_type"), "t14_dedup_wm", "append"
+    )
 
 
 @register(
