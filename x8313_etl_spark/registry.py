@@ -58,6 +58,7 @@ _QUERY_MODULES = [
     "funcs_datetime",
     "funcs_array",
     "llm",
+    "tpch_q",
     "pipeline_q",
     "corpus_q",
     "etl_q",
