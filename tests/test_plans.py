@@ -340,3 +340,31 @@ def test_m2_time_travel_reads_are_plain_scans(spark, sf_dir):
     plan = _plan(spark, "m2_time_travel", sf_dir)
     assert plan.count("FileScan parquet") == 2, plan
     assert "SortMergeJoin" in plan  # full-outer on the key
+
+
+def test_h5_star_join_broadcasts_bounded_dims(spark, sf_dir):
+    """h5: nation and region (bounded at 25/5 rows at ANY scale factor)
+    must broadcast; only fact-side joins may ever plan a shuffle. A
+    SortMergeJoin on a 5-row dim is the 100 TB red flag."""
+    plan = _plan(spark, "h5_local_supplier_volume", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_h18_semi_join_and_bounded_topk(spark, sf_dir):
+    """h18: the HAVING-subquery must plan as a LeftSemi (never a full
+    inner join + distinct), and the top-100 must be
+    TakeOrderedAndProject (per-partition heap), never a global sort —
+    the difference between O(k) and O(n log n) driver memory at scale."""
+    plan = _plan(spark, "h18_large_volume_customer", sf_dir)
+    assert "LeftSemi" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_h6_predicates_reach_the_scan(spark, sf_dir):
+    """h6: the date/discount/quantity envelope must be pushed into the
+    parquet reader — at 100 TB this query is a scan, nothing else."""
+    plan = _plan(spark, "h6_forecast_revenue", sf_dir)
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:", 1)[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed, pushed
