@@ -508,3 +508,45 @@ def test_t7b_apws_state_survives_batches(spark, two_batch_dir):
     # user 1: events 0,1 (batch 0) + 6 (batch 2); user 2: 2,3 + 10 (batch 1);
     # user 3: 4,5 (batch 2)
     assert final == {1: (3, 6.0), 2: (3, 10.0), 3: (2, 5.0)}
+
+
+def test_t15_replay_is_idempotent(spark, tmp_path):
+    """A re-delivered foreachBatch epoch (same batch_id — the crash-
+    between-commits retry) must not double-apply its delta; the epoch's
+    committed version directory is the idempotency token."""
+    from x8313_etl_spark.operators.upsert_sink import user_profile_sink
+
+    rows = [
+        (1, _ts(0), 100, "view", 1.25),
+        (2, _ts(1), 100, "click", 2.50),
+        (3, _ts(2), 200, "view", 4.00),
+    ]
+    schema = _TS_COLS + ", value double"
+    batch = spark.createDataFrame(rows, schema=schema)
+    sink = user_profile_sink(str(tmp_path / "state"))
+
+    sink.apply_batch(batch, 0)
+    once = {
+        r["user_id"]: (r["n_events"], float(r["sum_dec"]))
+        for r in sink.read_state(spark).collect()
+    }
+    assert once == {100: (2, 3.75), 200: (1, 4.0)}
+
+    sink.apply_batch(batch, 0)  # replayed epoch — must be a no-op
+    again = {
+        r["user_id"]: (r["n_events"], float(r["sum_dec"]))
+        for r in sink.read_state(spark).collect()
+    }
+    assert again == once
+
+    # a NEW epoch still applies, and "latest" follows the max struct
+    batch2 = spark.createDataFrame(
+        [(4, _ts(5), 100, "purchase", 10.00)], schema=schema
+    )
+    sink.apply_batch(batch2, 1)
+    final = {
+        r["user_id"]: (r["n_events"], float(r["sum_dec"]), r["last"]["event_type"])
+        for r in sink.read_state(spark).collect()
+    }
+    assert final[100] == (3, 13.75, "purchase")
+    assert final[200] == (1, 4.0, "view")

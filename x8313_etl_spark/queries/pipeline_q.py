@@ -11,7 +11,7 @@ the "approximate" path has a brute-force SQL twin with identical output.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.text import (
     BPE_TOKEN_RE,
@@ -366,3 +366,106 @@ def p_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         s.select("doc_id"), pairs, node_col="doc_id", src="doc_a", dst="doc_b"
     ).withColumnRenamed("component", "cluster_id")
+
+
+_FH_DIMS = 64
+
+
+@register(
+    "p_feature_hash",
+    category="pipeline",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+h AS (SELECT doc_id, unnest({sql_word_hashes('w')}) AS h FROM w)
+SELECT doc_id,
+       CAST(h % {_FH_DIMS} AS INTEGER) AS bucket,
+       CAST(SUM(CASE WHEN (h // {_FH_DIMS}) % 2 = 0 THEN 1 ELSE -1 END)
+            AS BIGINT) AS weight
+FROM h
+GROUP BY doc_id, h % {_FH_DIMS}
+HAVING SUM(CASE WHEN (h // {_FH_DIMS}) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+""",
+)
+def p_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature vectorization (the ML-prep 'hashing
+    vectorizer'): every token maps to one of a FIXED number of buckets
+    via its md5-derived hash, with a hash-derived ±1 sign so colliding
+    tokens partially cancel (the signed construction that keeps the
+    estimator unbiased). Output is the SPARSE form — (doc_id, bucket,
+    weight), zero-weight buckets dropped — which is what a downstream
+    trainer consumes and what scales: no 64-wide dense row is ever
+    materialized, and the one shuffle is the (doc_id, bucket) count
+    aggregate, map-side combined. Sign bit and bucket come from
+    DISJOINT bit ranges of the same hash (h % D vs bit 6 of h // D), so
+    sign is independent of bucket assignment. Dimensionality is a
+    constant of the operator (64 here); a production run would use 2^18+
+    — the plan shape is unchanged."""
+    d = load_table(spark, sf_dir, "documents").withColumn("w", tokens(F.col("text")))
+    h = d.select("doc_id", F.explode(word_hashes(F.col("w"))).alias("h"))
+    sign = F.when(F.expr(f"(h div {_FH_DIMS}) % 2") == 0, 1).otherwise(-1)
+    return (
+        h.groupBy("doc_id", (F.col("h") % _FH_DIMS).cast("int").alias("bucket"))
+        .agg(F.sum(sign).alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
+
+
+_BIGRAM_MIN_COUNT = 5
+
+
+@register(
+    "p_bigram_lm",
+    category="pipeline",
+    oracle=f"""
+WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+b AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) g
+),
+c AS (SELECT w1, w2, COUNT(*) AS cnt FROM b GROUP BY w1, w2),
+t AS (SELECT w1, w2, cnt,
+             SUM(cnt) OVER (PARTITION BY w1) AS w1_total
+      FROM c)
+SELECT w1, w2, cnt,
+       (CAST(cnt AS DOUBLE) / CAST(w1_total AS DOUBLE)) AS cond_prob
+FROM t WHERE cnt >= {_BIGRAM_MIN_COUNT}
+""",
+)
+def p_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model counts: P(w2 | w1) = count(w1 w2) /
+    count(w1 ·) — the count table a classical n-gram LM (or a
+    contamination / memorization probe over a training corpus) is built
+    from. Bigrams are formed ORDER-SENSITIVELY inside each document via
+    zip_with over two offset slices (map-only, no self-join), counted
+    with one (w1, w2) shuffle, and the prefix total is a window over the
+    ALREADY-AGGREGATED count table — cardinality |distinct bigrams|,
+    not corpus tokens, so the window input is the small table. The
+    min-count filter applies AFTER the totals (rare bigrams still
+    contribute to their prefix's denominator, as in a real LM) and
+    bounds the output. cond_prob is one double division of two exact
+    integers — cross-engine deterministic."""
+    d = load_table(spark, sf_dir, "documents").withColumn("w", tokens(F.col("text")))
+    n = F.size(F.col("w"))
+    bi = d.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("w"), 1, n - 1),
+                F.slice(F.col("w"), 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    wtot = Window.partitionBy("w1")
+    return (
+        counts.withColumn("w1_total", F.sum("cnt").over(wtot))
+        .select(
+            "w1",
+            "w2",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("w1_total").cast("double")).alias(
+                "cond_prob"
+            ),
+        )
+        .filter(F.col("cnt") >= _BIGRAM_MIN_COUNT)
+    )

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.vector import dot, norm, sql_cosine
 from ..io import load_table
+from ..operators.concomp import connected_components
 from ..registry import register
 
 _NEARDUP_TAU = 0.4
@@ -293,4 +294,72 @@ def sim_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(vb, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= _LSH_TAU)
+    )
+
+
+@register(
+    "p_semantic_dedup",
+    category="similarity",
+    oracle=f"""
+WITH RECURSIVE p AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE {sql_cosine('a.embedding', 'b.embedding')} >= {_NEARDUP_TAU}
+),
+reach AS (
+  SELECT vec_id, vec_id AS label FROM embeddings
+  UNION
+  SELECT p.dst AS vec_id, reach.label FROM reach JOIN p ON p.src = reach.vec_id
+)
+SELECT vec_id,
+       min(label) AS cluster_id,
+       CAST(vec_id = min(label) AS INTEGER) AS keep
+FROM reach GROUP BY vec_id
+""",
+)
+def p_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication over the embedding column:
+    vectors whose cosine similarity reaches τ are edges, connected
+    components become semantic clusters, and exactly ONE representative
+    per cluster (min vec_id — deterministic) is kept. This is the
+    embedding-space sibling of p_dedup_clusters' SimHash pipeline, and
+    the step that turns pairwise similarity into an actual corpus-
+    shrinking keep/drop decision.
+
+    Composition: exact cosine pair graph (sim_neardup_exact's shape) →
+    distributed connected components (operators/concomp.py, iterative
+    min-label propagation) → keep flag. The pair generator is the
+    pluggable part: at fixture scale the exact O(n²) graph IS the
+    oracle-matched baseline; at 100 TB you swap in the IVF- or
+    LSH-bucketed candidates (sim_ivf_topk / sim_lsh_neardup) and the
+    cluster/keep stages are unchanged — documented here rather than
+    silently approximated, because the recursive-CTE twin verifies
+    TRANSITIVE-CLOSURE equality, which only the exact graph satisfies
+    at τ this low."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vnorm", norm(F.col("embedding"))
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.col("vnorm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("vnorm").alias("nb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= _NEARDUP_TAU)
+        .select("vec_a", "vec_b")
+    )
+    comp = connected_components(
+        e.select("vec_id"), pairs, node_col="vec_id", src="vec_a", dst="vec_b"
+    )
+    return comp.select(
+        "vec_id",
+        F.col("component").alias("cluster_id"),
+        (F.col("vec_id") == F.col("component")).cast("int").alias("keep"),
     )

@@ -669,3 +669,87 @@ def t13_full_outer_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return run_to_memory(spark, joined, "t13_full_outer_join", "append")
+
+
+@register(
+    "t15_foreach_batch_upsert",
+    category="streaming",
+    oracle=f"""
+WITH last AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT e.user_id,
+       COUNT(*) AS n_events,
+       {sql_dsum('e.value')} AS sum_value,
+       l.event_type AS last_event_type
+FROM events e
+JOIN last l ON e.user_id = l.user_id AND l.rn = 1
+GROUP BY e.user_id, l.event_type
+""",
+)
+def t15_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/T15: foreachBatch MERGE sink — the production pattern for
+    maintaining a keyed serving table (per-user profile: event count,
+    value total, latest event type) from a stream when the sink has no
+    native upsert. Each micro-batch pre-aggregates its delta per key
+    (map-side combine BEFORE the merge — the merge join only ever sees
+    one row per key per batch, not raw events), then full-outer-merges
+    it into the copy-on-write state table.
+
+    Batch-split-proofing (run_to_memory's determinism contract, applied
+    to a sink): every merged quantity is an associative, commutative
+    monoid — counts add, value totals add in DECIMAL (exact, so
+    cross-batch addition order cannot perturb low bits vs the batch
+    twin), and "latest event" is max over the totally-ordered
+    (ts, event_id, event_type) struct (event_id is unique, so the
+    struct order is total and ties are impossible). The fixture is
+    re-written as 4 part-files and streamed with maxFilesPerTrigger=1,
+    so the registered query REALLY exercises a multi-batch merge chain,
+    not a degenerate single merge.
+
+    Exactly-once: state version v{{batch_id}} is committed via
+    write-to-temp + atomic rename keyed by batch_id — a replayed batch
+    (sink-side retry after a crash) finds its version already present
+    and skips the re-apply, making the merge idempotent per epoch
+    (pinned by tests/test_streaming.py::test_t15_replay_is_idempotent).
+    At 100 TB the state table is a keyed parquet table; the full-outer
+    merge shuffles state ∪ delta on the key once per batch — the same
+    cost model as m1/SnapshotTable.apply_cdc, which this reuses
+    conceptually (a streaming driver for the lakehouse MERGE)."""
+    import os
+    import tempfile
+
+    from ..schemas import SCHEMAS
+    from ..operators.upsert_sink import user_profile_sink
+
+    work = tempfile.mkdtemp(prefix="x8313-t15-")
+    src_dir = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+
+    # 4 part-files -> 4 micro-batches under maxFilesPerTrigger=1
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    sink = user_profile_sink(os.path.join(work, "state"))
+    q = (
+        stream.writeStream.foreachBatch(sink.apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("t15 foreachBatch stream did not finish in 180s")
+    return sink.read_state(spark).select(
+        "user_id",
+        "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        F.col("last.event_type").alias("last_event_type"),
+    )

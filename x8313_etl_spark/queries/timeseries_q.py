@@ -187,3 +187,117 @@ def ts_sliding_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dau7"),
     )
+
+
+@register(
+    "ts_interpolate",
+    category="timeseries",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         {sql_dsum('value')} AS hourly_sum
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, min(hour) AS mn, max(hour) AS mx FROM hourly GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+),
+g AS (
+  SELECT grid.event_type, grid.hour, h.hourly_sum,
+         epoch_us(grid.hour) AS eh
+  FROM grid LEFT JOIN hourly h USING (event_type, hour)
+),
+ctx AS (
+  SELECT event_type, hour, hourly_sum, eh,
+         last_value(hourly_sum IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+         last_value(CASE WHEN hourly_sum IS NOT NULL THEN eh END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_eh,
+         first_value(hourly_sum IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+         first_value(CASE WHEN hourly_sum IS NOT NULL THEN eh END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_eh
+  FROM g
+)
+SELECT event_type,
+       strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour_s,
+       CASE WHEN hourly_sum IS NOT NULL THEN hourly_sum
+            ELSE prev_val + (next_val - prev_val)
+                 * (CAST(eh - prev_eh AS DOUBLE) / CAST(next_eh - prev_eh AS DOUBLE))
+       END AS interp_sum,
+       CAST(hourly_sum IS NULL AS INTEGER) AS is_interp
+FROM ctx
+""",
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the dense hourly grid — ts_gap_fill's
+    sibling for continuous-valued series where carrying the last
+    observation forward biases downstream aggregates (sensor/finance
+    resampling): a gap hour gets prev + (next-prev) * elapsed-fraction
+    between its two NEAREST REAL observations.
+
+    Same scale shape as ts_gap_fill (agg shuffle, in-plan sequence()
+    grid, per-key windows) with one extra window pass in the opposite
+    frame direction (first_value over CURRENT ROW → UNBOUNDED
+    FOLLOWING) for the next-observation context. The grid spans exactly
+    [per-key min hour, per-key max hour], so every gap row has both a
+    previous and a next real observation — the interpolation expression
+    is total, no edge-case NULL arithmetic. The elapsed fraction
+    divides integer microsecond deltas cast to double, and both engines
+    evaluate the identical prev + (next-prev)*frac expression tree on
+    identical doubles — IEEE ops are correctly rounded, so the result
+    is bit-identical with no rounding crutch."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"), "value")
+        .groupBy("event_type", "hour")
+        .agg(dsum("value").alias("hourly_sum"))
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("mn"), F.max("hour").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    g = grid.join(hourly, ["event_type", "hour"], "left").withColumn(
+        "eh", F.unix_micros(F.col("hour").cast("timestamp"))
+    )
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    real_eh = F.when(F.col("hourly_sum").isNotNull(), F.col("eh"))
+    ctx = (
+        g.withColumn("prev_val", F.last("hourly_sum", ignorenulls=True).over(back))
+        .withColumn("prev_eh", F.last(real_eh, ignorenulls=True).over(back))
+        .withColumn("next_val", F.first("hourly_sum", ignorenulls=True).over(fwd))
+        .withColumn("next_eh", F.first(real_eh, ignorenulls=True).over(fwd))
+    )
+    frac = (F.col("eh") - F.col("prev_eh")).cast("double") / (
+        F.col("next_eh") - F.col("prev_eh")
+    ).cast("double")
+    return ctx.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+        F.when(F.col("hourly_sum").isNotNull(), F.col("hourly_sum"))
+        .otherwise(
+            F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * frac
+        )
+        .alias("interp_sum"),
+        F.col("hourly_sum").isNull().cast("int").alias("is_interp"),
+    )
