@@ -8,8 +8,10 @@ engine is judged on. A user of the reference engine runs reports shaped
 exactly like these, so the suite is capability evidence, not padding.
 
 Adaptation notes (the fixture schema is TPC-H-ish, not TPC-H):
-- no ``partsupp`` table and no ``ps_supplycost`` → Q2/Q11/Q16/Q20/Q21
-  cannot be expressed; Q9's profit becomes discounted revenue.
+- no ``partsupp`` table and no ``ps_supplycost`` → Q2/Q20/Q21 cannot be
+  expressed; Q9's profit becomes discounted revenue, Q11's stock value
+  becomes lineitem revenue (share-of-total shape preserved), Q16's
+  supplier evidence comes from lineitem.
 - no ``l_commitdate``/``l_receiptdate``/``l_shipmode`` → Q4's and Q12's
   lateness predicates are re-based on ``l_shipdate`` vs ``o_orderdate``.
 - no ``c_phone``/comments → Q13's comment filter becomes a priority
@@ -759,4 +761,86 @@ def h22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             dsum("c_acctbal").alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "h11_important_stock",
+    category="analytics",
+    oracle=f"""
+WITH pv AS (
+  SELECT l_partkey, {sql_dsum(_REV)} AS val
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT {sql_dsum(_REV)} AS t,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS np
+        FROM lineitem)
+SELECT l_partkey, val
+FROM pv, tot
+WHERE val > 1.5 * t / np
+""",
+)
+def h11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted): parts whose retained discounted revenue
+    exceeds 1.5x the mean per-part share of the corpus total (the ~p99 of the fixture's near-uniform distribution) — the
+    share-of-total HAVING query (no partsupp in the fixture, so value =
+    lineitem revenue; the classic SF-scaled constant fraction becomes a
+    self-scaling 1.5×-mean threshold so the query is non-degenerate at
+    every scale factor).
+
+    Plan: per-part aggregate (one shuffle on partkey) + a single-row
+    global aggregate broadcast-cross-joined in; BOTH sums are the same
+    exact decimal aggregate, so share thresholding is deterministic —
+    summing the per-part doubles again would reintroduce float
+    order-dependence, which is why the total re-aggregates from the
+    scan instead (associativity of the decimal sum makes them equal);
+    the threshold 1.5*t/np is the identical expression tree in both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(dsum(_rev()).alias("val"))
+    tot = li.agg(
+        dsum(_rev()).alias("t"),
+        F.countDistinct("l_partkey").alias("np"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("val") > 1.5 * F.col("t") / F.col("np"))
+        .select("l_partkey", "val")
+    )
+
+
+@register(
+    "h16_supplier_part_count",
+    category="analytics",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def h16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted): how many distinct suppliers ship each
+    (brand, type, size) part group, excluding one brand and one type
+    (no partsupp → supplier evidence comes from lineitem; no complaint
+    comments → that exclusion is dropped).
+
+    Plan: all three part predicates prune the part dim BEFORE its join
+    (<> and IN both push to the scan); count distinct expands to the
+    standard two-phase aggregate — first (group, suppkey) dedup, then
+    count — both shuffles on bounded-cardinality keys."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
