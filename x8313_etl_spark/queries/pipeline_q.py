@@ -328,7 +328,9 @@ def p_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="pipeline",
     oracle=f"""
 WITH RECURSIVE {_SQL_SIMHASH_TABLE},
-p AS (
+p AS MATERIALIZED (
+  -- MATERIALIZED: the recursive closure joins p every iteration; the
+  -- n² hamming scan must run once, not once per propagation round
   SELECT a.doc_id AS src, b.doc_id AS dst
   FROM s a JOIN s b
     ON a.doc_id <> b.doc_id

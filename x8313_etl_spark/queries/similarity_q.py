@@ -307,7 +307,9 @@ def sim_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p_semantic_dedup",
     category="similarity",
     oracle=f"""
-WITH RECURSIVE p AS (
+WITH RECURSIVE p AS MATERIALIZED (
+  -- MATERIALIZED: the recursive closure joins p every iteration; the
+  -- n² cosine scan must run once, not once per propagation round
   SELECT a.vec_id AS src, b.vec_id AS dst
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
   WHERE {sql_cosine('a.embedding', 'b.embedding')} >= {_NEARDUP_TAU}
