@@ -550,3 +550,41 @@ def test_t15_replay_is_idempotent(spark, tmp_path):
     }
     assert final[100] == (3, 13.75, "purchase")
     assert final[200] == (1, 4.0, "view")
+
+
+def test_t15_restart_recovers_state_pointer(spark, tmp_path):
+    """A driver restart builds a FRESH sink object while Spark's
+    checkpoint resumes from the next epoch. The sink must recover its
+    state pointer from the committed version directories — if it
+    started empty, the post-restart epoch would merge against nothing
+    and silently drop all accumulated state."""
+    from x8313_etl_spark.operators.upsert_sink import user_profile_sink
+
+    schema = _TS_COLS + ", value double"
+    b0 = spark.createDataFrame(
+        [(1, _ts(0), 100, "view", 1.0), (2, _ts(1), 200, "view", 2.0)], schema=schema
+    )
+    b1 = spark.createDataFrame([(3, _ts(2), 100, "click", 4.0)], schema=schema)
+    b2 = spark.createDataFrame([(4, _ts(3), 200, "purchase", 8.0)], schema=schema)
+
+    root = str(tmp_path / "state")
+    sink = user_profile_sink(root)
+    sink.apply_batch(b0, 0)
+    sink.apply_batch(b1, 1)
+
+    # "crash": new sink object over the same root
+    sink2 = user_profile_sink(root)
+    assert sink2.current is not None and sink2.current.endswith("v1")
+    sink2.apply_batch(b1, 1)  # re-delivered epoch -> no-op
+    sink2.apply_batch(b2, 2)  # next epoch merges ON TOP of recovered state
+    final = {
+        r["user_id"]: (r["n_events"], float(r["sum_dec"]), r["last"]["event_type"])
+        for r in sink2.read_state(spark).collect()
+    }
+    assert final == {100: (2, 5.0, "click"), 200: (2, 10.0, "purchase")}
+
+    # retention: keep_versions=2 -> v0 pruned after v2 committed
+    import os
+
+    left = sorted(d for d in os.listdir(root) if d.startswith("v"))
+    assert left == ["v1", "v2"], left

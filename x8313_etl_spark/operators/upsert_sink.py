@@ -47,13 +47,31 @@ class KeyedUpsertSink:
         key: str,
         delta_fn: Callable[[DataFrame], DataFrame],
         merge_exprs: dict[str, MergeExpr],
+        keep_versions: int = 2,
     ) -> None:
         os.makedirs(state_root, exist_ok=True)
         self.state_root = state_root
         self.key = key
         self.delta_fn = delta_fn
         self.merge_exprs = merge_exprs
-        self.current: str | None = None
+        self.keep_versions = keep_versions
+        # Crash recovery: a restarted driver builds a FRESH sink object,
+        # but Spark's checkpoint resumes from the next epoch — if
+        # ``current`` started at None here, that epoch's merge would see
+        # empty state and silently drop everything accumulated so far.
+        # The committed version directories ARE the durable state, so
+        # recover the pointer from the highest one on disk.
+        done = self._versions_on_disk()
+        self.current: str | None = (
+            os.path.join(state_root, f"v{done[-1]}") if done else None
+        )
+
+    def _versions_on_disk(self) -> list[int]:
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(self.state_root)
+            if d.startswith("v") and not d.endswith(".tmp") and d[1:].isdigit()
+        )
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         """Merge one epoch's rows into the state table (idempotent)."""
@@ -83,6 +101,19 @@ class KeyedUpsertSink:
         merged.write.parquet(tmp)
         os.rename(tmp, vdir)  # atomic commit of epoch batch_id
         self.current = vdir
+        self._prune()
+
+    def _prune(self) -> None:
+        """Copy-on-write retention: drop all but the newest
+        ``keep_versions`` committed versions. The newest is live; one
+        predecessor is kept so an epoch replayed against the PREVIOUS
+        commit (the crash-between-commits window) still finds its
+        idempotency token. Older versions are unreferenced."""
+        import shutil
+
+        done = self._versions_on_disk()
+        for v in done[: -self.keep_versions]:
+            shutil.rmtree(os.path.join(self.state_root, f"v{v}"), ignore_errors=True)
 
     def read_state(self, spark) -> DataFrame:
         assert self.current is not None, "no epoch has been applied"
