@@ -28,3 +28,36 @@ def test_s15_compaction_reduces_file_counts(spark, sf_dir):
     assert all(n > 1 for n in small.values()), f"ingest not fragmented: {small}"
     assert all(n == 1 for n in compact.values()), f"not compacted: {compact}"
     assert sum(small.values()) > sum(compact.values())
+
+
+def test_o4_files_are_internally_sorted(spark, sf_dir):
+    """O4's contract is stronger than row-set equality: every output
+    file must be internally sorted by the global sort key, and file N's
+    key range must end before file N+1's begins (total order across
+    files)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from x8313_etl_spark.registry import registry
+
+    registry()["o4_global_sorted_write"].fn(spark, sf_dir).count()  # (re)write
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        f"o4_sorted_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    prev_max = None
+    for d in sorted(
+        glob.glob(os.path.join(root, "fileno=*")),
+        key=lambda p: int(p.rsplit("=", 1)[1]),
+    ):
+        rows = []
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            t = pq.read_table(f)
+            rows += list(zip(t["o_totalprice"].to_pylist(), t["o_orderkey"].to_pylist()))
+        assert rows == sorted(rows), f"file {d} not internally sorted"
+        if prev_max is not None:
+            assert prev_max <= rows[0], f"range overlap entering {d}"
+        prev_max = rows[-1]

@@ -262,3 +262,69 @@ def o3_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice")
         .limit(15)
     )
+
+
+@register(
+    "o4_global_sorted_write",
+    category="sort",
+    oracle="""
+SELECT fileno, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderkey, o_totalprice,
+         NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS fileno
+  FROM orders
+)
+""",
+)
+def o4_global_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: TOTALLY-ORDERED output files — the terasort shape. A plain
+    ``orderBy().write`` already yields range-partitioned sorted files,
+    but silently: nothing pins which rows land in which file. Here the
+    range boundaries are made EXPLICIT (exact per-file row quotas à la
+    NTILE, computed from a rank — deterministic because the sort key
+    (o_totalprice, o_orderkey) is total), the files are written sorted
+    via repartitionByRange on the file number + sortWithinPartitions,
+    and the read-back is verified file-by-file against the NTILE twin —
+    i.e. the oracle checks the FILE ASSIGNMENT, not just the row set.
+
+    Scale: rank+quota is one window over the sort key (the same
+    range-exchange a global sort pays); the write is 8 parallel sorted
+    streams. At 100 TB you raise the file count with the data — the
+    plan has no all-to-one stage. The deliberately tiny file count
+    keeps the fixture read-back cheap; the shape is count-independent.
+
+    Spark-vs-classic note: Spark's own orderBy().write uses SAMPLED
+    range boundaries (RangePartitioner), which are not reproducible
+    across engines — the exact-quota NTILE formulation trades one rank
+    window for a deterministic, oracle-checkable file layout."""
+    import shutil
+
+    from .sources_q import scratch, _tag
+
+    n_files = 8
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    cnt = o.count()
+    # exact NTILE quotas: first (cnt % n) files get ceil, rest floor
+    ranked = o.withColumn("rn", F.row_number().over(w) - 1)
+    base, extra = divmod(cnt, n_files)
+    fileno = F.when(
+        F.col("rn") < (base + 1) * extra,
+        F.floor(F.col("rn") / (base + 1)) + 1,
+    ).otherwise(
+        extra + F.floor((F.col("rn") - (base + 1) * extra) / base) + 1
+    ).cast("int")
+    assigned = ranked.select(
+        fileno.alias("fileno"), "o_orderkey", "o_totalprice"
+    )
+    path = scratch(f"o4_sorted_{_tag(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        assigned.repartitionByRange(n_files, "fileno")
+        .sortWithinPartitions("fileno", "o_totalprice", "o_orderkey")
+        .write.partitionBy("fileno")
+        .parquet(path)
+    )
+    return spark.read.schema(
+        "o_orderkey long, o_totalprice double, fileno int"
+    ).parquet(path).select("fileno", "o_orderkey", "o_totalprice")
