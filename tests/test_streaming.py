@@ -588,3 +588,25 @@ def test_t15_restart_recovers_state_pointer(spark, tmp_path):
 
     left = sorted(d for d in os.listdir(root) if d.startswith("v"))
     assert left == ["v1", "v2"], left
+
+
+def test_t15_stale_tmp_from_torn_write_is_clobbered(spark, tmp_path):
+    """A crash BETWEEN the tmp write and the rename leaves v{N}.tmp on
+    disk with no committed v{N}; the retried epoch must overwrite the
+    torn remnant and commit normally."""
+    import os
+
+    from x8313_etl_spark.operators.upsert_sink import user_profile_sink
+
+    schema = _TS_COLS + ", value double"
+    b0 = spark.createDataFrame([(1, _ts(0), 100, "view", 1.0)], schema=schema)
+    root = str(tmp_path / "state")
+    os.makedirs(root)
+    os.makedirs(os.path.join(root, "v0.tmp"))  # torn write remnant
+
+    sink = user_profile_sink(root)
+    assert sink.current is None  # the remnant must NOT look committed
+    sink.apply_batch(b0, 0)
+    rows = sink.read_state(spark).collect()
+    assert len(rows) == 1 and rows[0]["n_events"] == 1
+    assert not os.path.exists(os.path.join(root, "v0.tmp"))

@@ -98,7 +98,9 @@ class KeyedUpsertSink:
         else:
             merged = delta
         tmp = vdir + ".tmp"
-        merged.write.parquet(tmp)
+        # a crash between the tmp write and the rename leaves a stale
+        # tmp dir; the retried epoch must clobber it, not fail on it
+        merged.write.mode("overwrite").parquet(tmp)
         os.rename(tmp, vdir)  # atomic commit of epoch batch_id
         self.current = vdir
         self._prune()
