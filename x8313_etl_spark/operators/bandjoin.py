@@ -125,19 +125,19 @@ def _pair_cols(id_col, carry, out_suffixes):
     ]
 
 
-def _pair_self_join(banded, id_col, bucket_cols, carry, out_suffixes):
+def _pair_self_join(banded, id_col, bucket_cols, carry, out_suffixes, dedup=True):
+    """``dedup=False`` skips the per-branch distinct — callers that
+    union this output with another pair source and distinct THAT must
+    not pay three shuffle+dedup rounds where one suffices."""
     a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            on=[
-                *[F.col(f"a.{c}") == F.col(f"b.{c}") for c in bucket_cols],
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(*_pair_cols(id_col, carry, out_suffixes))
-        .distinct()
-    )
+    pairs = a.join(
+        b,
+        on=[
+            *[F.col(f"a.{c}") == F.col(f"b.{c}") for c in bucket_cols],
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+        ],
+    ).select(*_pair_cols(id_col, carry, out_suffixes))
+    return pairs.distinct() if dedup else pairs
 
 
 _SALT_I, _SALT_J = "__x8313_salt_i", "__x8313_salt_j"
@@ -189,7 +189,11 @@ def salted_band_self_join(
     )
     tagged = banded.join(F.broadcast(hot), list(bucket_cols), "left")
     cold = tagged.filter(F.col(_NBLK).isNull()).drop(_NBLK)
-    cold_pairs = _pair_self_join(cold, id_col, bucket_cols, carry, out_suffixes)
+    # dedup=False on both branches: the one distinct after the union
+    # below collapses cross-band duplicates AND diagonal orientations
+    cold_pairs = _pair_self_join(
+        cold, id_col, bucket_cols, carry, out_suffixes, dedup=False
+    )
 
     # Triangular block pairing. Role assignment in task (i, j) follows
     # SALT order (a-side holds the block-i rows, b-side the block-j
@@ -217,15 +221,24 @@ def salted_band_self_join(
         .drop("__salt", _NBLK)
     )
     hot_pairs = _pair_join_normalized(
-        a_side, b_side, id_col, [*bucket_cols, _SALT_I, _SALT_J], carry, out_suffixes
+        a_side,
+        b_side,
+        id_col,
+        [*bucket_cols, _SALT_I, _SALT_J],
+        carry,
+        out_suffixes,
+        dedup=False,
     )
     return cold_pairs.unionByName(hot_pairs).distinct()
 
 
-def _pair_join_normalized(a_df, b_df, id_col, key_cols, carry, out_suffixes):
+def _pair_join_normalized(
+    a_df, b_df, id_col, key_cols, carry, out_suffixes, dedup=True
+):
     """Join a_df×b_df on key equality + id inequality, emitting each
     pair id-ordered regardless of which side it arrived on (carry
-    columns swap together with their id)."""
+    columns swap together with their id). ``dedup=False`` defers the
+    distinct to a caller that distincts the combined output."""
     sa, sb = out_suffixes
     stem = id_col[:-3] if id_col.endswith("_id") else id_col
     a, b = a_df.alias("a"), b_df.alias("b")
@@ -243,14 +256,11 @@ def _pair_join_normalized(a_df, b_df, id_col, key_cols, carry, out_suffixes):
         *[pick(c, True).alias(f"{c}{sa}") for c in carry],
         *[pick(c, False).alias(f"{c}{sb}") for c in carry],
     ]
-    return (
-        a.join(
-            b,
-            on=[
-                *[F.col(f"a.{c}") == F.col(f"b.{c}") for c in key_cols],
-                F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(*cols)
-        .distinct()
-    )
+    pairs = a.join(
+        b,
+        on=[
+            *[F.col(f"a.{c}") == F.col(f"b.{c}") for c in key_cols],
+            F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
+        ],
+    ).select(*cols)
+    return pairs.distinct() if dedup else pairs

@@ -40,6 +40,11 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFEST = "_manifest"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first (optimistic
+    concurrency: retry commit() to target the next version)."""
+
+
 class SnapshotTable:
     """A versioned parquet table rooted at ``base`` (local or any
     Hadoop-visible path when given a path the cluster shares)."""
@@ -107,7 +112,20 @@ class SnapshotTable:
         final = os.path.join(self._manifest_dir(), f"{version:08d}.json")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.rename(tmp, final)  # atomic on POSIX — the commit point
+        # Commit point with writer mutual exclusion: os.rename would
+        # silently CLOBBER a concurrent committer's manifest for the
+        # same version (POSIX rename overwrites), losing their commit.
+        # link(2) fails with EEXIST instead — the loser's data dir
+        # becomes an unreferenced orphan (vacuum's job) and the loser
+        # raises, which is the correct optimistic-concurrency outcome.
+        try:
+            os.link(tmp, final)
+        except FileExistsError as exc:
+            os.unlink(tmp)
+            raise ConcurrentCommitError(
+                f"version {version} was committed by another writer"
+            ) from exc
+        os.unlink(tmp)
         return version
 
     # -- reads --------------------------------------------------------

@@ -21,6 +21,13 @@ count/decimal-sum/max-struct columns do):
    ``v{batch_id}`` commits via write-to-temp + atomic rename; a replay
    finds its version directory already present and skips.
 
+Operational contract: the idempotency token is the batch_id, which is
+only meaningful relative to ONE checkpoint lineage. The checkpoint
+directory and state_root must be retained or deleted TOGETHER — keeping
+the state_root while resetting the checkpoint makes the re-delivered
+epochs 0..N look like replays (nothing applies, stale state is served).
+Reprocessing from scratch = delete both.
+
 Scale: the merge is one state∪delta shuffle on the key per batch — the
 lakehouse MERGE cost model (same as operators/snapshots.py apply_cdc);
 state never transits the driver.
@@ -77,7 +84,12 @@ class KeyedUpsertSink:
         """Merge one epoch's rows into the state table (idempotent)."""
         vdir = os.path.join(self.state_root, f"v{batch_id}")
         if os.path.exists(vdir):  # replayed epoch: already committed
-            self.current = vdir
+            # never REWIND the pointer: a replay of an older epoch
+            # (delivered out of order after recovery) must not make the
+            # next merge build on pre-replay state and drop newer data
+            done = self._versions_on_disk()
+            if done and (self.current is None or batch_id >= done[-1]):
+                self.current = vdir
             return
         delta = self.delta_fn(batch)
         if self.current is not None:

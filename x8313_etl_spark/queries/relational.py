@@ -287,27 +287,65 @@ def o4_global_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the read-back is verified file-by-file against the NTILE twin —
     i.e. the oracle checks the FILE ASSIGNMENT, not just the row set.
 
-    Scale: rank+quota is one window over the sort key (the same
-    range-exchange a global sort pays); the write is 8 parallel sorted
-    streams. At 100 TB you raise the file count with the data — the
-    plan has no all-to-one stage. The deliberately tiny file count
-    keeps the fixture read-back cheap; the shape is count-independent.
+    Scale: the global rank is computed in TWO PHASES so no stage is
+    all-to-one — a naive row_number() over an unpartitioned window
+    would funnel every row through a single task, the exact 100 TB
+    failure this operator exists to avoid. Phase 1 range-partitions on
+    the sort key (Spark's sampled boundaries — they decide only WHERE
+    rows sit, never the rank) and ranks locally per partition; phase 2
+    broadcasts the per-partition row counts (one tiny bounded-row agg)
+    back as cumulative offsets, so global rank = offset + local rank.
+    The only single-partition window runs over the per-PARTITION count
+    table — bounded by the partition count at any data size (h15's
+    bounded-window argument). The write is n_files parallel sorted
+    streams; at 100 TB you raise both partition and file counts.
 
     Spark-vs-classic note: Spark's own orderBy().write uses SAMPLED
     range boundaries (RangePartitioner), which are not reproducible
-    across engines — the exact-quota NTILE formulation trades one rank
-    window for a deterministic, oracle-checkable file layout."""
+    across engines — the exact-quota NTILE formulation computed ON the
+    rank is what makes the file layout deterministic and
+    oracle-checkable while still using the sampled exchange for
+    balance."""
     import shutil
 
     from .sources_q import scratch, _tag
 
     n_files = 8
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    cnt = o.count()
-    # exact NTILE quotas: first (cnt % n) files get ceil, rest floor
-    ranked = o.withColumn("rn", F.row_number().over(w) - 1)
-    base, extra = divmod(cnt, n_files)
+    # phase 1: range-exchange + local rank (RangePartitioning orders
+    # partition ids by key range, so pid order == key order)
+    from ..operators.cachepool import swap_persist
+
+    r = (
+        o.repartitionByRange(n_files * 4, "o_totalprice", "o_orderkey")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    wloc = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    # persisted because BOTH the counts branch and the rank branch read
+    # it: pid must be assigned once, not re-derived per branch (exchange
+    # reuse normally guarantees that, but the persist makes it
+    # structural — and a 100 TB terasort checkpoints this stage anyway)
+    r = swap_persist(
+        "relational.o4_ranked", r.withColumn("lrn", F.row_number().over(wloc) - 1)
+    )
+    # phase 2: cumulative offsets over the BOUNDED per-partition counts
+    counts = r.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("c").over(woff), F.lit(0)).alias("off"),
+        F.sum("c").over(
+            Window.orderBy("pid").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("cnt"),
+    )
+    ranked = r.join(F.broadcast(offsets), "pid").withColumn(
+        "rn", F.col("off") + F.col("lrn")
+    )
+    # exact NTILE quotas in-plan: first (cnt % n) files get ceil, rest floor
+    base = F.floor(F.col("cnt") / n_files)
+    extra = F.col("cnt") % n_files
     fileno = F.when(
         F.col("rn") < (base + 1) * extra,
         F.floor(F.col("rn") / (base + 1)) + 1,

@@ -720,12 +720,16 @@ def t15_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost model as m1/SnapshotTable.apply_cdc, which this reuses
     conceptually (a streaming driver for the lakehouse MERGE)."""
     import os
-    import tempfile
+    import shutil
 
     from ..schemas import SCHEMAS
     from ..operators.upsert_sink import user_profile_sink
+    from .sources_q import scratch, _tag
 
-    work = tempfile.mkdtemp(prefix="x8313-t15-")
+    # deterministic rebuild per call (m2's pattern) — an mkdtemp here
+    # would leak a full events copy per invocation across a sweep
+    work = scratch(f"t15_upsert_{_tag(sf_dir)}")
+    shutil.rmtree(work, ignore_errors=True)
     src_dir = os.path.join(work, "src")
     ckpt = os.path.join(work, "ckpt")
 
