@@ -610,3 +610,50 @@ def test_t15_stale_tmp_from_torn_write_is_clobbered(spark, tmp_path):
     rows = sink.read_state(spark).collect()
     assert len(rows) == 1 and rows[0]["n_events"] == 1
     assert not os.path.exists(os.path.join(root, "v0.tmp"))
+
+
+def test_t15_final_state_is_batch_split_invariant(spark, tmp_path):
+    """The upsert sink's correctness argument is that every merged
+    column is a commutative monoid, so the final state cannot depend on
+    HOW the stream was cut into micro-batches. Pin it: the same 40
+    events through three different batchings (1 batch, 4 even batches,
+    7 ragged batches) must produce identical final states."""
+    import datetime as dt
+
+    from x8313_etl_spark.operators.upsert_sink import user_profile_sink
+
+    schema = _TS_COLS + ", value double"
+    types = ["view", "click", "purchase", "signup", "error"]
+    rows = [
+        (
+            i,
+            dt.datetime(2024, 1, 1, 9, 0, 0) + dt.timedelta(minutes=3 * i),
+            100 + (i * 7) % 5,
+            types[(i * 3) % 5],
+            float(i) * 1.25 - 10.0,
+        )
+        for i in range(40)
+    ]
+
+    def run(cuts):
+        sink = user_profile_sink(str(tmp_path / f"state_{len(cuts)}"))
+        start = 0
+        for epoch, end in enumerate(cuts):
+            batch = spark.createDataFrame(rows[start:end], schema=schema)
+            sink.apply_batch(batch, epoch)
+            start = end
+        return {
+            r["user_id"]: (
+                r["n_events"],
+                float(r["sum_dec"]),
+                r["last"]["event_id"],
+                r["last"]["event_type"],
+            )
+            for r in sink.read_state(spark).collect()
+        }
+
+    one = run([40])
+    even = run([10, 20, 30, 40])
+    ragged = run([3, 4, 11, 23, 24, 39, 40])
+    assert one == even == ragged
+    assert len(one) == 5  # all five users present
