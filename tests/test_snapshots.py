@@ -118,9 +118,13 @@ def test_unknown_version_raises(spark):
 
 
 def test_concurrent_commit_loser_fails_loudly(spark, tmp_path):
-    """Two writers racing to the same version: the second rename must
-    NOT clobber the first manifest — the loser raises and the winner's
-    data survives (optimistic concurrency, not silent last-writer-wins)."""
+    """Two writers racing to the same version: the loser must raise
+    ConcurrentCommitError through the REAL commit() path (not silently
+    clobber the winner), and the loser's orphaned data dir must be
+    reclaimed immediately — vacuum() only walks manifest-listed dirs,
+    so a leaked orphan would never be collectable."""
+    import os
+
     import pytest as _pytest
 
     from x8313_etl_spark.operators.snapshots import (
@@ -128,31 +132,26 @@ def test_concurrent_commit_loser_fails_loudly(spark, tmp_path):
         SnapshotTable,
     )
 
-    t1 = SnapshotTable(str(tmp_path / "tbl"))
-    t2 = SnapshotTable(str(tmp_path / "tbl"))  # second writer, same base
-    df_a = spark.range(3).withColumnRenamed("id", "k")
-    df_b = spark.range(5).withColumnRenamed("id", "k")
-    assert t1.commit(df_a) == 0
-    # both see version 0 as latest; both target version 1
-    df_a2 = spark.range(7).withColumnRenamed("id", "k")
-    v = t1.commit(df_a2)  # winner
-    assert v == 1
+    base = str(tmp_path / "tbl")
+    winner = SnapshotTable(base)
+    loser = SnapshotTable(base)
+    winner.commit(spark.range(3).withColumnRenamed("id", "k"))  # v0
 
-    # simulate t2's racing commit of the SAME version number by
-    # driving the low-level path: versions() was read before t1's
-    # commit landed. t2.commit recomputes versions() here, so force
-    # the race via a crafted manifest collision instead.
-    import json
-    import os
+    # stale read: the loser snapshots versions() BEFORE the winner's
+    # next commit lands (the race window), then both target version 1
+    stale = loser.versions()
+    loser.versions = lambda: stale  # type: ignore[method-assign]
+    assert winner.commit(spark.range(7).withColumnRenamed("id", "k")) == 1
 
-    mdir = os.path.join(str(tmp_path / "tbl"), "_manifest")
-    tmp = os.path.join(mdir, ".00000001.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"version": 1, "dirs": ["d-zzz"], "mode": "overwrite",
-                   "commit_ts": 0}, fh)
-    with _pytest.raises(FileExistsError):
-        os.link(tmp, os.path.join(mdir, "00000001.json"))
-    os.unlink(tmp)
+    before = {d for d in os.listdir(base) if d.startswith("d-")}
+    with _pytest.raises(ConcurrentCommitError):
+        loser.commit(spark.range(5).withColumnRenamed("id", "k"))
+    after = {d for d in os.listdir(base) if d.startswith("d-")}
+    assert after == before, "loser's orphaned data dir was not reclaimed"
+    # no stray tmp manifests either
+    assert not [
+        f for f in os.listdir(os.path.join(base, "_manifest")) if f.endswith(".tmp")
+    ]
 
-    # the surviving manifest is the winner's, and reads resolve to it
-    assert t2.read(spark, version=1).count() == 7
+    # the winner's commit is what version 1 resolves to
+    assert winner.read(spark, version=1).count() == 7

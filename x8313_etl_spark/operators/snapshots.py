@@ -108,20 +108,32 @@ class SnapshotTable:
             "mode": mode,
             "commit_ts": time.time(),
         }
-        tmp = os.path.join(self._manifest_dir(), f".{version:08d}.json.tmp")
+        # tmp is UNIQUE PER WRITER (uuid): a shared tmp name would let a
+        # racing committer truncate/overwrite this writer's manifest
+        # bytes before the link, publishing the wrong dir set under
+        # this writer's "success"
+        tmp = os.path.join(
+            self._manifest_dir(),
+            f".{version:08d}.{uuid.uuid4().hex[:8]}.json.tmp",
+        )
         final = os.path.join(self._manifest_dir(), f"{version:08d}.json")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         # Commit point with writer mutual exclusion: os.rename would
         # silently CLOBBER a concurrent committer's manifest for the
         # same version (POSIX rename overwrites), losing their commit.
-        # link(2) fails with EEXIST instead — the loser's data dir
-        # becomes an unreferenced orphan (vacuum's job) and the loser
-        # raises, which is the correct optimistic-concurrency outcome.
+        # link(2) fails with EEXIST instead — the loser raises, which is
+        # the correct optimistic-concurrency outcome (retry → version+1).
         try:
             os.link(tmp, final)
         except FileExistsError as exc:
             os.unlink(tmp)
+            # reclaim the loser's data dir NOW: no manifest will ever
+            # reference it, and vacuum() only walks manifest-listed
+            # dirs, so leaving it would leak a table copy per lost race
+            import shutil
+
+            shutil.rmtree(os.path.join(self.base, ddir), ignore_errors=True)
             raise ConcurrentCommitError(
                 f"version {version} was committed by another writer"
             ) from exc

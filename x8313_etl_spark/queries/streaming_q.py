@@ -726,10 +726,24 @@ def t15_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.upsert_sink import user_profile_sink
     from .sources_q import scratch, _tag
 
-    # deterministic rebuild per call (m2's pattern) — an mkdtemp here
-    # would leak a full events copy per invocation across a sweep
-    work = scratch(f"t15_upsert_{_tag(sf_dir)}")
-    shutil.rmtree(work, ignore_errors=True)
+    import time as _time
+    import uuid as _uuid
+
+    # Per-invocation UNIQUE dir (concurrent invocations must not rmtree
+    # each other's live checkpoint/state mid-stream), with best-effort
+    # pruning of aged-out siblings (a bare mkdtemp leaked a full events
+    # copy per invocation across a sweep). 30 min is far beyond any
+    # single invocation's lifetime here.
+    family = scratch(f"t15_upsert_{_tag(sf_dir)}")
+    cutoff = _time.time() - 1800
+    for d in os.listdir(family) if os.path.isdir(family) else []:
+        p = os.path.join(family, d)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    work = os.path.join(family, _uuid.uuid4().hex[:12])
     src_dir = os.path.join(work, "src")
     ckpt = os.path.join(work, "ckpt")
 
