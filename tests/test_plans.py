@@ -368,3 +368,30 @@ def test_h6_predicates_reach_the_scan(spark, sf_dir):
     assert "PushedFilters:" in plan
     pushed = plan.split("PushedFilters:", 1)[1].splitlines()[0]
     assert "l_shipdate" in pushed and "l_discount" in pushed, pushed
+
+
+def test_o4_rank_has_no_all_to_one_exchange(spark, sf_dir):
+    """o4's first draft ranked with an unpartitioned window — an
+    Exchange SinglePartition over every fact row. The two-phase rank
+    must keep all-to-one exchanges out of the fact path; the only
+    permissible SinglePartition input is the bounded per-partition
+    count table (≤ partition-count rows)."""
+    import re
+
+    from x8313_etl_spark.io import load_table
+    from x8313_etl_spark.session import default_parallelism
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    # reproduce the rank stage (the registered query's write makes its
+    # own executed plan awkward to introspect post-hoc)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    r = o.repartitionByRange(32, "o_totalprice", "o_orderkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wloc = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    ranked = r.withColumn("lrn", F.row_number().over(wloc) - 1)
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in plan
+    assert "Exchange SinglePartition" not in plan, plan
