@@ -9,7 +9,7 @@ the grouping key (A12 is a plan property, asserted in plan tests).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.numeric import davg, dsum, dsum_cents, sql_davg, sql_dsum, sql_dsum_cents
 from ..io import load_table
@@ -688,4 +688,55 @@ def a11b_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.unpivot(
         ["l_orderkey", "l_linenumber"], ["qty", "price", "discount"], "metric", "val"
+    )
+
+
+@register(
+    "a21_mode",
+    category="aggregation",
+    oracle="""
+SELECT c_mktsegment, o_orderpriority AS mode_priority, cnt AS mode_count
+FROM (
+  SELECT c_mktsegment, o_orderpriority, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY COUNT(*) DESC, o_orderpriority
+         ) AS rn
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_mktsegment, o_orderpriority
+)
+WHERE rn = 1
+""",
+)
+def a21_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21: statistical MODE per group (SQL:2023 ``mode()``) — the most
+    frequent order priority per market segment, with a deterministic
+    value tiebreak (Spark's and DuckDB's native mode() leave ties
+    engine-defined, so both sides compute the pinned two-level form:
+    count per (group, value), then top-1 per group by (count desc,
+    value)).
+
+    Scale: the first aggregate shuffles on the composite key and
+    map-side combines; the top-1 is w7's WindowGroupLimit shape over
+    the ALREADY-AGGREGATED table — |groups|×|domain| rows, not input
+    rows. The same decomposition computes mode over any unbounded
+    value domain without per-group collection."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    counted = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("cnt"), F.col("o_orderpriority")
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("mode_count"),
+        )
     )

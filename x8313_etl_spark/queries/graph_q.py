@@ -128,3 +128,99 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
     return ranks.select("node", F.col("r").cast("bigint").alias("rank_pico"))
+
+
+BFS_HOPS = 4
+_SEEDS = "('S0','S1','S2','S3','S4')"
+
+
+def _bfs_oracle(hops: int = BFS_HOPS) -> str:
+    ctes = [
+        """e AS (
+  SELECT DISTINCT 'S' || CAST(l.l_suppkey AS VARCHAR) AS src,
+                  'C' || CAST(o.o_custkey AS VARCHAR) AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)""",
+        "ed AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)",
+        "nodes AS (SELECT DISTINCT src AS node FROM ed)",
+        f"h0 AS (SELECT node, 0 AS hop FROM nodes WHERE node IN {_SEEDS})",
+    ]
+    for i in range(1, hops + 1):
+        ctes.append(
+            f"""h{i} AS (
+  SELECT node, MIN(hop) AS hop FROM (
+    SELECT node, hop FROM h{i - 1}
+    UNION ALL
+    SELECT ed.dst AS node, p.hop + 1 AS hop
+    FROM ed JOIN h{i - 1} p ON ed.src = p.node
+  ) GROUP BY node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT nodes.node, CAST(coalesce(h.hop, -1) AS INTEGER) AS hops
+FROM nodes LEFT JOIN h{hops} h ON h.node = nodes.node"""
+    )
+
+
+@register(
+    "g2_bfs_hops",
+    category="graph",
+    oracle=_bfs_oracle(),
+)
+def g2_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: breadth-first hop distance from a seed set (suppliers S0-S4)
+    over the symmetric supplier↔customer graph, k={k} expansion rounds,
+    unreached nodes labeled -1. The third iterative-graph operator
+    (after PageRank's mass propagation and concomp's min-label
+    fixpoint): BFS's monotone min(hop) update is the frontier pattern
+    behind reachability, influence radius, and contamination-spread
+    audits over entity graphs.
+
+    Determinism needs no fixed-point trick: hops are small integers and
+    the round count is FIXED on both sides (k chained CTE levels in the
+    twin, k loop turns here), so no convergence-detection mismatch can
+    arise. Per round: one edge⋈frontier shuffle on src (the same key
+    every round — co-partitioning reused, g1's discipline), a min-agg
+    (map-side combined), and a per-round persist to truncate lineage.
+    At 100 TB the labels table stays node-sized; frontier rounds equal
+    the graph diameter, and each round's cost tracks the ACTIVE
+    frontier, not the full edge set, once most labels stop improving —
+    the standard Pregel-style cost model.""".format(k=BFS_HOPS)
+    from pyspark import StorageLevel
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    ed = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = ed.select(F.col("src").alias("node")).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    seeds = [f"S{i}" for i in range(5)]
+    labels = nodes.filter(F.col("node").isin(seeds)).select(
+        "node", F.lit(0).alias("hop")
+    )
+    for _ in range(BFS_HOPS):
+        expanded = ed.join(labels, ed.src == labels.node).select(
+            F.col("dst").alias("node"), (F.col("hop") + 1).alias("hop")
+        )
+        labels = (
+            labels.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("hop").alias("hop"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce(F.col("hop"), F.lit(-1)).cast("int").alias("hops")
+    )
