@@ -224,3 +224,99 @@ def g2_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.join(labels, "node", "left").select(
         "node", F.coalesce(F.col("hop"), F.lit(-1)).cast("int").alias("hops")
     )
+
+
+_TRI_MIN_SHARED = 26
+
+
+@register(
+    "g3_triangle_count",
+    category="graph",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, a.l_orderkey AS ok
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+e AS (
+  SELECT s1, s2 FROM pairs
+  GROUP BY s1, s2 HAVING count(DISTINCT ok) >= {_TRI_MIN_SHARED}
+),
+tri AS (
+  SELECT e1.s1 AS x, e1.s2 AS y, e2.s2 AS z
+  FROM e e1
+  JOIN e e2 ON e2.s1 = e1.s1 AND e2.s2 > e1.s2
+  JOIN e e3 ON e3.s1 = e1.s2 AND e3.s2 = e2.s2
+),
+corners AS (
+  SELECT x AS s_suppkey FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+       CAST(count(*) AS BIGINT) AS tri_cnt
+FROM corners GROUP BY s_suppkey
+""",
+)
+def g3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: per-node triangle counts over the supplier co-supply graph
+    (edge = two suppliers sharing >= {t} distinct orders) — the fourth
+    graph operator, and the one whose naive form is the classic
+    shuffle-volume trap. The twin enumerates each triangle once via
+    id-ordered edges (x<y<z). The Spark side uses DEGREE-ORDERED
+    orientation instead: every canonical edge points from its lower-
+    (degree, id)-ranked endpoint to the higher, wedges are built only
+    at each triangle's lowest-ranked corner, and the closing edge is
+    probed in orientation order. Orientation changes WHICH join builds
+    a given triangle, never whether it is built, so the corner counts
+    are twin-identical — while the wedge volume drops from
+    sum(deg^2) to O(m^1.5) (arboricity bound): the node that would
+    fan out quadratically is exactly the one demoted to wedge APEX
+    last. Both wedge and closure joins are equi-shuffles on edge keys;
+    the per-order pairing fanout is bounded by order size (<= 7
+    lineitems in TPC-H shape), so the pairs stage is a bounded-fanout
+    equi self-join, never a cross join.""".format(t=_TRI_MIN_SHARED)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2"))
+    e = (
+        a.join(b, ["ok"])
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count_distinct("ok").alias("shared"))
+        .filter(F.col("shared") >= _TRI_MIN_SHARED)
+        .select("s1", "s2")
+    )
+    # (deg, id) rank packed into one bigint: deg << 31 | id. Orientation
+    # is an internal detail -- any total order yields the same triangle
+    # set -- but the degree order is what bounds the wedge fanout.
+    deg = (
+        e.select(F.col("s1").alias("node"))
+        .unionAll(e.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select("node", (F.col("deg") * F.lit(2147483648) + F.col("node")).alias("rnk"))
+    )
+    r1 = deg.select(F.col("node").alias("s1"), F.col("rnk").alias("rnk1"))
+    r2 = deg.select(F.col("node").alias("s2"), F.col("rnk").alias("rnk2"))
+    er = e.join(r1, "s1").join(r2, "s2")
+    oriented = er.select(
+        F.when(F.col("rnk1") < F.col("rnk2"), F.col("s1")).otherwise(F.col("s2")).alias("src"),
+        F.when(F.col("rnk1") < F.col("rnk2"), F.col("s2")).otherwise(F.col("s1")).alias("dst"),
+        F.greatest("rnk1", "rnk2").alias("rdst"),
+    )
+    o1 = oriented.select("src", F.col("dst").alias("w1"), F.col("rdst").alias("rw1"))
+    o2 = oriented.select("src", F.col("dst").alias("w2"), F.col("rdst").alias("rw2"))
+    wedges = o1.join(o2, ["src"]).filter(F.col("rw1") < F.col("rw2")).select(
+        F.col("src").alias("apex"), "w1", "w2"
+    )
+    closing = oriented.select(F.col("src").alias("w1"), F.col("dst").alias("w2"))
+    tri = wedges.join(closing, ["w1", "w2"])
+    corners = (
+        tri.select(F.col("apex").alias("s_suppkey"))
+        .unionAll(tri.select(F.col("w1").alias("s_suppkey")))
+        .unionAll(tri.select(F.col("w2").alias("s_suppkey")))
+    )
+    return corners.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tri_cnt")
+    ).select(F.col("s_suppkey").cast("bigint").alias("s_suppkey"), "tri_cnt")

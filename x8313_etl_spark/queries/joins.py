@@ -453,3 +453,145 @@ def j13_null_aware_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+_OVL_SESS_GAP_US = 30 * 60 * 1_000_000
+_OVL_INC_GAP_US = 10 * 60 * 1_000_000
+_OVL_HOUR_US = 3_600_000_000
+
+
+@register(
+    "j14_interval_overlap_join",
+    category="joins",
+    oracle=f"""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_OVL_SESS_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sid AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+),
+a AS (
+  SELECT user_id, min(ts) AS s_start, max(ts) AS s_end
+  FROM sid GROUP BY user_id, sid
+),
+eg AS (
+  SELECT ts, date_trunc('day', ts) AS d,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_OVL_INC_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM events WHERE event_type = 'error'
+  WINDOW w AS (PARTITION BY date_trunc('day', ts) ORDER BY ts)
+),
+esid AS (
+  SELECT ts, d, SUM(brk) OVER (PARTITION BY d ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS iid
+  FROM eg
+),
+b AS (
+  SELECT min(ts) AS i_start, max(ts) AS i_end
+  FROM esid GROUP BY d, iid
+)
+SELECT a.user_id, a.s_start, a.s_end, b.i_start, b.i_end,
+       CAST(least(epoch_us(a.s_end), epoch_us(b.i_end))
+            - greatest(epoch_us(a.s_start), epoch_us(b.i_start)) AS BIGINT)
+         AS overlap_us
+FROM a JOIN b
+  ON a.s_start <= b.i_end AND b.i_start <= a.s_end
+""",
+)
+def j14_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14: interval-OVERLAP join with NO equi key — which user sessions
+    (per-user activity runs, 30-min gap) overlap which error incidents
+    (day-partitioned error-event runs, 10-min gap). Distinct from J8
+    (point-in-interval under a user_id equi-conjunct): here nothing
+    equi-joins, which is exactly where a naive plan degenerates to a
+    nested-loop over |A|x|B|. The Spark side runs the temporal-BLOCKING
+    formulation instead: every interval explodes into the hour blocks
+    it covers, the join becomes an EQUI join on the block id, the exact
+    closed-interval predicate filters within each block, and each
+    surviving pair is emitted exactly once -- at the block containing
+    greatest(starts), which any overlapping pair covers on both sides
+    (no distinct pass; dedup is a filter, not a shuffle). Candidate
+    volume is sum-over-blocks |A_blk| x |B_blk| -- concurrency per hour,
+    not corpus x corpus. Block width is a dial: match it to median
+    interval length so each interval covers O(1) blocks. The twin IS
+    the naive nested-loop -- fine at oracle scale, and the measurable
+    contrast is the point. Incident sessionization partitions its
+    window by DAY (midnight splits a run -- pinned semantics on both
+    sides) so no unpartitioned global window exists anywhere in the
+    plan."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "um", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("um")
+    gap = F.col("um") - F.lag("um").over(w)
+    sess = (
+        ev.withColumn(
+            "brk", F.when(gap.isNull() | (gap > _OVL_SESS_GAP_US), 1).otherwise(0)
+        )
+        .withColumn(
+            "sid",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.max("ts").alias("s_end"),
+            F.min("um").alias("s0"),
+            F.max("um").alias("s1"),
+        )
+    )
+    err = ev.filter(F.col("event_type") == "error").withColumn(
+        "d", F.date_trunc("day", F.col("ts"))
+    )
+    wi = Window.partitionBy("d").orderBy("um")
+    igap = F.col("um") - F.lag("um").over(wi)
+    inc = (
+        err.withColumn(
+            "brk", F.when(igap.isNull() | (igap > _OVL_INC_GAP_US), 1).otherwise(0)
+        )
+        .withColumn(
+            "iid",
+            F.sum("brk").over(wi.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .groupBy("d", "iid")
+        .agg(
+            F.min("ts").alias("i_start"),
+            F.max("ts").alias("i_end"),
+            F.min("um").alias("i0"),
+            F.max("um").alias("i1"),
+        )
+    )
+    # integer floor-div: double division + cast loses exactness at
+    # epoch-microsecond magnitudes near block boundaries
+    blk = lambda c: F.expr(f"{c} div {_OVL_HOUR_US}")  # noqa: E731 (um >= 0)
+    ab = sess.withColumn(
+        "blk", F.explode(F.sequence(blk("s0"), blk("s1")))
+    )
+    bb = inc.withColumn(
+        "blk", F.explode(F.sequence(blk("i0"), blk("i1")))
+    )
+    pairs = (
+        ab.join(bb, "blk")
+        .filter(
+            (F.col("s0") <= F.col("i1"))
+            & (F.col("i0") <= F.col("s1"))
+            & (F.col("blk") == F.expr(f"greatest(s0, i0) div {_OVL_HOUR_US}"))
+        )
+    )
+    return pairs.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        "i_start",
+        "i_end",
+        (F.least("s1", "i1") - F.greatest("s0", "i0")).cast("bigint").alias("overlap_us"),
+    )

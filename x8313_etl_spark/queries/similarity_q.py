@@ -381,3 +381,90 @@ def p_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("vec_id") == F.col("component")).cast("int").alias("keep"),
     )
+
+
+_KNN_K = 7
+_KNN_PROBE_MOD = 20
+
+
+@register(
+    "l10_knn_classify",
+    category="similarity",
+    oracle=f"""
+WITH sims AS (
+  SELECT a.vec_id AS probe_id, a.label AS true_label,
+         b.vec_id AS nbr, b.label AS nbr_label,
+         {sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
+  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+  WHERE a.vec_id % {_KNN_PROBE_MOD} = 0
+),
+topk AS (
+  SELECT * FROM sims
+  QUALIFY row_number() OVER (PARTITION BY probe_id
+                             ORDER BY cos_sim DESC, nbr) <= {_KNN_K}
+),
+votes AS (
+  SELECT probe_id, true_label, nbr_label, count(*) AS votes
+  FROM topk GROUP BY 1, 2, 3
+)
+SELECT probe_id,
+       CAST(true_label AS INTEGER) AS true_label,
+       CAST(nbr_label AS INTEGER) AS pred_label,
+       CAST(votes AS BIGINT) AS votes,
+       CAST(nbr_label = true_label AS INTEGER) AS correct
+FROM votes
+QUALIFY row_number() OVER (PARTITION BY probe_id
+                           ORDER BY votes DESC, nbr_label) = 1
+""",
+)
+def l10_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10: k-NN classification over the embedding corpus — predict each
+    probe's label by majority vote of its k={k} nearest neighbors
+    (cosine), the dedup-adjacent quality-control op for labeled
+    training corpora (label-noise audit: `correct` flags where the
+    neighborhood disagrees with the assigned label). Composition of the
+    Arrow probe scan (operators/annscan.py — one corpus pass, probes in
+    the closure, no n^2 join) + WindowGroupLimit top-k + a vote
+    aggregate whose winner is pinned (votes desc, label asc) so ties
+    can never flip cross-engine. Neighbor rank ties at the k boundary
+    are pinned too (cos desc, vec_id asc) on BOTH sides, and the cosine
+    fold is the dimension-sequential form that is bit-identical to the
+    twin's list_reduce. At 100 TB the probe set is the closure-size
+    dial (<= ~10^4 per pass -- chunk probes across passes); the corpus
+    side stays a single streamed scan per pass, and the vote/argmax
+    stages shuffle only k rows per probe.""".format(k=_KNN_K)
+    from ..operators.annscan import cosine_probe_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % _KNN_PROBE_MOD == 0)
+    labels = e.select("vec_id", "label")
+    topk = (
+        cosine_probe_topk(e, probes, k=_KNN_K)
+        .join(
+            F.broadcast(labels.select(F.col("vec_id").alias("probe_id"),
+                                      F.col("label").alias("true_label"))),
+            "probe_id",
+        )
+        .join(
+            F.broadcast(labels.select(F.col("vec_id"),
+                                      F.col("label").alias("nbr_label"))),
+            "vec_id",
+        )
+    )
+    votes = topk.groupBy("probe_id", "true_label", "nbr_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("votes").desc(), F.col("nbr_label")
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 1)
+        .select(
+            "probe_id",
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("nbr_label").cast("int").alias("pred_label"),
+            F.col("votes").cast("bigint").alias("votes"),
+            (F.col("nbr_label") == F.col("true_label")).cast("int").alias("correct"),
+        )
+    )

@@ -110,9 +110,8 @@ def register(
 #: this set sort first. Regenerated per round by scripts/gen_green.py
 #: --write; after r03, the 16 still-unverified names (the streaming/
 #: timeseries tail plus the two repaired r03 hash failures) plus round
-#: 4's additions (m2_time_travel, p_sequence_pack, p_bm25_topk,
-#: t13_full_outer_stream_join) — 20 total — all fit in round 4's
-#: window (test_never_checked_queries_fit_the_window enforces this).
+#: 4's additions — 50 total, an EXACT window fit
+#: (test_never_checked_queries_fit_the_window enforces ≤ 50).
 _DRIVER_GREEN = frozenset(
     {
         "a10_max_by_min_by", "a11_pivot", "a11b_unpivot", "a13_hll_sketch_union",
