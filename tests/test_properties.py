@@ -237,3 +237,65 @@ def test_simhash_native_matches_hof_fold(spark):
     joined = ref.join(fast, "doc_id", "full")
     assert joined.filter("sh_ref IS NULL OR sh IS NULL").count() == 0
     assert joined.filter("sh_ref != sh").count() == 0
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+        max_size=20,
+    )
+)
+def test_triangle_counts_match_bruteforce(spark, edges):
+    """Degree-ordered orientation (operators/triangles.py) is an
+    implementation detail: corner counts must equal a brute-force
+    enumeration on arbitrary graphs."""
+    from collections import Counter
+    from itertools import combinations
+
+    from x8313_etl_spark.operators.triangles import triangle_corner_counts
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges}
+    eset = set(canon)
+    expected = Counter()
+    for x, y, z in combinations(sorted({n for e in canon for n in e}), 3):
+        if (x, y) in eset and (x, z) in eset and (y, z) in eset:
+            expected.update((x, y, z))
+    if not canon:
+        return
+    e = spark.createDataFrame(sorted(canon), "s1 long, s2 long")
+    got = {r.node: r.tri_cnt for r in triangle_corner_counts(e).collect()}
+    assert got == dict(expected), (sorted(canon), got, dict(expected))
+
+
+@settings(**_SETTINGS)
+@given(
+    a=st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(0, 3000)), min_size=1, max_size=12
+    ),
+    b=st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(0, 3000)), min_size=1, max_size=12
+    ),
+)
+def test_interval_overlap_join_matches_bruteforce(spark, a, b):
+    """Blocked overlap join (operators/overlap.py) ≡ the naive
+    all-pairs predicate — including intervals spanning many blocks,
+    zero-length intervals, and exact-touch endpoints — with no
+    duplicate pairs."""
+    from x8313_etl_spark.operators.overlap import interval_overlap_join
+
+    ai = [(i, s, s + d) for i, (s, d) in enumerate(a)]
+    bi = [(j, s, s + d) for j, (s, d) in enumerate(b)]
+    expected = sorted(
+        (i, j)
+        for i, s0, s1 in ai
+        for j, i0, i1 in bi
+        if s0 <= i1 and i0 <= s1
+    )
+    adf = spark.createDataFrame(ai, "aid long, s0 long, s1 long")
+    bdf = spark.createDataFrame(bi, "bid long, i0 long, i1 long")
+    got = sorted(
+        (r.aid, r.bid)
+        for r in interval_overlap_join(adf, bdf, block_width=1000).collect()
+    )
+    assert got == expected, (ai, bi, got, expected)

@@ -270,12 +270,14 @@ def g3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed in orientation order. Orientation changes WHICH join builds
     a given triangle, never whether it is built, so the corner counts
     are twin-identical — while the wedge volume drops from
-    sum(deg^2) to O(m^1.5) (arboricity bound): the node that would
-    fan out quadratically is exactly the one demoted to wedge APEX
-    last. Both wedge and closure joins are equi-shuffles on edge keys;
-    the per-order pairing fanout is bounded by order size (<= 7
-    lineitems in TPC-H shape), so the pairs stage is a bounded-fanout
-    equi self-join, never a cross join.""".format(t=_TRI_MIN_SHARED)
+    sum(deg^2) to O(m^1.5) (operators/triangles.py, property-tested
+    against brute force on random graphs). Both wedge and closure joins
+    are equi-shuffles on edge keys; the per-order pairing fanout is
+    bounded by order size (<= 7 lineitems in TPC-H shape), so the pairs
+    stage is a bounded-fanout equi self-join, never a cross
+    join.""".format(t=_TRI_MIN_SHARED)
+    from ..operators.triangles import triangle_corner_counts
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2"))
@@ -287,36 +289,6 @@ def g3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared") >= _TRI_MIN_SHARED)
         .select("s1", "s2")
     )
-    # (deg, id) rank packed into one bigint: deg << 31 | id. Orientation
-    # is an internal detail -- any total order yields the same triangle
-    # set -- but the degree order is what bounds the wedge fanout.
-    deg = (
-        e.select(F.col("s1").alias("node"))
-        .unionAll(e.select(F.col("s2").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .select("node", (F.col("deg") * F.lit(2147483648) + F.col("node")).alias("rnk"))
+    return triangle_corner_counts(e).select(
+        F.col("node").cast("bigint").alias("s_suppkey"), "tri_cnt"
     )
-    r1 = deg.select(F.col("node").alias("s1"), F.col("rnk").alias("rnk1"))
-    r2 = deg.select(F.col("node").alias("s2"), F.col("rnk").alias("rnk2"))
-    er = e.join(r1, "s1").join(r2, "s2")
-    oriented = er.select(
-        F.when(F.col("rnk1") < F.col("rnk2"), F.col("s1")).otherwise(F.col("s2")).alias("src"),
-        F.when(F.col("rnk1") < F.col("rnk2"), F.col("s2")).otherwise(F.col("s1")).alias("dst"),
-        F.greatest("rnk1", "rnk2").alias("rdst"),
-    )
-    o1 = oriented.select("src", F.col("dst").alias("w1"), F.col("rdst").alias("rw1"))
-    o2 = oriented.select("src", F.col("dst").alias("w2"), F.col("rdst").alias("rw2"))
-    wedges = o1.join(o2, ["src"]).filter(F.col("rw1") < F.col("rw2")).select(
-        F.col("src").alias("apex"), "w1", "w2"
-    )
-    closing = oriented.select(F.col("src").alias("w1"), F.col("dst").alias("w2"))
-    tri = wedges.join(closing, ["w1", "w2"])
-    corners = (
-        tri.select(F.col("apex").alias("s_suppkey"))
-        .unionAll(tri.select(F.col("w1").alias("s_suppkey")))
-        .unionAll(tri.select(F.col("w2").alias("s_suppkey")))
-    )
-    return corners.groupBy("s_suppkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tri_cnt")
-    ).select(F.col("s_suppkey").cast("bigint").alias("s_suppkey"), "tri_cnt")

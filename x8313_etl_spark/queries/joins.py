@@ -521,13 +521,14 @@ def j14_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     greatest(starts), which any overlapping pair covers on both sides
     (no distinct pass; dedup is a filter, not a shuffle). Candidate
     volume is sum-over-blocks |A_blk| x |B_blk| -- concurrency per hour,
-    not corpus x corpus. Block width is a dial: match it to median
-    interval length so each interval covers O(1) blocks. The twin IS
-    the naive nested-loop -- fine at oracle scale, and the measurable
-    contrast is the point. Incident sessionization partitions its
-    window by DAY (midnight splits a run -- pinned semantics on both
-    sides) so no unpartitioned global window exists anywhere in the
-    plan."""
+    not corpus x corpus (operators/overlap.py; block width is the
+    dial -- match it to median interval length so each interval covers
+    O(1) blocks). The twin IS the naive nested-loop -- fine at oracle
+    scale, and the measurable contrast is the point. Incident
+    sessionization partitions its window by DAY (midnight splits a
+    run -- pinned semantics on both sides) so no unpartitioned global
+    window exists anywhere in the plan."""
+    from ..operators.overlap import interval_overlap_join
     ev = load_table(spark, sf_dir, "events").withColumn(
         "um", F.unix_micros(F.col("ts").cast("timestamp"))
     )
@@ -570,23 +571,7 @@ def j14_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("um").alias("i1"),
         )
     )
-    # integer floor-div: double division + cast loses exactness at
-    # epoch-microsecond magnitudes near block boundaries
-    blk = lambda c: F.expr(f"{c} div {_OVL_HOUR_US}")  # noqa: E731 (um >= 0)
-    ab = sess.withColumn(
-        "blk", F.explode(F.sequence(blk("s0"), blk("s1")))
-    )
-    bb = inc.withColumn(
-        "blk", F.explode(F.sequence(blk("i0"), blk("i1")))
-    )
-    pairs = (
-        ab.join(bb, "blk")
-        .filter(
-            (F.col("s0") <= F.col("i1"))
-            & (F.col("i0") <= F.col("s1"))
-            & (F.col("blk") == F.expr(f"greatest(s0, i0) div {_OVL_HOUR_US}"))
-        )
-    )
+    pairs = interval_overlap_join(sess, inc, _OVL_HOUR_US)
     return pairs.select(
         "user_id",
         "s_start",
