@@ -183,9 +183,11 @@ def test_g3_plans_no_nested_loop(spark, sf_dir):
 
 def test_l10_one_prediction_per_probe(spark, sf_dir):
     """Exactly one winner row per probe; votes within [1, k]."""
+    from x8313_etl_spark.queries.similarity_q import _KNN_K
+
     df = registry()["l10_knn_classify"].fn(spark, sf_dir)
     rows = df.collect()
     probes = [r.probe_id for r in rows]
     assert len(probes) == len(set(probes)) > 0
-    assert all(1 <= r.votes <= 7 for r in rows)
+    assert all(1 <= r.votes <= _KNN_K for r in rows)
     assert all(r.correct in (0, 1) for r in rows)

@@ -33,7 +33,17 @@ def triangle_corner_counts(e: DataFrame) -> DataFrame:
 
     ``e``: canonical edge list — columns ``s1 < s2``, no duplicates.
     Returns ``(node, tri_cnt)`` for every node in ≥1 triangle.
+
+    Both ``e`` and the oriented table feed THREE consumers each (degree
+    union + rank joins; o1/o2/closing) — without a persist the caller's
+    edge-build lineage (in g3: the pair + count-distinct aggregate,
+    the dominant cost) re-executes per branch, the same
+    multi-consumer trap sim_ivf_topk hit (PERF.md). Persisted via the
+    keyed swap-pool so repeated invocations reuse instead of leak.
     """
+    from .cachepool import swap_persist
+
+    e = swap_persist("triangles.edges", e)
     deg = (
         e.select(F.col("s1").alias("node"))
         .unionAll(e.select(F.col("s2").alias("node")))
@@ -55,6 +65,7 @@ def triangle_corner_counts(e: DataFrame) -> DataFrame:
         .alias("dst"),
         F.greatest("rnk1", "rnk2").alias("rdst"),
     )
+    oriented = swap_persist("triangles.oriented", oriented)
     o1 = oriented.select("src", F.col("dst").alias("w1"), F.col("rdst").alias("rw1"))
     o2 = oriented.select("src", F.col("dst").alias("w2"), F.col("rdst").alias("rw2"))
     wedges = (

@@ -72,8 +72,8 @@ r{i} AS (
     oracle=_pagerank_oracle(),
 )
 def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G1: PageRank, {n} power iterations at damping {num}/{den} over
-    the symmetric supplier↔customer graph, in fixed-point pico-rank
+    """G1: PageRank, 5 power iterations (ITERATIONS) at damping 85/100
+    over the symmetric supplier↔customer graph, in fixed-point pico-rank
     units (module docstring explains why fixed-point). Each iteration is
     one edge⋈rank join (shuffle on src — the SAME key every round, so
     co-partitioning is reused), a per-node integer sum (map-side
@@ -82,9 +82,9 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncate lineage — the classic iterative-on-Spark discipline (at
     100 TB you'd checkpoint every few rounds instead; same idea,
     spill-proof). No collect anywhere: the node count enters the plan
-    as a crossed-in scalar aggregate.""".format(
-        n=ITERATIONS, num=DAMP_NUM, den=DAMP_DEN
-    )
+    as a crossed-in scalar aggregate. (A ``.format()`` on a docstring
+    literal makes it an expression — ``__doc__`` becomes None and the
+    registry's doc field goes blank — so the constants are inlined.)"""
     from pyspark import StorageLevel
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -172,8 +172,8 @@ FROM nodes LEFT JOIN h{hops} h ON h.node = nodes.node"""
 )
 def g2_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2: breadth-first hop distance from a seed set (suppliers S0-S4)
-    over the symmetric supplier↔customer graph, k={k} expansion rounds,
-    unreached nodes labeled -1. The third iterative-graph operator
+    over the symmetric supplier↔customer graph, k=4 (BFS_HOPS) expansion
+    rounds, unreached nodes labeled -1. The third iterative-graph operator
     (after PageRank's mass propagation and concomp's min-label
     fixpoint): BFS's monotone min(hop) update is the frontier pattern
     behind reachability, influence radius, and contamination-spread
@@ -188,7 +188,7 @@ def g2_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the labels table stays node-sized; frontier rounds equal
     the graph diameter, and each round's cost tracks the ACTIVE
     frontier, not the full edge set, once most labels stop improving —
-    the standard Pregel-style cost model.""".format(k=BFS_HOPS)
+    the standard Pregel-style cost model."""
     from pyspark import StorageLevel
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -260,7 +260,8 @@ FROM corners GROUP BY s_suppkey
 )
 def g3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3: per-node triangle counts over the supplier co-supply graph
-    (edge = two suppliers sharing >= {t} distinct orders) — the fourth
+    (edge = two suppliers sharing >= 26 (_TRI_MIN_SHARED) distinct
+    orders, calibrated to sf0.01 co-supply density) — the fourth
     graph operator, and the one whose naive form is the classic
     shuffle-volume trap. The twin enumerates each triangle once via
     id-ordered edges (x<y<z). The Spark side uses DEGREE-ORDERED
@@ -274,8 +275,7 @@ def g3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     against brute force on random graphs). Both wedge and closure joins
     are equi-shuffles on edge keys; the per-order pairing fanout is
     bounded by order size (<= 7 lineitems in TPC-H shape), so the pairs
-    stage is a bounded-fanout equi self-join, never a cross
-    join.""".format(t=_TRI_MIN_SHARED)
+    stage is a bounded-fanout equi self-join, never a cross join."""
     from ..operators.triangles import triangle_corner_counts
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")

@@ -529,47 +529,35 @@ def j14_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     run -- pinned semantics on both sides) so no unpartitioned global
     window exists anywhere in the plan."""
     from ..operators.overlap import interval_overlap_join
+    from ..operators.sessionize import with_session_seq
+
     ev = load_table(spark, sf_dir, "events").withColumn(
         "um", F.unix_micros(F.col("ts").cast("timestamp"))
     )
-    w = Window.partitionBy("user_id").orderBy("um")
-    gap = F.col("um") - F.lag("um").over(w)
     sess = (
-        ev.withColumn(
-            "brk", F.when(gap.isNull() | (gap > _OVL_SESS_GAP_US), 1).otherwise(0)
-        )
-        .withColumn(
-            "sid",
-            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-        )
-        .groupBy("user_id", "sid")
+        with_session_seq(ev, ["user_id"], _OVL_SESS_GAP_US)
+        .groupBy("user_id", "session_seq")
         .agg(
             F.min("ts").alias("s_start"),
             F.max("ts").alias("s_end"),
             F.min("um").alias("s0"),
             F.max("um").alias("s1"),
         )
+        .drop("session_seq")
     )
     err = ev.filter(F.col("event_type") == "error").withColumn(
         "d", F.date_trunc("day", F.col("ts"))
     )
-    wi = Window.partitionBy("d").orderBy("um")
-    igap = F.col("um") - F.lag("um").over(wi)
     inc = (
-        err.withColumn(
-            "brk", F.when(igap.isNull() | (igap > _OVL_INC_GAP_US), 1).otherwise(0)
-        )
-        .withColumn(
-            "iid",
-            F.sum("brk").over(wi.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-        )
-        .groupBy("d", "iid")
+        with_session_seq(err, ["d"], _OVL_INC_GAP_US)
+        .groupBy("d", "session_seq")
         .agg(
             F.min("ts").alias("i_start"),
             F.max("ts").alias("i_end"),
             F.min("um").alias("i0"),
             F.max("um").alias("i1"),
         )
+        .drop("d", "session_seq")
     )
     pairs = interval_overlap_join(sess, inc, _OVL_HOUR_US)
     return pairs.select(

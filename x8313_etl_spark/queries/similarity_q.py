@@ -419,7 +419,7 @@ QUALIFY row_number() OVER (PARTITION BY probe_id
 )
 def l10_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L10: k-NN classification over the embedding corpus — predict each
-    probe's label by majority vote of its k={k} nearest neighbors
+    probe's label by majority vote of its k=7 (_KNN_K) nearest neighbors
     (cosine), the dedup-adjacent quality-control op for labeled
     training corpora (label-noise audit: `correct` flags where the
     neighborhood disagrees with the assigned label). Composition of the
@@ -432,7 +432,7 @@ def l10_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin's list_reduce. At 100 TB the probe set is the closure-size
     dial (<= ~10^4 per pass -- chunk probes across passes); the corpus
     side stays a single streamed scan per pass, and the vote/argmax
-    stages shuffle only k rows per probe.""".format(k=_KNN_K)
+    stages shuffle only k rows per probe."""
     from ..operators.annscan import cosine_probe_topk
 
     e = load_table(spark, sf_dir, "embeddings")

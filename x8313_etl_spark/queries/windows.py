@@ -278,18 +278,12 @@ def w8_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Event ts values are unique per user in the fixtures AND the gap
     flag only compares consecutive-row differences, so ORDER BY ts is
     total and the result is deterministic."""
+    from ..operators.sessionize import with_session_seq
+
     ev = load_table(spark, sf_dir, "events").withColumn(
         "um", F.unix_micros(F.col("ts").cast("timestamp"))
     )
-    w = Window.partitionBy("user_id").orderBy("um")
-    gap = F.col("um") - F.lag("um").over(w)
-    new_sess = F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
-    sessions = ev.withColumn("new_sess", new_sess).withColumn(
-        "session_seq",
-        F.sum("new_sess")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("bigint"),
-    )
+    sessions = with_session_seq(ev, ["user_id"], _SESSION_GAP_US)
     return sessions.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
