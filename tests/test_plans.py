@@ -395,3 +395,14 @@ def test_o4_rank_has_no_all_to_one_exchange(spark, sf_dir):
     plan = ranked._jdf.queryExecution().executedPlan().toString()
     assert "Exchange rangepartitioning" in plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_w8_sessionize_single_exchange(spark, sf_dir):
+    """The sessionize helper's lag gap-test and running sum share one
+    window spec, and the per-session rollup groups on a SUPERSET of the
+    window's partition key — user_id partitioning already co-locates
+    every (user_id, session_seq) group, so Catalyst must plan exactly
+    ONE hash exchange for the whole query (the property
+    operators/sessionize.py documents)."""
+    plan = _plan(spark, "w8_sessionize", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -299,3 +299,34 @@ def test_interval_overlap_join_matches_bruteforce(spark, a, b):
         for r in interval_overlap_join(adf, bdf, block_width=1000).collect()
     )
     assert got == expected, (ai, bi, got, expected)
+
+
+@settings(**_SETTINGS)
+@given(
+    times=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_session_seq_gap_invariants(spark, times):
+    """operators/sessionize.py: within a session every consecutive gap
+    is <= gap_us; every session opener (seq > 1) breaks a > gap_us gap;
+    seqs are 1-based and contiguous per partition."""
+    from x8313_etl_spark.operators.sessionize import with_session_seq
+
+    GAP = 500
+    rows = sorted(set(times))
+    df = spark.createDataFrame(rows, "pid long, um long")
+    out = with_session_seq(df, ["pid"], GAP).collect()
+    by_pid = {}
+    for r in sorted(out, key=lambda r: (r.pid, r.um)):
+        by_pid.setdefault(r.pid, []).append((r.um, r.session_seq))
+    for pid, seq in by_pid.items():
+        assert seq[0][1] == 1, seq
+        for (u0, s0), (u1, s1) in zip(seq, seq[1:]):
+            if s1 == s0:
+                assert u1 - u0 <= GAP, (pid, seq)
+            else:
+                assert s1 == s0 + 1, (pid, seq)
+                assert u1 - u0 > GAP, (pid, seq)
