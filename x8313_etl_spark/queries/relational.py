@@ -216,14 +216,27 @@ FROM customer
 """,
 )
 def o1_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1: multi-key sort with DESC NULLS LAST, order embedded as rank."""
+    """O1: multi-key sort with DESC NULLS LAST, order embedded as rank.
+    The rank uses the TWO-PHASE global row number
+    (operators/globalrank.py) — the original unpartitioned
+    ``Window.orderBy`` planned an Exchange SinglePartition over every
+    customer row, the all-to-one shape the repo-wide shuffle audit
+    exists to catch; range-exchange + local rank + broadcast offsets
+    computes the identical rank with no all-to-one stage. The final
+    orderBy is the operator's own semantics (range exchange)."""
+    from ..operators.globalrank import with_global_rank
+    from ..session import default_parallelism
+
     c = load_table(spark, sf_dir, "customer")
     bal = F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(F.col("c_acctbal"))
-    w = Window.orderBy(bal.desc_nulls_last(), F.col("c_custkey"))
-    return c.select(
-        "c_custkey",
-        bal.alias("bal"),
-        F.row_number().over(w).alias("rn"),
+    ranked = with_global_rank(
+        c.select("c_custkey", bal.alias("bal")),
+        [F.col("bal").desc_nulls_last(), F.col("c_custkey")],
+        default_parallelism(),
+        key="relational.o1_ranked",
+    )
+    return ranked.select(
+        "c_custkey", "bal", (F.col("rn") + 1).cast("int").alias("rn")
     ).orderBy(F.col("bal").desc_nulls_last(), "c_custkey")
 
 
@@ -312,36 +325,18 @@ def o4_global_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_files = 8
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    # phase 1: range-exchange + local rank (RangePartitioning orders
-    # partition ids by key range, so pid order == key order)
-    from ..operators.cachepool import swap_persist
+    # two-phase global rank (operators/globalrank.py — factored from
+    # this query): range-exchange + local rank, bounded-count offsets
+    # broadcast back; persisted via the keyed pool because both the
+    # counts branch and the rank branch consume the ranked table
+    from ..operators.globalrank import with_global_rank
 
-    r = (
-        o.repartitionByRange(n_files * 4, "o_totalprice", "o_orderkey")
-        .withColumn("pid", F.spark_partition_id())
-    )
-    wloc = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
-    # persisted because BOTH the counts branch and the rank branch read
-    # it: pid must be assigned once, not re-derived per branch (exchange
-    # reuse normally guarantees that, but the persist makes it
-    # structural — and a 100 TB terasort checkpoints this stage anyway)
-    r = swap_persist(
-        "relational.o4_ranked", r.withColumn("lrn", F.row_number().over(wloc) - 1)
-    )
-    # phase 2: cumulative offsets over the BOUNDED per-partition counts
-    counts = r.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
-    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "pid",
-        F.coalesce(F.sum("c").over(woff), F.lit(0)).alias("off"),
-        F.sum("c").over(
-            Window.orderBy("pid").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("cnt"),
-    )
-    ranked = r.join(F.broadcast(offsets), "pid").withColumn(
-        "rn", F.col("off") + F.col("lrn")
+    ranked = with_global_rank(
+        o,
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        n_files * 4,
+        key="relational.o4_ranked",
+        count_col="cnt",
     )
     # exact NTILE quotas in-plan: first (cnt % n) files get ceil, rest floor
     base = F.floor(F.col("cnt") / n_files)
