@@ -330,3 +330,33 @@ def test_session_seq_gap_invariants(spark, times):
             else:
                 assert s1 == s0 + 1, (pid, seq)
                 assert u1 - u0 > GAP, (pid, seq)
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(-50, 50)), min_size=1, max_size=40
+    )
+)
+def test_global_rank_matches_sorted_position(spark, vals):
+    """operators/globalrank.py: the two-phase rank must equal the row's
+    position under the total order — including nulls (desc_nulls_last)
+    and duplicate values (id tiebreak) — at any partition count."""
+    import pyspark.sql.functions as F
+
+    from x8313_etl_spark.operators.globalrank import with_global_rank
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = with_global_rank(
+        df,
+        [F.col("v").desc_nulls_last(), F.col("id")],
+        partitions=4,
+        key="test.global_rank_prop",
+        count_col="cnt",
+    ).collect()
+    # expected: sort by (v desc with nulls last, id)
+    expected = sorted(rows, key=lambda r: (r[1] is None, -(r[1] or 0), r[0]))
+    exp_rank = {rid: i for i, (rid, _v) in enumerate(expected)}
+    assert all(r.cnt == len(rows) for r in out)
+    assert {r.id: r.rn for r in out} == exp_rank, (rows, out)
