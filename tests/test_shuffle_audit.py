@@ -1,27 +1,42 @@
 """Repo-wide shuffle audit as a regression gate.
 
-Every batch query's physical plan is scanned for the three 100 TB
-red-flag node types; each occurrence must be in the explicit allowlist
+Every batch query's physical plan is scanned for the red-flag node
+types in ``FLAGS``; each occurrence must be in the explicit allowlist
 below WITH a justification, and allowlisted counts must not grow. A new
 CartesianProduct / BroadcastNestedLoopJoin / Exchange SinglePartition
 anywhere else fails this test — the o1 fix (an unpartitioned rank
 window over every customer row, found by exactly this sweep) is why it
-exists. scripts/gen_audit.py --write renders ALLOWED into AUDIT.md.
+exists. ``FLAGS``/``count_hits`` are the single scan definition —
+scripts/gen_audit.py imports them (and ALLOWED) so the artifact and the
+gate can never audit different node sets.
 
 Streaming/timeseries queries are excluded here (their fns execute real
 microbatch jobs); the full sweep including them is scripts/gen_audit.py,
-whose only additional finding (ts_sliding_dau) is recorded in ALLOWED
-for the artifact even though this test does not reach it.
+which exits non-zero on any unjustified or errored entry. Its only
+additional finding (ts_sliding_dau) is recorded in ALLOWED for the
+artifact even though this test does not reach it.
 """
 
 from __future__ import annotations
+
+import pytest
 
 from x8313_etl_spark.registry import registry
 
 FLAGS = ("CartesianProduct", "BroadcastNestedLoopJoin", "Exchange SinglePartition")
 
-#: query -> (flag counts, justification). Counts are ceilings: fewer is
-#: fine (a planner improvement), more fails.
+#: categories whose fns execute streaming jobs — audited by
+#: scripts/gen_audit.py instead (see module docstring)
+SKIP_CATEGORIES = ("streaming", "timeseries")
+
+
+def count_hits(plan: str) -> dict[str, int]:
+    return {f: plan.count(f) for f in FLAGS if plan.count(f)}
+
+
+#: query -> (flag counts, justification). Counts are ceilings: growth
+#: fails the gate; a flag dropping to zero fails the stale check (per
+#: flag — delete the ceiling, don't leave it masking a regression).
 ALLOWED: dict[str, tuple[dict[str, int], str]] = {
     "a2_global_agg": (
         {"Exchange SinglePartition": 1},
@@ -117,23 +132,25 @@ ALLOWED: dict[str, tuple[dict[str, int], str]] = {
     ),
 }
 
-#: categories whose fns execute streaming jobs — audited by
-#: scripts/gen_audit.py instead (see module docstring)
-_SKIP_CATEGORIES = ("streaming", "timeseries")
 
-
-def test_no_unjustified_scale_red_flags(spark, sf_dir):
-    failures = []
+@pytest.fixture(scope="module")
+def audit_hits(spark, sf_dir) -> dict[str, dict[str, int]]:
+    """One sweep shared by both tests — each query fn builds (and, for
+    the few side-effecting ones, executes) exactly once per run."""
+    hits: dict[str, dict[str, int]] = {}
     for name, spec in registry().items():
-        if spec.category in _SKIP_CATEGORIES:
+        if spec.category in SKIP_CATEGORIES:
             continue
         plan = (
-            spec.fn(spark, sf_dir)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
+            spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         )
-        hits = {f: plan.count(f) for f in FLAGS if plan.count(f)}
+        hits[name] = count_hits(plan)
+    return hits
+
+
+def test_no_unjustified_scale_red_flags(audit_hits):
+    failures = []
+    for name, hits in audit_hits.items():
         allowed = ALLOWED.get(name, ({}, ""))[0]
         for flag, n in hits.items():
             if n > allowed.get(flag, 0):
@@ -144,21 +161,23 @@ def test_no_unjustified_scale_red_flags(spark, sf_dir):
     )
 
 
-def test_allowlist_has_no_stale_entries(spark, sf_dir):
-    """Every allowlisted batch query must still exhibit its flags —
-    a zero-hit entry means the plan improved and the ceiling should be
-    deleted, not left masking a future regression."""
+def test_allowlist_has_no_stale_entries(audit_hits):
+    """Every allowlisted (query, flag) pair must still fire — per FLAG,
+    so a planner improvement dropping one of an entry's flags can't
+    leave its ceiling masking a future regression. Unregistered names
+    are stale too (renamed/removed queries), reported rather than
+    crashing."""
+    reg = registry()
     stale = []
     for name, (flags, _why) in ALLOWED.items():
-        spec = registry()[name]
-        if spec.category in _SKIP_CATEGORIES:
+        spec = reg.get(name)
+        if spec is None:
+            stale.append((name, "query no longer registered"))
             continue
-        plan = (
-            spec.fn(spark, sf_dir)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
-        if all(plan.count(f) == 0 for f in flags):
-            stale.append(name)
-    assert not stale, stale
+        if spec.category in SKIP_CATEGORIES:
+            continue
+        got = audit_hits.get(name, {})
+        for flag in flags:
+            if got.get(flag, 0) == 0:
+                stale.append((name, flag))
+    assert not stale, f"stale allowlist ceilings — delete them: {stale}"

@@ -44,6 +44,14 @@ def with_global_rank(
     site). ``count_col``, if given, adds the total row count to every
     row (broadcast-joined, no extra pass over ``df``).
     """
+    reserved = {"__pid", "__lrn", "__off", "__cnt", rank_col}
+    if count_col is not None:
+        reserved.add(count_col)
+    clash = reserved.intersection(df.columns)
+    if clash:
+        # withColumn would silently REPLACE these and the final drop
+        # would delete caller data — fail loudly instead
+        raise ValueError(f"with_global_rank: input already has columns {sorted(clash)}")
     r = df.repartitionByRange(partitions, *order).withColumn(
         "__pid", F.spark_partition_id()
     )
