@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
+from ..audit import record_plan
+
 _POOL: dict[str, DataFrame] = {}
 
 
@@ -37,7 +39,18 @@ def swap_persist(
     level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
 ) -> DataFrame:
     """Persist ``df`` under ``key``; reuse the key's previous table when
-    the plan is unchanged, release it when it isn't."""
+    the plan is unchanged, release it when it isn't.
+
+    Every plan persisted here is also filed in the audit ledger
+    (x8313_etl_spark/audit.py) under ``key``: a swap_persisted table may
+    be consumed only inside later-``localCheckpoint``ed iterations
+    (p_semantic_dedup's pair graph feeding concomp), which truncate it
+    out of the returned DataFrame's plan — the ledger is how the shuffle
+    audit still sees it."""
+    # unconditional (even on the reuse path): the ledger must hold an
+    # entry for every live key each session, or the audit's staleness
+    # check couldn't tell "scanned, clean" from "never scanned"
+    record_plan(key, df)
     prev = _POOL.get(key)
     if prev is not None:
         try:

@@ -36,6 +36,8 @@ import pyspark.sql.functions as F
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
+from ..audit import record_plan
+
 
 class ConvergenceError(RuntimeError):
     """Label propagation did not reach a fixpoint within max_iter."""
@@ -49,6 +51,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    ledger_key: str = "concomp",
 ) -> DataFrame:
     """(node, component) with component = min node id in the component.
 
@@ -57,29 +60,39 @@ def connected_components(
     it is symmetrized and de-duplicated here. The result is returned
     materialized (the final checkpointed label table), not as a lazy
     plan over the whole iteration history.
+
+    Every plan this operator materializes — the symmetrized edge table
+    and each checkpointed round — is filed in the audit ledger under
+    ``ledger_key`` (callers pass their query name): ``localCheckpoint``
+    truncates lineage to a Scan ExistingRDD, so without the ledger the
+    shuffle audit would be blind to the EDGE GENERATOR's plan (the exact
+    O(n²) pair scan in p_semantic_dedup was the proof case).
     """
     sym = (
         edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
         .union(edges.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst")))
         .filter(F.col("e_src") != F.col("e_dst"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = nodes.select(
+    record_plan(f"{ledger_key}.edges", sym)
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    init = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("component")
-    ).localCheckpoint(eager=True)
+    )
+    record_plan(f"{ledger_key}.init", init)
+    labels = init.localCheckpoint(eager=True)
 
     try:
         for _ in range(max_iter):
             msgs = sym.join(labels, sym["e_src"] == labels["node"]).select(
                 F.col("e_dst").alias("node"), F.col("component")
             )
-            new = (
-                labels.unionByName(msgs)
-                .groupBy("node")
-                .agg(F.min("component").alias("component"))
-                .localCheckpoint(eager=True)
+            step = labels.unionByName(msgs).groupBy("node").agg(
+                F.min("component").alias("component")
             )
+            # same shape every round — one ledger slot, overwritten
+            record_plan(f"{ledger_key}.round", step)
+            new = step.localCheckpoint(eager=True)
             # min() is monotone non-increasing, so "no label got smaller"
             # is exactly the fixpoint test
             changed = (

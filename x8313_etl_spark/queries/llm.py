@@ -277,8 +277,12 @@ def l4_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched probe scan (operators/annscan.py — one corpus pass,
     probe matrix in the closure, dimension-sequential numpy folds that
     stay bit-identical to the SQL twin). Window top-k runs with
-    WindowGroupLimit pushdown. The bucketed ANN scale paths are
-    sim_ivf_topk / sim_lsh_neardup in queries/similarity_q.py."""
+    WindowGroupLimit pushdown. This query is the ORACLE BASELINE for
+    exact recall: its probe set grows with the corpus (vec_id % 25), so
+    total work is quadratic. The registered primary for scale is
+    sim_ivf_topk (bucketed candidates, bounded probe budget) in
+    queries/similarity_q.py; sim_lsh_neardup is the banded near-dup
+    sibling."""
     from ..operators.annscan import cosine_probe_topk
 
     e = load_table(spark, sf_dir, "embeddings")

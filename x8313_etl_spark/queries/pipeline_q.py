@@ -366,7 +366,8 @@ def p_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     return connected_components(
-        s.select("doc_id"), pairs, node_col="doc_id", src="doc_a", dst="doc_b"
+        s.select("doc_id"), pairs, node_col="doc_id", src="doc_a", dst="doc_b",
+        ledger_key="p_dedup_clusters",
     ).withColumnRenamed("component", "cluster_id")
 
 

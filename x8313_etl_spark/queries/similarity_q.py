@@ -115,34 +115,11 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/vector.py `dot_fixed` for the negative result.) The assign
     table is PERSISTED: it feeds both sides of the bucket search, and
     recomputing it per plan branch doubled the whole query (measured at
-    50k vectors) — via the keyed swap-pool (operators/cachepool.py) so
-    repeat invocations release the previous run's cache instead of
-    leaking one per call. Bucket skew at scale → AQE skew-join or
-    re-seed."""
-    from ..operators.cachepool import swap_persist
-
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
-        "vnorm", norm(F.col("embedding"))
-    )
-    cent = e.filter(F.col("vec_id") < _K_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("cvec"),
-        F.col("vnorm").alias("cnorm"),
-    )
-    ccos = dot(F.col("embedding"), F.col("cvec")) / (
-        F.col("vnorm") * F.col("cnorm")
-    )
-    crn = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_sim").desc(), F.col("cent_id")
-    )
-    assign = swap_persist(
-        "sim_ivf_topk.assign",
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cent_id", "embedding", "vnorm", ccos.alias("cos_sim"))
-        .withColumn("crn", F.row_number().over(crn))
-        .filter(F.col("crn") == 1)
-        .select("vec_id", "cent_id", "embedding", "vnorm"),
-    )
+    50k vectors) — via the keyed swap-pool (operators/cachepool.py,
+    shared with l10_knn_ivf through _ivf_assign) so repeat invocations
+    release the previous run's cache instead of leaking one per call.
+    Bucket skew at scale → AQE skew-join or re-seed."""
+    assign = _ivf_assign(spark, sf_dir)
     probes = assign.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("probe_id"),
         F.col("cent_id"),
@@ -164,6 +141,44 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "cent_id", "vec_id", cos.alias("cos_sim"))
         .withColumn("rn", F.row_number().over(rn))
         .filter(F.col("rn") <= _TOP_K)
+    )
+
+
+def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cent_id, embedding, vnorm, label): every vector assigned
+    to its nearest of the K deterministic seed centroids — the shared
+    bucketing core of sim_ivf_topk and l10_knn_ivf. One broadcast cross
+    join against the K seeds with the HOF-fold cosine and a map-side
+    WindowGroupLimit argmin; pooled under ONE swap_persist key so the
+    two queries share a single cached assignment instead of each holding
+    their own copy (and so the audit ledger sees the one justified
+    broadcast-nested-loop seed cross)."""
+    from ..operators.cachepool import swap_persist
+
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vnorm", norm(F.col("embedding"))
+    )
+    cent = e.filter(F.col("vec_id") < _K_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cvec"),
+        F.col("vnorm").alias("cnorm"),
+    )
+    ccos = dot(F.col("embedding"), F.col("cvec")) / (
+        F.col("vnorm") * F.col("cnorm")
+    )
+    crn = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cent_id")
+    )
+    return swap_persist(
+        "similarity.ivf_assign",
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "cent_id", "embedding", "vnorm", "label",
+            ccos.alias("cos_sim"),
+        )
+        .withColumn("crn", F.row_number().over(crn))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "cent_id", "embedding", "vnorm", "label"),
     )
 
 
@@ -189,6 +204,15 @@ def _plane_sign(j: int, d: int) -> float:
 
 HYPERPLANES: list[list[float]] = [
     [_plane_sign(j, d) for d in range(_DIM)] for j in range(_N_PLANES)
+]
+
+#: wider sketch for the dedup PRIMARY: 32 planes → 4 bands × 8 bits.
+#: Banding recall is 1-(1-p^b)^L with p = 1-θ/π — doubling the band
+#: count L (same 8-bit selectivity b) lifts recall at the design point
+#: (cos ≥ 0.9: 0.50 → 0.75; cos ≥ 0.95: 0.67 → 0.89) for 2× candidate
+#: volume, still Σ bucket² per band, never n².
+HYPERPLANES32: list[list[float]] = [
+    [_plane_sign(j, d) for d in range(_DIM)] for j in range(32)
 ]
 
 
@@ -217,10 +241,11 @@ def _sketch_expr(vec) -> "F.Column":
     return out
 
 
-def _sql_sketch(vec: str) -> str:
+def _sql_sketch(vec: str, planes: list[list[float]] | None = None) -> str:
+    planes = HYPERPLANES if planes is None else planes
     terms = []
-    for j in range(_N_PLANES):
-        arr = "[" + ", ".join(str(c) for c in HYPERPLANES[j]) + "]"
+    for j in range(len(planes)):
+        arr = "[" + ", ".join(str(c) for c in planes[j]) + "]"
         dotj = (
             f"list_reduce(list_transform(list_zip({vec}, {arr}), "
             f"p -> CAST(p[1] AS DOUBLE) * p[2]), (acc, x) -> acc + x)"
@@ -259,24 +284,69 @@ def sim_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs instead of n², and the guarded band join caps degenerate
     buckets (operators/bandjoin.py; the default cap cannot trigger on
     the fixture corpus, so the twin's band predicate is undisturbed)."""
-    from pyspark import StorageLevel
+    return _lsh_verified_pairs(spark, sf_dir, _LSH_TAU)
 
+
+def _lsh_verified_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float,
+    *,
+    planes: list[list[float]] | None = None,
+    n_bands: int = _PLANE_BANDS,
+    pool_key: str = "similarity.lsh_sketch",
+) -> DataFrame:
+    """Fixture-table entry point for :func:`banded_verified_pairs`."""
+    raw = load_table(spark, sf_dir, "embeddings")
+    return banded_verified_pairs(
+        raw,
+        tau,
+        planes=HYPERPLANES if planes is None else planes,
+        n_bands=n_bands,
+        pool_key=pool_key,
+    )
+
+
+def banded_verified_pairs(
+    raw: DataFrame,
+    tau: float,
+    *,
+    planes: list[list[float]],
+    n_bands: int,
+    pool_key: str,
+    band_bits: int = 8,
+) -> DataFrame:
+    """(vec_a, vec_b, cos_sim) for every vector pair sharing one of
+    ``n_bands`` LSH bands (``band_bits`` sketch bits each) with exact
+    cosine ≥ ``tau`` — the candidate+verify core of sim_lsh_neardup and
+    p_semantic_dedup_lsh. Sketching is an Arrow-batched map-only pass
+    (bit-identical to the SQL twin's expression form —
+    operators/annscan.py); the slim (id, sk, vnorm) table is pooled via
+    swap_persist (it feeds the banding AND both verify joins) while the
+    vectors stay in the source scan until the verify joins pull the
+    candidates' arrays.
+
+    Banding recall is 1-(1-p^band_bits)^n_bands with p = 1-θ/π: steep
+    in the similarity target. Near the design point (true near-dups,
+    cos ≥ 0.9) recall is high and rises with n_bands; for pairs barely
+    over a LOW τ on isotropic vectors (θ ≈ 60°+) EVERY sub-quadratic
+    candidate generator has low recall — that regime is the exact
+    baseline's job (tests/test_semdedup.py pins both sides of this)."""
     from ..operators.annscan import hyperplane_sketch
     from ..operators.bandjoin import guarded_band_self_join
+    from ..operators.cachepool import swap_persist
 
-    raw = load_table(spark, sf_dir, "embeddings")
-    # Arrow-batched sketch+norm pass (bit-identical to the expression
-    # form — operators/annscan.py); slim (id, sk, vnorm) is what we
-    # persist and band, the vectors stay in the parquet scan until the
-    # verify joins pull the candidates' arrays.
-    e = hyperplane_sketch(raw, HYPERPLANES).persist(StorageLevel.MEMORY_AND_DISK)
-    chunk = 255  # low 8 bits mask
+    assert len(planes) >= n_bands * band_bits, "sketch too narrow for banding"
+    e = swap_persist(pool_key, hyperplane_sketch(raw, planes))
+    mask = (1 << band_bits) - 1
     banded = e.select(
         "vec_id",
         F.posexplode(
             F.array(
-                F.col("sk").bitwiseAND(F.lit(chunk)),
-                F.shiftright(F.col("sk"), 8),
+                *[
+                    F.shiftright(F.col("sk"), band_bits * i).bitwiseAND(F.lit(mask))
+                    for i in range(n_bands)
+                ]
             )
         ).alias("band", "chunk"),
     )
@@ -299,7 +369,7 @@ def sim_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= _LSH_TAU)
+        .filter(F.col("cos_sim") >= tau)
     )
 
 
@@ -343,7 +413,12 @@ def p_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster/keep stages are unchanged — documented here rather than
     silently approximated, because the recursive-CTE twin verifies
     TRANSITIVE-CLOSURE equality, which only the exact graph satisfies
-    at τ this low."""
+    at τ this low.
+
+    This query is the ORACLE BASELINE (like sim_neardup_exact); the
+    registered primary for scale is p_semantic_dedup_lsh, which runs
+    the same cluster/keep pipeline end-to-end over LSH-banded
+    candidates with a band-aware twin."""
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "vnorm", norm(F.col("embedding"))
     )
@@ -374,7 +449,8 @@ def p_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b"),
     )
     comp = connected_components(
-        e.select("vec_id"), pairs, node_col="vec_id", src="vec_a", dst="vec_b"
+        e.select("vec_id"), pairs, node_col="vec_id", src="vec_a", dst="vec_b",
+        ledger_key="p_semantic_dedup",
     )
     return comp.select(
         "vec_id",
@@ -432,7 +508,12 @@ def l10_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin's list_reduce. At 100 TB the probe set is the closure-size
     dial (<= ~10^4 per pass -- chunk probes across passes); the corpus
     side stays a single streamed scan per pass, and the vote/argmax
-    stages shuffle only k rows per probe."""
+    stages shuffle only k rows per probe.
+
+    This query is the ORACLE BASELINE: its probe set grows with the
+    corpus (vec_id % 20), so total work is quadratic. The registered
+    primary for scale is l10_knn_ivf — capped probe budget + IVF
+    bucket candidates, same vote/argmax semantics."""
     from ..operators.annscan import cosine_probe_topk
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -450,6 +531,193 @@ def l10_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       F.col("label").alias("nbr_label"))),
             "vec_id",
         )
+    )
+    votes = topk.groupBy("probe_id", "true_label", "nbr_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("votes").desc(), F.col("nbr_label")
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 1)
+        .select(
+            "probe_id",
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("nbr_label").cast("int").alias("pred_label"),
+            F.col("votes").cast("bigint").alias("votes"),
+            (F.col("nbr_label") == F.col("true_label")).cast("int").alias("correct"),
+        )
+    )
+
+
+_DEDUP_BANDS = 4  # 4 bands × 8 bits over the 32-plane sketch
+
+_SQL_BAND_HIT = " OR ".join(
+    f"((a.sk >> {8 * i}) & 255) = ((b.sk >> {8 * i}) & 255)"
+    for i in range(_DEDUP_BANDS)
+)
+
+
+@register(
+    "p_semantic_dedup_lsh",
+    category="similarity",
+    bench=True,
+    oracle=f"""
+WITH RECURSIVE s AS MATERIALIZED (
+  SELECT vec_id, embedding, {_sql_sketch('embedding', HYPERPLANES32)} AS sk
+  FROM embeddings
+),
+p AS MATERIALIZED (
+  -- MATERIALIZED: the recursive closure joins p every round; the banded
+  -- candidate scan must run once, not once per propagation round
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM s a JOIN s b ON a.vec_id <> b.vec_id
+  WHERE ({_SQL_BAND_HIT})
+    AND {sql_cosine('a.embedding', 'b.embedding')} >= {_NEARDUP_TAU}
+),
+reach AS (
+  SELECT vec_id, vec_id AS label FROM embeddings
+  UNION
+  SELECT p.dst AS vec_id, reach.label FROM reach JOIN p ON p.src = reach.vec_id
+)
+SELECT vec_id,
+       min(label) AS cluster_id,
+       CAST(vec_id = min(label) AS INTEGER) AS keep
+FROM reach GROUP BY vec_id
+""",
+)
+def p_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, BUCKETED end-to-end — the PRIMARY 100 TB form
+    (p_semantic_dedup with the exact O(n²) pair graph is the oracle
+    baseline it is checked against). Edges are the LSH-banded verified
+    pairs (banded_verified_pairs: map-only 32-plane hyperplane sketch →
+    Σ bucket² band self-join instead of n², 4 bands × 8 bits → exact
+    cosine ≥ τ verify on candidates only), then connected components +
+    keep-one-per-cluster, both unchanged from the exact form. The
+    DuckDB twin applies the SAME band predicate inside its
+    recursive-closure pair CTE, so banding recall is part of WHAT is
+    verified, not an unchecked approximation: the twin's transitive
+    closure over banded edges must equal ours exactly. Recall is
+    τ-dependent by the LSH collision law (docstring of
+    banded_verified_pairs; high at the cos ≥ 0.9 dedup design point,
+    property-tested on constructed near-dups in tests/test_semdedup.py;
+    structurally low for ANY sub-quadratic generator on barely-over-a-
+    low-τ isotropic pairs — that regime belongs to the exact baseline).
+    Every stage shuffles on bounded keys (band buckets, edge
+    endpoints); nothing is corpus×corpus."""
+    from ..operators.cachepool import swap_persist
+
+    pairs = swap_persist(
+        "similarity.lsh_dedup_pairs",
+        _lsh_verified_pairs(
+            spark,
+            sf_dir,
+            _NEARDUP_TAU,
+            planes=HYPERPLANES32,
+            n_bands=_DEDUP_BANDS,
+            pool_key="similarity.lsh32_sketch",
+        ).select("vec_a", "vec_b"),
+    )
+    ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    comp = connected_components(
+        ids, pairs, node_col="vec_id", src="vec_a", dst="vec_b",
+        ledger_key="p_semantic_dedup_lsh",
+    )
+    return comp.select(
+        "vec_id",
+        F.col("component").alias("cluster_id"),
+        (F.col("vec_id") == F.col("component")).cast("int").alias("keep"),
+    )
+
+
+_KNN_PROBE_CAP = 2000
+
+
+@register(
+    "l10_knn_ivf",
+    category="similarity",
+    bench=True,
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+         WHERE vec_id < {_K_CENTROIDS}),
+assign AS (
+  SELECT vec_id, cent_id, embedding, label FROM (
+    SELECT e.vec_id, cent.cent_id, e.embedding, e.label,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {sql_cosine('e.embedding', 'cent.cvec')} DESC, cent.cent_id
+           ) AS crn
+    FROM e CROSS JOIN cent
+  ) WHERE crn = 1
+),
+sims AS (
+  SELECT p.vec_id AS probe_id, p.label AS true_label,
+         m.vec_id AS nbr, m.label AS nbr_label,
+         {sql_cosine('p.embedding', 'm.embedding')} AS cos_sim
+  FROM assign p JOIN assign m
+    ON p.cent_id = m.cent_id AND m.vec_id != p.vec_id
+  WHERE p.vec_id % {_KNN_PROBE_MOD} = 0 AND p.vec_id < {_KNN_PROBE_CAP}
+),
+topk AS (
+  SELECT * FROM sims
+  QUALIFY row_number() OVER (PARTITION BY probe_id
+                             ORDER BY cos_sim DESC, nbr) <= {_KNN_K}
+),
+votes AS (
+  SELECT probe_id, true_label, nbr_label, count(*) AS votes
+  FROM topk GROUP BY 1, 2, 3
+)
+SELECT probe_id,
+       CAST(true_label AS INTEGER) AS true_label,
+       CAST(nbr_label AS INTEGER) AS pred_label,
+       CAST(votes AS BIGINT) AS votes,
+       CAST(nbr_label = true_label AS INTEGER) AS correct
+FROM votes
+QUALIFY row_number() OVER (PARTITION BY probe_id
+                           ORDER BY votes DESC, nbr_label) = 1
+""",
+)
+def l10_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label audit over IVF-BUCKETED candidates — the PRIMARY
+    100 TB form (l10_knn_classify's full-corpus probe scan is the oracle
+    baseline). Two dials bound the work: the probe set is capped
+    (vec_id % 20 = 0 AND vec_id < 2000 — a fixed budget per pass, the
+    annscan closure contract, instead of growing with the corpus), and
+    each probe searches only its own IVF bucket (nprobe=1), so per-probe
+    work is bucket-sized (n/K) rather than corpus-sized; K is the
+    deployment dial that scales with corpus. The assignment table is the
+    pooled _ivf_assign shared with sim_ivf_topk — one broadcast seed
+    cross, cached once for both queries. Probes are broadcast into the
+    bucket join (K=16 distinct keys would collapse a shuffle join's
+    parallelism — same rationale as sim_ivf_topk), so the per-pair
+    cosine and the partial top-k run inside the corpus scan's own
+    partitioning. Vote argmax pinned (votes desc, label asc) and
+    neighbor rank pinned (cos desc, vec_id asc) on both engines."""
+    assign = _ivf_assign(spark, sf_dir)
+    probes = assign.filter(
+        (F.col("vec_id") % _KNN_PROBE_MOD == 0) & (F.col("vec_id") < _KNN_PROBE_CAP)
+    ).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("cent_id"),
+        F.col("embedding").alias("pvec"),
+        F.col("vnorm").alias("pnorm"),
+        F.col("label").alias("true_label"),
+    )
+    cos = dot(F.col("pvec"), F.col("embedding")) / (F.col("pnorm") * F.col("vnorm"))
+    rn = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    topk = (
+        assign.join(F.broadcast(probes), on="cent_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id", "true_label",
+            F.col("label").alias("nbr_label"),
+            "vec_id",
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") <= _KNN_K)
     )
     votes = topk.groupBy("probe_id", "true_label", "nbr_label").agg(
         F.count(F.lit(1)).alias("votes")

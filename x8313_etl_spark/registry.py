@@ -115,41 +115,54 @@ def register(
 _DRIVER_GREEN = frozenset(
     {
         "a10_max_by_min_by", "a11_pivot", "a11b_unpivot", "a13_hll_sketch_union",
-        "a14_cohort_retention", "a15_histogram", "a16_funnel_conversion", "a18_bitmap_distinct",
-        "a19_approx_top_k", "a1_groupby_basic", "a20_listagg", "a2_global_agg",
-        "a3_count_distinct", "a4_approx_count_distinct", "a5_conditional_agg", "a6_rollup",
-        "a6b_cube", "a6c_grouping_sets", "a7_collect_list_set", "a8_statistical_aggs",
-        "a9_percentiles", "a9b_approx_percentiles", "dq_profile", "f10_explode",
-        "f11_higher_order", "f12_map_functions", "f13_json", "f14_struct_ops",
-        "f15_variant_extract", "f16_url_parse", "f1_string_basics", "f2_string_regex",
-        "f3_string_distance", "f4_datetime_extract", "f5_datetime_arith", "f6_math",
-        "f7_conditional", "f8_hashing", "f9_array_basics", "g1_pagerank",
-        "j10_self_join_lag", "j11_star_join_revenue", "j12_salted_skew_join", "j13_null_aware_anti_join",
-        "j1_inner_equi_join", "j2_left_outer_join", "j2b_full_outer_join", "j2c_right_outer_join",
-        "j3_broadcast_star_join", "j4_left_semi", "j5_left_anti", "j6_cross_join",
-        "j7_theta_join", "j8_range_join", "j9_asof_join", "l1_exact_dedup",
+        "a14_cohort_retention", "a15_histogram", "a16_funnel_conversion", "a17_mergeable_moments",
+        "a18_bitmap_distinct", "a19_approx_top_k", "a1_groupby_basic", "a20_listagg",
+        "a21_mode", "a2_global_agg", "a3_count_distinct", "a4_approx_count_distinct",
+        "a5_conditional_agg", "a6_rollup", "a6b_cube", "a6c_grouping_sets",
+        "a7_collect_list_set", "a8_statistical_aggs", "a9_percentiles", "a9b_approx_percentiles",
+        "dq_profile", "f10_explode", "f11_higher_order", "f12_map_functions",
+        "f13_json", "f14_struct_ops", "f15_variant_extract", "f16_url_parse",
+        "f1_string_basics", "f2_string_regex", "f3_string_distance", "f4_datetime_extract",
+        "f5_datetime_arith", "f6_math", "f7_conditional", "f8_hashing",
+        "f9_array_basics", "g1_pagerank", "g2_bfs_hops", "g3_triangle_count",
+        "h10_returned_items", "h11_important_stock", "h12_late_shipment_priority", "h13_customer_distribution",
+        "h14_promo_effect", "h15_top_supplier", "h16_supplier_part_count", "h17_small_quantity_revenue",
+        "h18_large_volume_customer", "h19_discounted_revenue", "h22_sales_opportunity", "h3_shipping_priority",
+        "h4_order_priority", "h5_local_supplier_volume", "h6_forecast_revenue", "h7_volume_shipping",
+        "h8_market_share", "h9_product_type_profit", "j10_self_join_lag", "j11_star_join_revenue",
+        "j12_salted_skew_join", "j13_null_aware_anti_join", "j14_interval_overlap_join", "j1_inner_equi_join",
+        "j2_left_outer_join", "j2b_full_outer_join", "j2c_right_outer_join", "j3_broadcast_star_join",
+        "j4_left_semi", "j5_left_anti", "j6_cross_join", "j7_theta_join",
+        "j8_range_join", "j9_asof_join", "l10_knn_classify", "l1_exact_dedup",
         "l2_minhash_signature", "l2_near_dup_pairs", "l2c_ngram_jaccard", "l3_cosine_pairs",
         "l4_topk_cosine", "l5_token_stats", "l6_tfidf", "l7_quality_filter",
-        "l8_doc_vec_join", "l9_label_centroids", "m1_merge_upsert", "o1_multikey_sort",
-        "o2_limit_offset", "o3_global_topk", "p1_project_computed", "p2_drop_columns",
-        "p3_cast", "p4_predicates", "p5_in_between", "p6_like_rlike",
-        "p7_null_semantics", "p8_distinct", "p9_drop_duplicates", "p_chunk_text",
-        "p_corpus_clean", "p_decontaminate", "p_dedup_clusters", "p_fingerprint",
-        "p_hash_split", "p_inverted_index", "p_lang_id", "p_pii_redact",
-        "p_quality_score", "p_quantize_embeddings", "p_repetition_filter", "p_sample_stratified",
+        "l8_doc_vec_join", "l9_label_centroids", "m1_merge_upsert", "m2_time_travel",
+        "o1_multikey_sort", "o2_limit_offset", "o3_global_topk", "o4_global_sorted_write",
+        "p1_project_computed", "p2_drop_columns", "p3_cast", "p4_predicates",
+        "p5_in_between", "p6_like_rlike", "p7_null_semantics", "p8_distinct",
+        "p9_drop_duplicates", "p_bigram_lm", "p_bm25_topk", "p_chunk_text",
+        "p_corpus_clean", "p_decontaminate", "p_dedup_clusters", "p_domain_mix",
+        "p_feature_hash", "p_fingerprint", "p_hash_split", "p_inverted_index",
+        "p_lang_id", "p_pii_redact", "p_quality_score", "p_quantize_embeddings",
+        "p_repetition_filter", "p_sample_stratified", "p_semantic_dedup", "p_sequence_pack",
         "p_simhash", "p_simhash_pairs", "p_token_count", "p_token_shards",
         "p_vocab_encode", "q1_pricing_summary", "s11_schema_evolution", "s12_zorder_layout",
         "s13_orc_roundtrip", "s14_text_roundtrip", "s15_compaction", "s16_corrupt_records",
         "s1_parquet_scan", "s2_schema_pinned_scan", "s3_csv_roundtrip", "s4_jsonl_roundtrip",
         "s5_partitioned_write", "s6_temp_view_sql", "s9_bucketed_join", "sim_ivf_topk",
-        "sim_lsh_neardup", "sim_neardup_exact", "t1_tumbling_window", "t3_session_window",
-        "t7_stateful_counter", "u1_union_all", "u2_union_by_name", "u3_union_distinct",
-        "u4_intersect_all", "u5_except_all", "w10_rolling_median", "w11_cumulative_distinct",
-        "w12_rolling_corr", "w1_ranking", "w2_distribution", "w3_lag_lead",
-        "w4_running_sum", "w5_sliding_range_sum", "w6_first_last_nth", "w7_topk_per_group",
-        "w8_sessionize", "w9_scd2_intervals", "x1_scalar_udf", "x2_pandas_udf",
-        "x3_grouped_agg_udf", "x4_apply_in_pandas", "x5_map_in_pandas", "x6_udtf",
-        "x7_multimodal_decode", "x8_multimodal_frames", "x9_resize_plan",
+        "sim_lsh_neardup", "sim_neardup_exact", "t10_stream_stream_join", "t11_session_window",
+        "t12_outer_stream_join", "t13_full_outer_stream_join", "t14_dedup_within_watermark", "t15_foreach_batch_upsert",
+        "t1_tumbling_window", "t2_sliding_window", "t3_session_window", "t4_watermark_append",
+        "t5_stream_dedup", "t6_stream_static_join", "t7_stateful_counter", "t7b_stateful_apws",
+        "t8_update_mode_counts", "t9_stream_parquet_sink", "ts_gap_fill", "ts_interpolate",
+        "ts_ohlc_bars", "ts_sliding_dau", "u1_union_all", "u2_union_by_name",
+        "u3_union_distinct", "u4_intersect_all", "u5_except_all", "w10_rolling_median",
+        "w11_cumulative_distinct", "w12_rolling_corr", "w1_ranking", "w2_distribution",
+        "w3_lag_lead", "w4_running_sum", "w5_sliding_range_sum", "w6_first_last_nth",
+        "w7_topk_per_group", "w8_sessionize", "w9_scd2_intervals", "x10_map_in_arrow",
+        "x1_scalar_udf", "x2_pandas_udf", "x3_grouped_agg_udf", "x4_apply_in_pandas",
+        "x5_map_in_pandas", "x6_udtf", "x7_multimodal_decode", "x8_multimodal_frames",
+        "x9_resize_plan",
     }
 )
 
@@ -159,13 +172,14 @@ def _load_all() -> None:
         importlib.import_module(f"x8313_etl_spark.queries.{mod}")
 
 
-#: The most recent round's FAILURES, now repaired (r03: both were
-#: decimal-output canonicalization, de-decimalized this round) — pinned
-#: to the very front of the ENTIRE verify window so their repaired
-#: results are re-verified before anything else, rather than lingering
-#: as stale red rows. (r02's pins, t1/t3, re-earned green rows in r03
-#: and have rotated out via _DRIVER_GREEN.)
-_REPAIRED_FAILURES = ("a17_mergeable_moments", "p_domain_mix")
+#: The most recent round's FAILURES, now repaired — pinned to the very
+#: front of the ENTIRE verify window so their repaired results are
+#: re-verified before anything else, rather than lingering as stale red
+#: rows. Round 4 had ZERO failures (CORRECTNESS_r04: 49 hash-green + 1
+#: rows-only-by-design), so the r5 window is new-surface only. (r03's
+#: pins, a17/p_domain_mix, re-earned green rows in r04 and have rotated
+#: out via _DRIVER_GREEN.)
+_REPAIRED_FAILURES: tuple[str, ...] = ()
 
 
 def _priority(item: tuple[str, QuerySpec]) -> tuple[int, int, int, tuple[int, int]]:
