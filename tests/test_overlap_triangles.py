@@ -191,3 +191,39 @@ def test_l10_one_prediction_per_probe(spark, sf_dir):
     assert len(probes) == len(set(probes)) > 0
     assert all(1 <= r.votes <= _KNN_K for r in rows)
     assert all(r.correct in (0, 1) for r in rows)
+
+
+def test_g3_quantile_threshold_is_sf_adaptive(spark):
+    """The r4 verdict: a constant threshold (26) made the edge set EMPTY
+    at sf0.1 by design, so the operator only ever exercised triangles at
+    sf0.01. The P80 quantile threshold must yield non-empty edges at
+    sf0.1 and non-empty triangle output at sf0.01 — both scales, same
+    code path."""
+    import pyspark.sql.functions as F
+
+    from x8313_etl_spark.io import load_table
+    from x8313_etl_spark.queries.graph_q import _TRI_QUANTILE
+
+    li = load_table(spark, "/root/testdata/sf0.1", "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2"))
+    e0 = (
+        a.join(b, ["ok"])
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count_distinct("ok").alias("shared"))
+    )
+    thr = e0.agg(
+        F.ceil(F.expr(f"percentile(shared, {_TRI_QUANTILE})")).alias("thr")
+    )
+    n_edges = (
+        e0.crossJoin(F.broadcast(thr))
+        .filter(F.col("shared") >= F.col("thr"))
+        .count()
+    )
+    assert n_edges > 0, "sf0.1 edge set is empty — threshold regressed to constant-like"
+
+    corners = registry()["g3_triangle_count"].fn(spark, "/root/testdata/sf0.01")
+    assert corners.count() > 0, "no triangle corners at sf0.01"

@@ -159,6 +159,12 @@ ALLOWED_LEDGER: dict[str, tuple[dict[str, int], str]] = {
         "per-round join re-expands the persisted pair-scan subtree in the "
         "plan string; executed work is InMemoryTableScan reads only",
     ),
+    "g3.edges": (
+        {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
+        "quantile-derived edge threshold: single-row scalar agg (exact "
+        "percentile over the pair-count table) broadcast into the edge "
+        "filter — pair-table sized, never a driver collect",
+    ),
     "similarity.ivf_assign": (
         {"BroadcastNestedLoopJoin": 1},
         "K=16 centroid seeds broadcast-crossed into the assignment scan — "

@@ -58,6 +58,21 @@ def record_plan(key: str, df: DataFrame) -> None:
     _LEDGER[key] = count_hits(plan)
 
 
+def audited_checkpoint(key: str, df: DataFrame) -> DataFrame:
+    """Record ``df``'s plan under ``key``, then eagerly
+    ``localCheckpoint`` it. For bounded intermediates consumed by many
+    downstream plan branches (g3's quantile-thresholded edge table): a
+    plain persist leaves the upstream subtree re-printed once per
+    InMemoryTableScan reference, inflating the plan-scan counts with
+    copies of one node, while a checkpoint truncates to a clean Scan
+    ExistingRDD — legitimate ONLY because the ledger keeps the
+    truncated plan auditable. On a real cluster prefer a
+    checkpoint-dir checkpoint for fault tolerance (same trade as
+    operators/concomp.py)."""
+    record_plan(key, df)
+    return df.localCheckpoint(eager=True)
+
+
 def ledger() -> dict[str, dict[str, int]]:
     """Snapshot of every recorded materialization this session."""
     return {k: dict(v) for k, v in _LEDGER.items()}

@@ -226,7 +226,7 @@ def g2_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TRI_MIN_SHARED = 26
+_TRI_QUANTILE = 0.8
 
 
 @register(
@@ -238,9 +238,12 @@ WITH pairs AS (
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
 ),
+e0 AS (
+  SELECT s1, s2, count(DISTINCT ok) AS shared FROM pairs GROUP BY s1, s2
+),
+t AS (SELECT CEIL(quantile_cont(shared, {_TRI_QUANTILE})) AS thr FROM e0),
 e AS (
-  SELECT s1, s2 FROM pairs
-  GROUP BY s1, s2 HAVING count(DISTINCT ok) >= {_TRI_MIN_SHARED}
+  SELECT s1, s2 FROM e0, t WHERE shared >= thr
 ),
 tri AS (
   SELECT e1.s1 AS x, e1.s2 AS y, e2.s2 AS z
@@ -260,10 +263,17 @@ FROM corners GROUP BY s_suppkey
 )
 def g3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3: per-node triangle counts over the supplier co-supply graph
-    (edge = two suppliers sharing >= 26 (_TRI_MIN_SHARED) distinct
-    orders, calibrated to sf0.01 co-supply density) — the fourth
+    (edge = two suppliers whose distinct shared-order count reaches the
+    P80 of the pair-count distribution — quantile-derived, so the edge
+    set tracks co-supply density at EVERY scale factor instead of a
+    constant calibrated to one; non-empty triangles verified at
+    sf0.001/0.01/0.1, tests/test_overlap_triangles.py) — the fourth
     graph operator, and the one whose naive form is the classic
-    shuffle-volume trap. The twin enumerates each triangle once via
+    shuffle-volume trap. The threshold is an in-plan scalar (exact
+    percentile ≡ DuckDB quantile_cont, both type-7 interpolation; CEIL
+    makes a 1-ulp wobble harmless away from integer boundaries)
+    broadcast-crossed into the edge filter — pair table sized, never a
+    driver collect. The twin enumerates each triangle once via
     id-ordered edges (x<y<z). The Spark side uses DEGREE-ORDERED
     orientation instead: every canonical edge points from its lower-
     (degree, id)-ranked endpoint to the higher, wedges are built only
@@ -278,16 +288,33 @@ def g3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage is a bounded-fanout equi self-join, never a cross join."""
     from ..operators.triangles import triangle_corner_counts
 
+    from ..audit import audited_checkpoint
+    from ..operators.cachepool import swap_persist
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2"))
-    e = (
+    # pair counts feed BOTH the quantile scalar and the edge filter —
+    # pool the aggregate so the lineitem self-join runs once
+    e0 = swap_persist(
+        "graph.g3_pair_counts",
         a.join(b, ["ok"])
         .filter(F.col("s1") < F.col("s2"))
         .groupBy("s1", "s2")
-        .agg(F.count_distinct("ok").alias("shared"))
-        .filter(F.col("shared") >= _TRI_MIN_SHARED)
-        .select("s1", "s2")
+        .agg(F.count_distinct("ok").alias("shared")),
+    )
+    thr = e0.agg(
+        F.ceil(F.expr(f"percentile(shared, {_TRI_QUANTILE})")).alias("thr")
+    )
+    # edge table is bounded (quantile-filtered pair aggregate) and feeds
+    # every branch of the wedge/closure machinery — checkpoint it so the
+    # one scalar-broadcast node isn't re-printed per downstream branch
+    # (ledger key g3.edges carries the audited plan)
+    e = audited_checkpoint(
+        "g3.edges",
+        e0.crossJoin(F.broadcast(thr))
+        .filter(F.col("shared") >= F.col("thr"))
+        .select("s1", "s2"),
     )
     return triangle_corner_counts(e).select(
         F.col("node").cast("bigint").alias("s_suppkey"), "tri_cnt"

@@ -124,7 +124,11 @@ _DRIVER_GREEN = frozenset(
         "f13_json", "f14_struct_ops", "f15_variant_extract", "f16_url_parse",
         "f1_string_basics", "f2_string_regex", "f3_string_distance", "f4_datetime_extract",
         "f5_datetime_arith", "f6_math", "f7_conditional", "f8_hashing",
-        "f9_array_basics", "g1_pagerank", "g2_bfs_hops", "g3_triangle_count",
+        "f9_array_basics", "g1_pagerank", "g2_bfs_hops",
+        # g3_triangle_count REMOVED from green this round: its edge
+        # threshold became quantile-derived (sf-adaptive), changing the
+        # output contract — it must re-earn a driver row in the r5 window
+        # (gen_green will re-add it from the r5 CORRECTNESS file).
         "h10_returned_items", "h11_important_stock", "h12_late_shipment_priority", "h13_customer_distribution",
         "h14_promo_effect", "h15_top_supplier", "h16_supplier_part_count", "h17_small_quantity_revenue",
         "h18_large_volume_customer", "h19_discounted_revenue", "h22_sales_opportunity", "h3_shipping_priority",
