@@ -472,3 +472,193 @@ def p_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cnt") >= _BIGRAM_MIN_COUNT)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-rule training — the iterative tokenizer-training showcase.
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 6
+
+
+def _bpe_oracle(k: int) -> str:
+    """k chained-CTE rounds of the same algebra the Spark loop runs:
+    pair stats over the char-state table, argmax rule, greedy
+    non-overlapping merge via run alternation, dense renumber."""
+    ctes = [
+        "w0 AS MATERIALIZED (SELECT w, count(*) AS freq FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS w FROM documents) "
+        "WHERE w <> '' GROUP BY w)",
+        "t0 AS MATERIALIZED (SELECT w, freq, unnest(chars) AS sym, "
+        "unnest(generate_series(1, len(chars))) AS pos FROM "
+        "(SELECT w, freq, string_split(w, '') AS chars FROM w0))",
+    ]
+    for r in range(1, k + 1):
+        p = f"t{r-1}"
+        # every CTE MATERIALIZED: DuckDB inlines plain CTEs per
+        # reference, and each round references its predecessors ~4x —
+        # un-materialized, the 6-round chain re-evaluates t0 ~4^6 times
+        # (measured: 428 s -> sub-second with materialization)
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT w, freq, pos, sym AS pl, "
+            f"lead(sym) OVER (PARTITION BY w ORDER BY pos) AS pr FROM {p})"
+        )
+        ctes.append(
+            f"rule{r} AS MATERIALIZED (SELECT pl, pr, sum(freq) AS cnt FROM p{r} "
+            f"WHERE pr IS NOT NULL GROUP BY pl, pr "
+            f"ORDER BY cnt DESC, pl, pr LIMIT 1)"
+        )
+        ctes.append(
+            f"cand{r} AS MATERIALIZED (SELECT p.w, p.pos, u.pl, u.pr FROM p{r} p "
+            f"JOIN rule{r} u ON p.pl = u.pl AND p.pr = u.pr)"
+        )
+        ctes.append(
+            f"keep{r} AS MATERIALIZED (SELECT w, pos, pl, pr FROM ("
+            f"SELECT w, pos, pl, pr, "
+            f"row_number() OVER (PARTITION BY w, grp ORDER BY pos) AS rr FROM ("
+            f"SELECT w, pos, pl, pr, "
+            f"pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS grp "
+            f"FROM cand{r})) WHERE rr % 2 = 1)"
+        )
+        ctes.append(
+            f"m{r} AS MATERIALIZED (SELECT t.w, t.freq, t.pos, "
+            f"CASE WHEN k1.pos IS NOT NULL THEN k1.pl || k1.pr ELSE t.sym END AS sym "
+            f"FROM {p} t "
+            f"LEFT JOIN keep{r} k1 ON k1.w = t.w AND k1.pos = t.pos "
+            f"WHERE NOT EXISTS (SELECT 1 FROM keep{r} k2 "
+            f"WHERE k2.w = t.w AND k2.pos = t.pos - 1))"
+        )
+        ctes.append(
+            f"t{r} AS MATERIALIZED (SELECT w, freq, "
+            f"row_number() OVER (PARTITION BY w ORDER BY pos) AS pos, sym "
+            f"FROM m{r})"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {r} AS round, pl, pr, cnt FROM rule{r}" for r in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(round AS INTEGER) AS round, pl AS left_sym, "
+        f"pr AS right_sym, pl || pr AS merged, CAST(cnt AS BIGINT) AS cnt "
+        f"FROM ({unions})"
+    )
+
+
+@register(
+    "p_bpe_train",
+    category="pipeline",
+    oracle=_bpe_oracle(_BPE_ROUNDS),
+)
+def p_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-rule training as a fixed-k iterative loop (k=6): state
+    is the (word-type, freq, pos, sym) character table; each round
+    counts adjacent symbol pairs weighted by word-type frequency (the
+    standard BPE optimization — merging operates on DISTINCT words, so
+    state size is vocabulary-bounded, not corpus-bounded), picks the
+    argmax pair (cnt desc, then lexicographic — pinned cross-engine),
+    and applies the merge greedily left-to-right. Greedy non-overlap is
+    computed declaratively: candidate positions that form consecutive
+    runs (only possible when left==right) keep alternate members
+    (pos - row_number run grouping), which equals sequential
+    left-to-right merging — no UDF, no per-row loop.
+
+    Per round: one window pass (lead), one vocab²-bounded partial-agg,
+    a TakeOrdered argmax (k rows cross the wire, never a SinglePartition
+    sort), two equi joins against the (tiny) keep set, one renumber
+    window. State and the 1-row rule are localCheckpointed each round
+    (the g1/g2/concomp iterative discipline — lineage must not double
+    per round), recorded in the audit ledger via audited_checkpoint.
+    The DuckDB twin is the same algebra as k chained CTEs, so merge
+    RULES AND tie handling are verified exactly, round by round."""
+    from ..audit import audited_checkpoint
+
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    state = words.select(
+        "w",
+        "freq",
+        F.posexplode(F.split("w", "")).alias("pos0", "sym"),
+    ).select("w", "freq", (F.col("pos0") + 1).alias("pos"), "sym")
+    # Spark's split('abc', '') yields a trailing empty string; drop it
+    state = state.filter(F.col("sym") != "")
+    state = audited_checkpoint("p_bpe_train.state", state)
+
+    wseq = Window.partitionBy("w").orderBy("pos")
+    rules = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = state.select(
+            "w",
+            "freq",
+            "pos",
+            F.col("sym").alias("pl"),
+            F.lead("sym", 1).over(wseq).alias("pr"),
+        )
+        rule = audited_checkpoint(
+            "p_bpe_train.rule",
+            pairs.filter(F.col("pr").isNotNull())
+            .groupBy("pl", "pr")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pl", "pr")
+            .limit(1),
+        )
+        rules.append(rule.select(F.lit(r).alias("round"), "pl", "pr", "cnt"))
+        cand = pairs.join(F.broadcast(rule.select("pl", "pr")), ["pl", "pr"]).select(
+            "w", "pos", "pl", "pr"
+        )
+        grp = (F.col("pos") - F.row_number().over(wseq)).alias("grp")
+        keep = (
+            cand.select("w", "pos", "pl", "pr", grp)
+            .withColumn(
+                "rr",
+                F.row_number().over(Window.partitionBy("w", "grp").orderBy("pos")),
+            )
+            .filter(F.col("rr") % 2 == 1)
+            .select("w", "pos", "pl", "pr")
+        )
+        merged = (
+            state.alias("t")
+            .join(
+                keep.alias("k1"),
+                (F.col("t.w") == F.col("k1.w")) & (F.col("t.pos") == F.col("k1.pos")),
+                "left",
+            )
+            .join(
+                keep.alias("k2"),
+                (F.col("t.w") == F.col("k2.w"))
+                & (F.col("t.pos") - 1 == F.col("k2.pos")),
+                "left_anti",
+            )
+            .select(
+                F.col("t.w").alias("w"),
+                F.col("t.freq").alias("freq"),
+                F.col("t.pos").alias("pos"),
+                F.when(
+                    F.col("k1.pos").isNotNull(),
+                    F.concat(F.col("k1.pl"), F.col("k1.pr")),
+                )
+                .otherwise(F.col("t.sym"))
+                .alias("sym"),
+            )
+        )
+        state = audited_checkpoint(
+            "p_bpe_train.state",
+            merged.select(
+                "w", "freq", F.row_number().over(wseq).alias("pos"), "sym"
+            ),
+        )
+    out = rules[0]
+    for rdf in rules[1:]:
+        out = out.unionByName(rdf)
+    return out.select(
+        F.col("round").cast("int").alias("round"),
+        F.col("pl").alias("left_sym"),
+        F.col("pr").alias("right_sym"),
+        F.concat("pl", "pr").alias("merged"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )

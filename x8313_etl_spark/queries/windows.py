@@ -496,3 +496,70 @@ def w12_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(F.col("sy2") - (F.col("sy") * F.col("sy")) / cnt)
     )
     return m.select("l_suppkey", "l_orderkey", "l_linenumber", corr.alias("roll_corr"))
+
+
+@register(
+    "w13_match_recognize",
+    category="windows",
+    oracle="""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       c.ts AS click_ts,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts,
+       CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT) AS gap_us
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+ AND p.ts <= c.ts + INTERVAL 24 HOUR
+QUALIFY row_number() OVER (PARTITION BY c.event_id
+                           ORDER BY p.ts, p.event_id) = 1
+""",
+)
+def w13_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W13: event-pattern detection (the MATCH_RECOGNIZE shape) — for
+    every 'click', the FIRST following 'purchase' by the same user
+    within 24 h (A then B within N, per key; AFTER MATCH SKIP TO NEXT
+    ROW semantics: each A matches independently). ONE window pass: per
+    user ordered by (ts, event_id), the earliest following purchase is
+    min(struct(ts, event_id)) over ROWS 1 FOLLOWING..UNBOUNDED (a
+    reverse running min — linear per key), then the time bound filters.
+    No self-join: the twin is the naive range-join + QUALIFY form, the
+    Spark plan is one hash exchange on user_id and one window — the
+    per-key pattern scan a 1000-executor cluster wants, immune to the
+    fan-out a hot user would cause in the join form. Tiebreaks pinned
+    with event_id on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = F.min(
+        F.when(
+            F.col("event_type") == "purchase", F.struct("ts", "event_id")
+        )
+    ).over(w)
+    return (
+        e.withColumn("__nxt", nxt)
+        .filter(
+            (F.col("event_type") == "click")
+            & F.col("__nxt").isNotNull()
+            & (
+                F.col("__nxt.ts")
+                <= F.col("ts") + F.expr("INTERVAL 24 HOURS")
+            )
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("__nxt.event_id").alias("purchase_id"),
+            F.col("__nxt.ts").alias("purchase_ts"),
+            (
+                F.unix_micros(F.col("__nxt.ts").cast("timestamp"))
+                - F.unix_micros(F.col("ts").cast("timestamp"))
+            ).alias("gap_us"),
+        )
+    )
