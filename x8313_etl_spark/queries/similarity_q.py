@@ -736,3 +736,148 @@ def l10_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nbr_label") == F.col("true_label")).cast("int").alias("correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN — the second recall/cost dial beyond IVF.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # sub-blocks
+_PQ_SUB = 8  # dims per block
+_PQ_K = 16  # centroids per block codebook
+_PQ_TOPK = 5
+_PQ_PROBE_MOD = 25
+
+_SQL_PQ_D2 = (
+    "list_reduce(list_transform(list_zip(b.bvec, c.cvec), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+    "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
+)
+
+
+@register(
+    "sim_pq_topk",
+    category="similarity",
+    bench=True,
+    oracle=f"""
+WITH mm AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m),
+blocks AS MATERIALIZED (
+  SELECT vec_id, mm.m AS m,
+         embedding[(1 + {_PQ_SUB} * mm.m):({_PQ_SUB} + {_PQ_SUB} * mm.m)] AS bvec
+  FROM embeddings, mm
+),
+cents AS MATERIALIZED (
+  SELECT vec_id AS cent_id, m, bvec AS cvec FROM blocks WHERE vec_id < {_PQ_K}
+),
+d AS MATERIALIZED (
+  SELECT b.vec_id, b.m, c.cent_id, {_SQL_PQ_D2} AS d2
+  FROM blocks b JOIN cents c ON b.m = c.m
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, m, cent_id AS code FROM (
+    SELECT vec_id, m, cent_id,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cent_id) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+dtab AS MATERIALIZED (
+  SELECT vec_id AS probe_id, m, cent_id, d2 FROM d
+  WHERE vec_id % {_PQ_PROBE_MOD} = 0
+),
+s AS (
+  SELECT t.probe_id, c.vec_id,
+         list_reduce(list(t.d2 ORDER BY t.m), (a, b) -> a + b) AS adc_d2
+  FROM codes c JOIN dtab t ON t.m = c.m AND t.cent_id = c.code
+  WHERE c.vec_id != t.probe_id
+  GROUP BY t.probe_id, c.vec_id
+)
+SELECT probe_id, vec_id, adc_d2, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY adc_d2, vec_id) AS rn
+  FROM s
+) WHERE rn <= {_PQ_TOPK}
+""",
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-k: 64-dim vectors split into 8
+    sub-blocks, each encoded as its nearest of 16 per-block seed
+    centroids (deterministic first-K seeds, the sim_ivf_topk
+    discipline), probes scored by asymmetric distance computation —
+    ADC: Σ_m d²(probe_block_m, codebook[code_m]) — against CODES, not
+    vectors. The compression story IVF doesn't give: the corpus side of
+    the search touches 8 small ints per vector (the PQ code), so at
+    100 TB the scan bandwidth drops ~32× and the per-probe lookup
+    table (M×K' = 128 doubles) is block-broadcast; per-probe work is
+    O(M·K' + n·M) adds, no full-vector reads in the hot loop.
+
+    One scored table (vector-block × centroid d², pooled via
+    swap_persist) feeds BOTH the encoder argmin and the probe lookup
+    slices, because probes are corpus members. Cross-engine exactness:
+    block d² is the dimension-sequential fold (float32 inputs make each
+    product exact in double), and the ADC sum folds the 8 block terms
+    in EXPLICIT m order on both engines (array_sort + fold vs
+    list(ORDER BY m) + list_reduce) — no group-by double-add order
+    dependence, no decimal quantization needed. Ranks pinned
+    (adc_d2, vec_id) / (d2, cent_id). Recall vs the exact scan is
+    bounded in tests/test_pq.py."""
+    from ..operators.cachepool import swap_persist
+
+    e = load_table(spark, sf_dir, "embeddings")
+    blocks = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("embedding", 1 + _PQ_SUB * m, _PQ_SUB)
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("m", "bvec"),
+    )
+    cents = blocks.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cent_id"), "m", F.col("bvec").alias("cvec")
+    )
+    diff2 = lambda x, y: (x.cast("double") - y.cast("double")) * (
+        x.cast("double") - y.cast("double")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("bvec"), F.col("cvec"), diff2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = swap_persist(
+        "similarity.pq_scores",
+        blocks.join(F.broadcast(cents), "m").select(
+            "vec_id", "m", "cent_id", d2.alias("d2")
+        ),
+    )
+    wass = Window.partitionBy("vec_id", "m").orderBy("d2", "cent_id")
+    codes = (
+        scored.withColumn("rn", F.row_number().over(wass))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("cent_id").alias("code"))
+    )
+    dtab = scored.filter(F.col("vec_id") % _PQ_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"), "m", "cent_id", "d2"
+    )
+    adc = (
+        codes.join(
+            F.broadcast(dtab),
+            (codes["m"] == dtab["m"]) & (codes["code"] == dtab["cent_id"]),
+        )
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", codes["m"].alias("bm"), "d2")
+    )
+    s = adc.groupBy("probe_id", "vec_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bm", "d2"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["d2"],
+        ).alias("adc_d2")
+    )
+    wr = Window.partitionBy("probe_id").orderBy("adc_d2", "vec_id")
+    return (
+        s.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _PQ_TOPK)
+        .select("probe_id", "vec_id", "adc_d2", F.col("rn").cast("int").alias("rn"))
+    )
