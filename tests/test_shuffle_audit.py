@@ -113,6 +113,11 @@ ALLOWED: dict[str, tuple[dict[str, int], str]] = {
         {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
         "avg-doclen single-row scalar broadcast into the score expression",
     ),
+    "p_ngram_lm_kneser_ney": (
+        {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
+        "bigram-type-count single-row scalar crossed into the KN "
+        "continuation term (the l6/p_bm25 pattern)",
+    ),
     "p_vocab_encode": (
         {"Exchange SinglePartition": 1},
         "vocab rank assignment over the AGGREGATED term table — vocab-sized, not corpus-sized",

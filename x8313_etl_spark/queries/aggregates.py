@@ -740,3 +740,128 @@ def a21_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("mode_count"),
         )
     )
+
+
+@register(
+    "a22_weighted_median",
+    category="aggregates",
+    oracle="""
+WITH t AS (
+  SELECT l_returnflag,
+         l_extendedprice AS v,
+         CAST(l_quantity AS DECIMAL(25,6)) AS w,
+         SUM(CAST(l_quantity AS DECIMAL(25,6)))
+           OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         SUM(CAST(l_quantity AS DECIMAL(25,6)))
+           OVER (PARTITION BY l_returnflag) AS totw
+  FROM lineitem
+)
+SELECT l_returnflag, MIN(v) AS wmedian
+FROM t WHERE 2 * cumw >= totw
+GROUP BY l_returnflag
+""",
+)
+def a22_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22: EXACT weighted median per group — the smallest value whose
+    cumulative weight reaches half the group total (lower weighted
+    median, the deterministic convention). One shuffle: both window
+    passes (running cum-weight, group total) share the l_returnflag
+    exchange, then a filter + MIN collapses to one row per group — no
+    sort-to-driver, no percentile approximation. Weights accumulate in
+    DECIMAL (windowed double SUM may run as a segment tree, so even a
+    pinned row order would not pin addition order — functions/numeric
+    policy), and the half-total test is ``2·cumw ≥ tot`` so no decimal
+    division exists to round. Order within equal values cannot change
+    MIN(v), but the tiebreak is pinned anyway (orderkey, linenumber).
+    At 100 TB this is the textbook two-window single-exchange shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wrun = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    wdec = F.col("l_quantity").cast("decimal(25,6)")
+    t = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum(wdec).over(wrun).alias("cumw"),
+        F.sum(wdec).over(wall).alias("totw"),
+    )
+    return (
+        t.filter(F.lit(2) * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("v").alias("wmedian"))
+    )
+
+
+_CM_DEPTH = 4
+_CM_WIDTH = 64
+
+
+def _cm_sql_hash(d: int) -> str:
+    return (
+        f"((CAST(CONCAT('0x', substr(md5('cm{d}-' || CAST(user_id AS VARCHAR)), "
+        f"1, 15)) AS BIGINT) % 2147483647) % {_CM_WIDTH})"
+    )
+
+
+@register(
+    "a23_count_min",
+    category="aggregates",
+    oracle=" UNION ALL ".join(
+        f"SELECT {d} AS depth, CAST({_cm_sql_hash(d)} AS INTEGER) AS bucket, "
+        f"CAST(count(*) AS BIGINT) AS cnt FROM events "
+        f"GROUP BY {_cm_sql_hash(d)}"
+        for d in range(_CM_DEPTH)
+    ),
+)
+def a23_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23: count-min sketch over the event→user stream — d=4
+    independent 31-bit md5-derived hash rows × w=64 buckets; cell
+    (depth, bucket) holds the number of events whose user lands there,
+    and a point estimate for any user is min over its d cells (the
+    classic CM guarantee: overestimate only, by ≤ εN w.h.p.). Mergeable
+    like a18/a19's sketches: cells from disjoint shards ADD. Built as
+    one map-only explode (each event emits its d cells) + a single
+    map-side-combined count whose key space is d×w = 256 — constant
+    output at any corpus size, the defining property of a sketch
+    aggregate. The twin enumerates the same md5 cells exactly, so the
+    sketch CONTENT is verified, not just its shape."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.select(
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.lit(f"cm{d}-"),
+                                        F.col("user_id").cast("string"),
+                                    )
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("bigint")
+                        % 2147483647
+                    )
+                    % _CM_WIDTH
+                    for d in range(_CM_DEPTH)
+                ]
+            )
+        ).alias("depth", "bucket")
+    )
+    return cells.groupBy("depth", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).select(
+        F.col("depth").cast("int").alias("depth"),
+        F.col("bucket").cast("int").alias("bucket"),
+        "cnt",
+    )

@@ -22,7 +22,7 @@ reproducible iterative pipelines across heterogeneous executors.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..io import load_table
 from ..registry import register
@@ -319,3 +319,111 @@ def g3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_corner_counts(e).select(
         F.col("node").cast("bigint").alias("s_suppkey"), "tri_cnt"
     )
+
+
+# ---------------------------------------------------------------------------
+# G4: synchronous label propagation (community detection).
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
+    ctes = [
+        """e AS MATERIALIZED (
+  SELECT DISTINCT 'S' || CAST(l.l_suppkey AS VARCHAR) AS src,
+                  'C' || CAST(o.o_custkey AS VARCHAR) AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)""",
+        "ed AS MATERIALIZED (SELECT src, dst FROM e "
+        "UNION ALL SELECT dst AS src, src AS dst FROM e)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM ed)",
+        "l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT p.node, coalesce(w.new_lbl, p.lbl) AS lbl
+  FROM l{i - 1} p LEFT JOIN (
+    SELECT node, lbl AS new_lbl FROM (
+      SELECT ed.dst AS node, p2.lbl, count(*) AS cnt,
+             row_number() OVER (PARTITION BY ed.dst
+                                ORDER BY count(*) DESC, p2.lbl) AS rn
+      FROM ed JOIN l{i - 1} p2 ON ed.src = p2.node
+      GROUP BY ed.dst, p2.lbl
+    ) WHERE rn = 1
+  ) w ON w.node = p.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, lbl AS community FROM l{rounds}"
+    )
+
+
+@register(
+    "g4_label_propagation",
+    category="graph",
+    oracle=_lpa_oracle(),
+)
+def g4_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: community detection by SYNCHRONOUS label propagation over the
+    supplier↔customer bipartite graph (g2's edge set), k=3 fixed rounds:
+    every node simultaneously adopts the MAJORITY label among its
+    neighbors, ties broken by smallest label — both dials pinned, so the
+    result is deterministic and the twin (k chained MATERIALIZED CTEs of
+    the same count+argmax algebra) verifies the whole trajectory, not
+    just a fixpoint. Distinct from concomp's min-label fixpoint: LPA's
+    majority vote finds density-based communities and is the standard
+    cheap community pass over entity graphs.
+
+    Per round: one edges⋈labels shuffle on src (same key every round —
+    exchange reuse, the g1/g2 discipline), one map-side-combined
+    (dst, lbl) count, a WindowGroupLimit argmax, one node-sized left
+    join; labels are localCheckpointed per round through the audit
+    ledger (lineage must not double). At 100 TB: labels stay
+    node-sized, messages edge-sized, and the vote aggregate's key space
+    is (node × distinct neighbor labels) — bounded by degree, no
+    all-to-one stage anywhere."""
+    from ..audit import audited_checkpoint
+    from ..operators.cachepool import swap_persist
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    ed = swap_persist(
+        "g4.edges",
+        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
+    )
+    labels = audited_checkpoint(
+        "g4.round",
+        ed.select(F.col("src").alias("node")).distinct().select(
+            "node", F.col("node").alias("lbl")
+        ),
+    )
+    for _ in range(_LPA_ROUNDS):
+        msgs = ed.join(labels, ed["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "lbl"
+        )
+        cnts = msgs.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
+        win = Window.partitionBy("node").orderBy(F.col("cnt").desc(), "lbl")
+        winner = (
+            cnts.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("lbl").alias("new_lbl"))
+        )
+        labels = audited_checkpoint(
+            "g4.round",
+            labels.join(winner, "node", "left").select(
+                "node", F.coalesce("new_lbl", "lbl").alias("lbl")
+            ),
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -568,3 +568,59 @@ def j14_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i_end",
         (F.least("s1", "i1") - F.greatest("s0", "i0")).cast("bigint").alias("overlap_us"),
     )
+
+
+_BAND_EPS_CENTS = 100  # |Δ acctbal| ≤ 1.00, in exact cents
+_BAND_OFFSET_CENTS = 100_000  # shift TPC-H's −999.99 min into ℕ for blocking
+
+
+@register(
+    "j15_band_join",
+    category="joins",
+    oracle=f"""
+SELECT c.c_custkey, s.s_suppkey,
+       CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS c_cents,
+       CAST(ROUND(s.s_acctbal * 100) AS BIGINT) AS s_cents,
+       CAST(ROUND(c.c_acctbal * 100) - ROUND(s.s_acctbal * 100) AS BIGINT)
+         AS diff_cents
+FROM customer c JOIN supplier s
+  ON abs(ROUND(c.c_acctbal * 100) - ROUND(s.s_acctbal * 100))
+     <= {_BAND_EPS_CENTS}
+""",
+)
+def j15_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J15: numeric band join — customer×supplier pairs whose account
+    balances differ by ≤ 1.00, with NO equi key. |a−b| ≤ ε is exactly
+    interval overlap of [a, a+ε] and [b, b+ε], so the proven temporal
+    blocking core (operators/overlap.py, j14) runs unchanged on a
+    second domain: each value covers ~2 ε-wide blocks, candidates meet
+    through an EQUI join on block id, the exact band predicate filters,
+    and emit-once-at-greatest-start dedups without a distinct shuffle.
+    The twin is the naive theta join the nested-loop plan would run.
+    Values are compared in EXACT CENTS (round(bal·100)) on both engines
+    — a double band test would flip on representation boundaries — and
+    offset into ℕ because block ids floor-divide. Candidate volume is
+    Σ_blocks |C_blk|·|S_blk| (value co-occurrence, never |C|×|S|), and
+    the block dial is ε itself — the natural width."""
+    from ..operators.overlap import interval_overlap_join
+
+    cents = lambda col: F.round(F.col(col) * 100).cast("bigint")  # noqa: E731
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        cents("c_acctbal").alias("c_cents"),
+        (cents("c_acctbal") + _BAND_OFFSET_CENTS).alias("s0"),
+        (cents("c_acctbal") + _BAND_OFFSET_CENTS + _BAND_EPS_CENTS).alias("s1"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        cents("s_acctbal").alias("s_cents"),
+        (cents("s_acctbal") + _BAND_OFFSET_CENTS).alias("i0"),
+        (cents("s_acctbal") + _BAND_OFFSET_CENTS + _BAND_EPS_CENTS).alias("i1"),
+    )
+    return interval_overlap_join(c, s, block_width=_BAND_EPS_CENTS).select(
+        "c_custkey",
+        "s_suppkey",
+        "c_cents",
+        "s_cents",
+        (F.col("c_cents") - F.col("s_cents")).alias("diff_cents"),
+    )

@@ -662,3 +662,89 @@ def p_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat("pl", "pr").alias("merged"),
         F.col("cnt").cast("bigint").alias("cnt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram probabilities.
+# ---------------------------------------------------------------------------
+
+_KN_DISCOUNT = 0.75
+_KN_MIN_COUNT = 5
+
+
+@register(
+    "p_ngram_lm_kneser_ney",
+    category="pipeline",
+    oracle=f"""
+WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+b AS MATERIALIZED (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) g
+),
+c AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS cnt FROM b GROUP BY w1, w2),
+ctx AS (SELECT w1, SUM(cnt) AS c1, COUNT(*) AS n1fwd FROM c GROUP BY w1),
+cont AS (SELECT w2, COUNT(*) AS n1back FROM c GROUP BY w2),
+nt AS (SELECT COUNT(*) AS ntypes FROM c)
+SELECT c.w1, c.w2, c.cnt,
+       CAST(CAST(
+         (CAST(GREATEST(c.cnt - {_KN_DISCOUNT}, 0.0) AS DOUBLE)
+            / CAST(ctx.c1 AS DOUBLE))
+         + (({_KN_DISCOUNT} * CAST(ctx.n1fwd AS DOUBLE))
+              / CAST(ctx.c1 AS DOUBLE))
+           * (CAST(cont.n1back AS DOUBLE) / CAST(nt.ntypes AS DOUBLE))
+       AS DECIMAL(18,8)) AS DOUBLE) AS p_kn
+FROM c JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN nt
+WHERE c.cnt >= {_KN_MIN_COUNT}
+""",
+)
+def p_ngram_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney smoothed bigram probabilities — the
+    standard LM estimator p_bigram_lm's raw conditional lacks:
+    P(w2|w1) = max(c−D,0)/c(w1) + D·N1+(w1·)/c(w1) · N1+(·w2)/|types|,
+    with fixed discount D=0.75. The continuation term is what KN is
+    famous for: a word's unigram backoff weight is how many distinct
+    CONTEXTS it follows, not how often it occurs.
+
+    All inputs are integer counts derived from ONE map-side-combined
+    bigram aggregate (vocab²-bounded); context totals, fan-out counts,
+    and continuation counts are three cheap re-aggregations of that
+    table, broadcast back (vocab-sized). The type-count scalar enters
+    in-plan (single-row cross — ALLOWED entry, the l6/p_bm25 pattern).
+    The probability is quantized through decimal(18,8) on both engines
+    because its expression mixes three divisions — the ts_ewma lesson:
+    DuckDB may reorder flattened fp chains, so structural parity is
+    not a cross-engine guarantee; quantization is."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.split("text", " ").alias("w"))
+    b = words.select(
+        F.posexplode(F.expr("slice(w, 1, size(w) - 1)")).alias("i", "w1"),
+        F.col("w"),
+    ).select("w1", F.expr("w[i + 1]").alias("w2"))
+    c = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    from ..operators.cachepool import swap_persist
+
+    c = swap_persist("pipeline.kn_bigrams", c)
+    ctx = c.groupBy("w1").agg(
+        F.sum("cnt").alias("c1"), F.count(F.lit(1)).alias("n1fwd")
+    )
+    cont = c.groupBy("w2").agg(F.count(F.lit(1)).alias("n1back"))
+    nt = c.agg(F.count(F.lit(1)).alias("ntypes"))
+    p = (
+        F.greatest(F.col("cnt") - _KN_DISCOUNT, F.lit(0.0)).cast("double")
+        / F.col("c1").cast("double")
+    ) + (
+        (F.lit(_KN_DISCOUNT) * F.col("n1fwd").cast("double"))
+        / F.col("c1").cast("double")
+    ) * (F.col("n1back").cast("double") / F.col("ntypes").cast("double"))
+    return (
+        c.filter(F.col("cnt") >= _KN_MIN_COUNT)
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "w1",
+            "w2",
+            "cnt",
+            p.cast("decimal(18,8)").cast("double").alias("p_kn"),
+        )
+    )

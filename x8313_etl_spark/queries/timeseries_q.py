@@ -301,3 +301,51 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("interp_sum"),
         F.col("hourly_sum").isNull().cast("int").alias("is_interp"),
     )
+
+
+_EWMA_ALPHA = 0.3
+_EWMA_TERMS = 20
+#: α(1−α)^k literals shared verbatim by both engines (repr round-trips)
+_EWMA_COEFS = [_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** k for k in range(_EWMA_TERMS)]
+
+
+@register(
+    "ts_ewma",
+    category="timeseries",
+    oracle="""
+SELECT event_id, user_id, value,
+       CAST(CAST((coalesce(value, 0.0) * 0.3 + coalesce(lag(value, 1) OVER w, 0.0) * 0.21 + coalesce(lag(value, 2) OVER w, 0.0) * 0.14699999999999996 + coalesce(lag(value, 3) OVER w, 0.0) * 0.10289999999999998 + coalesce(lag(value, 4) OVER w, 0.0) * 0.07202999999999998 + coalesce(lag(value, 5) OVER w, 0.0) * 0.05042099999999998 + coalesce(lag(value, 6) OVER w, 0.0) * 0.035294699999999984 + coalesce(lag(value, 7) OVER w, 0.0) * 0.02470628999999999 + coalesce(lag(value, 8) OVER w, 0.0) * 0.01729440299999999 + coalesce(lag(value, 9) OVER w, 0.0) * 0.012106082099999993 + coalesce(lag(value, 10) OVER w, 0.0) * 0.008474257469999994 + coalesce(lag(value, 11) OVER w, 0.0) * 0.005931980228999996 + coalesce(lag(value, 12) OVER w, 0.0) * 0.0041523861602999965 + coalesce(lag(value, 13) OVER w, 0.0) * 0.0029066703122099975 + coalesce(lag(value, 14) OVER w, 0.0) * 0.002034669218546998 + coalesce(lag(value, 15) OVER w, 0.0) * 0.0014242684529828986 + coalesce(lag(value, 16) OVER w, 0.0) * 0.000996987917088029 + coalesce(lag(value, 17) OVER w, 0.0) * 0.0006978915419616202 + coalesce(lag(value, 18) OVER w, 0.0) * 0.0004885240793731341 + coalesce(lag(value, 19) OVER w, 0.0) * 0.00034196685556119386) / (CASE WHEN value IS NULL THEN 0.0 ELSE 0.3 END + CASE WHEN lag(value, 1) OVER w IS NULL THEN 0.0 ELSE 0.21 END + CASE WHEN lag(value, 2) OVER w IS NULL THEN 0.0 ELSE 0.14699999999999996 END + CASE WHEN lag(value, 3) OVER w IS NULL THEN 0.0 ELSE 0.10289999999999998 END + CASE WHEN lag(value, 4) OVER w IS NULL THEN 0.0 ELSE 0.07202999999999998 END + CASE WHEN lag(value, 5) OVER w IS NULL THEN 0.0 ELSE 0.05042099999999998 END + CASE WHEN lag(value, 6) OVER w IS NULL THEN 0.0 ELSE 0.035294699999999984 END + CASE WHEN lag(value, 7) OVER w IS NULL THEN 0.0 ELSE 0.02470628999999999 END + CASE WHEN lag(value, 8) OVER w IS NULL THEN 0.0 ELSE 0.01729440299999999 END + CASE WHEN lag(value, 9) OVER w IS NULL THEN 0.0 ELSE 0.012106082099999993 END + CASE WHEN lag(value, 10) OVER w IS NULL THEN 0.0 ELSE 0.008474257469999994 END + CASE WHEN lag(value, 11) OVER w IS NULL THEN 0.0 ELSE 0.005931980228999996 END + CASE WHEN lag(value, 12) OVER w IS NULL THEN 0.0 ELSE 0.0041523861602999965 END + CASE WHEN lag(value, 13) OVER w IS NULL THEN 0.0 ELSE 0.0029066703122099975 END + CASE WHEN lag(value, 14) OVER w IS NULL THEN 0.0 ELSE 0.002034669218546998 END + CASE WHEN lag(value, 15) OVER w IS NULL THEN 0.0 ELSE 0.0014242684529828986 END + CASE WHEN lag(value, 16) OVER w IS NULL THEN 0.0 ELSE 0.000996987917088029 END + CASE WHEN lag(value, 17) OVER w IS NULL THEN 0.0 ELSE 0.0006978915419616202 END + CASE WHEN lag(value, 18) OVER w IS NULL THEN 0.0 ELSE 0.0004885240793731341 END + CASE WHEN lag(value, 19) OVER w IS NULL THEN 0.0 ELSE 0.00034196685556119386 END) AS DECIMAL(18,6)) AS DOUBLE) AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average over a BOUNDED 20-term
+    frame per user (ts order): ewma_t = Σ_k c_k·x_(t−k) / Σ_k c_k over
+    the lags that exist, c_k = α(1−α)^k with α=0.3. Bounding the frame
+    keeps every weight a fixed literal — the unbounded recurrence would
+    need (1−α)^t powers that leave double range and an order-dependent
+    running product. The 20 lag() calls share ONE window spec, so the
+    plan is a single exchange on user_id + a single WindowExec; the
+    coefficient literals are shared verbatim (repr round-trips), and
+    the result is quantized through decimal(18,6) on both sides — the
+    l6_tfidf discipline — because DuckDB's executor REORDERS flattened
+    double-addition chains even under explicit parentheses (measured:
+    it matches a right-associative fold while Spark evaluates the
+    Column tree as built), so a 1-ulp sum difference is structural,
+    not fixable by expression shape. Terms beyond the series start
+    contribute exactly 0 via the same null-guard on both sides."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for k, c in enumerate(_EWMA_COEFS):
+        x = F.col("value") if k == 0 else F.lag("value", k).over(w)
+        term = F.coalesce(x, F.lit(0.0)) * F.lit(c)
+        pres = F.when(x.isNull(), F.lit(0.0)).otherwise(F.lit(c))
+        num = term if num is None else num + term
+        den = pres if den is None else den + pres
+    return e.select(
+        "event_id", "user_id", "value",
+        (num / den).cast("decimal(18,6)").cast("double").alias("ewma"),
+    )
