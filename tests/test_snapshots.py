@@ -155,3 +155,89 @@ def test_concurrent_commit_loser_fails_loudly(spark, tmp_path):
 
     # the winner's commit is what version 1 resolves to
     assert winner.read(spark, version=1).count() == 7
+
+
+# -- deletion vectors (merge-on-read) ---------------------------------
+
+
+def _dv_table(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from x8313_etl_spark.operators.snapshots import SnapshotTable
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    tbl = SnapshotTable(str(tmp_path / "dvtab"))
+    tbl.commit(df.repartition(4))  # multi-file on purpose
+    return tbl
+
+
+def test_dv_delete_is_positional_and_multifile(spark, tmp_path):
+    import os
+
+    import pyspark.sql.functions as F
+
+    tbl = _dv_table(spark, tmp_path)
+    ddir = os.path.join(tbl.base, tbl.versions()[0]["dirs"][0])
+    n_files = len([f for f in os.listdir(ddir) if f.endswith(".parquet")])
+    assert n_files >= 2, "precondition: base must span multiple files"
+    tbl.delete_where(spark, F.col("k") % 3 == 0)
+    got = sorted(r.k for r in tbl.read(spark).collect())
+    assert got == [k for k in range(100) if k % 3 != 0]
+    # no data rewrite happened: v1 references v0's data dirs verbatim
+    v0, v1 = tbl.versions()
+    assert v1["dirs"] == v0["dirs"] and len(v1["dvs"]) == 1
+
+
+def test_dv_time_travel_and_second_delete(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    tbl = _dv_table(spark, tmp_path)
+    tbl.delete_where(spark, F.col("k") < 10)  # v1
+    tbl.delete_where(spark, F.col("k") >= 90)  # v2
+    assert tbl.read(spark, version=0).count() == 100
+    assert tbl.read(spark, version=1).count() == 90
+    got = sorted(r.k for r in tbl.read(spark).collect())
+    assert got == list(range(10, 90))
+
+
+def test_dv_rewrite_compact_preserves_rows_and_clears_dvs(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    tbl = _dv_table(spark, tmp_path)
+    tbl.delete_where(spark, F.col("k") % 2 == 0)
+    before = sorted((r.k, r.v) for r in tbl.read(spark).collect())
+    tbl.rewrite_compact(spark)
+    after = sorted((r.k, r.v) for r in tbl.read(spark).collect())
+    assert before == after
+    assert tbl.versions()[-1]["dvs"] == []
+
+
+def test_dv_append_keeps_parent_tombstones(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    tbl = _dv_table(spark, tmp_path)
+    tbl.delete_where(spark, F.col("k") < 50)
+    extra = spark.range(100, 110).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    tbl.commit(extra, mode="append")
+    got = sorted(r.k for r in tbl.read(spark).collect())
+    assert got == list(range(50, 110)), "append must not resurrect deleted rows"
+
+
+def test_dv_vacuum_keeps_referenced_dv_dirs(spark, tmp_path):
+    import os
+
+    import pyspark.sql.functions as F
+
+    tbl = _dv_table(spark, tmp_path)
+    tbl.delete_where(spark, F.col("k") % 7 == 0)  # v1
+    tbl.delete_where(spark, F.col("k") % 11 == 0)  # v2
+    expect = sorted(r.k for r in tbl.read(spark).collect())
+    tbl.vacuum(keep_last=1)
+    assert sorted(r.k for r in tbl.read(spark).collect()) == expect
+    live = tbl.versions()[-1]
+    for d in live["dirs"] + live["dvs"]:
+        assert os.path.isdir(os.path.join(tbl.base, d))

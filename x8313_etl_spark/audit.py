@@ -49,7 +49,18 @@ def record_plan(key: str, df: DataFrame) -> None:
     persist/checkpoint truncates or hides the plan. Introspection
     failures are swallowed — auditing must never break the operator —
     but leave a sentinel so the gate surfaces the miss instead of
-    silently passing."""
+    silently passing.
+
+    First write per key per session wins: when a query is re-invoked
+    after its pooled tables are already cached, the REBUILT plan string
+    re-expands cached subtrees once per InMemoryTableScan reference, so
+    the same conceptual plan counts differently on later builds (found
+    by the full-suite run: p_semantic_dedup's pair scan counted 1 on
+    first build, 2 after caching). The first, cache-free build is the
+    canonical auditable plan; concomp's per-round re-records share one
+    shape anyway."""
+    if key in _LEDGER:
+        return
     try:
         plan = df._jdf.queryExecution().executedPlan().toString()
     except Exception:

@@ -90,21 +90,35 @@ class SnapshotTable:
 
     def commit(self, df: DataFrame, mode: str = "overwrite") -> int:
         """Write ``df`` as the next version. ``append`` keeps the
-        parent's data dirs and adds one delta dir; ``overwrite``
-        replaces the dir set. Data lands before the manifest entry, so
-        concurrent readers never see a half-written version."""
+        parent's data dirs (and deletion vectors — the parent's files
+        stay live, so their tombstones must too) and adds one delta
+        dir; ``overwrite`` replaces the dir set and clears all DVs.
+        Data lands before the manifest entry, so concurrent readers
+        never see a half-written version."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         prev = self.versions()
         version = prev[-1]["version"] + 1 if prev else 0
         ddir = f"d-{uuid.uuid4().hex[:12]}"
         df.write.mode("errorifexists").parquet(os.path.join(self.base, ddir))
-        dirs = [ddir]
+        dirs, dvs = [ddir], []
         if mode == "append" and prev:
             dirs = prev[-1]["dirs"] + dirs
+            dvs = prev[-1].get("dvs") or []
+        return self._commit_manifest(
+            version=version, dirs=dirs, dvs=dvs, mode=mode, data_dir=ddir
+        )
+
+    def _commit_manifest(
+        self, *, version: int, dirs: list, dvs: list, mode: str, data_dir: str
+    ) -> int:
+        """Publish a manifest for ``version`` with writer mutual
+        exclusion; on a lost race, reclaim ``data_dir`` (this writer's
+        just-written dir — data or DV) and raise."""
         manifest = {
             "version": version,
             "dirs": dirs,
+            "dvs": dvs,
             "mode": mode,
             "commit_ts": time.time(),
         }
@@ -133,7 +147,7 @@ class SnapshotTable:
             # dirs, so leaving it would leak a table copy per lost race
             import shutil
 
-            shutil.rmtree(os.path.join(self.base, ddir), ignore_errors=True)
+            shutil.rmtree(os.path.join(self.base, data_dir), ignore_errors=True)
             raise ConcurrentCommitError(
                 f"version {version} was committed by another writer"
             ) from exc
@@ -149,10 +163,88 @@ class SnapshotTable:
         as_of_ts: float | None = None,
     ) -> DataFrame:
         """Latest version, a specific ``version``, or time travel to the
-        last version committed at or before ``as_of_ts``."""
+        last version committed at or before ``as_of_ts``. When the
+        version carries deletion vectors the scan applies them
+        (merge-on-read); otherwise it is a plain multi-dir scan."""
         m = self._resolve(version, as_of_ts)
+        if m.get("dvs"):
+            return self._scan_minus_dvs(spark, m).drop("__dv_file", "__dv_pos")
         paths = [os.path.join(self.base, d) for d in m["dirs"]]
         return spark.read.parquet(*paths)
+
+    # -- deletion vectors (merge-on-read DELETE) ----------------------
+
+    def _scan_minus_dvs(self, spark: SparkSession, m: dict) -> DataFrame:
+        """Data-dir scan carrying (__dv_file, __dv_pos) = the parquet
+        reader's hidden (_metadata.file_path, _metadata.row_index),
+        with every DV the manifest names anti-joined away. Positions
+        are per PHYSICAL FILE, so they survive any re-partitioning of
+        downstream reads and never depend on row content — the Iceberg
+        v2 position-delete design."""
+        import pyspark.sql.functions as F
+
+        paths = [os.path.join(self.base, d) for d in m["dirs"]]
+        df = spark.read.parquet(*paths).select(
+            "*",
+            F.col("_metadata.file_path").alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        )
+        dvs = m.get("dvs") or []
+        if dvs:
+            dv = spark.read.parquet(*[os.path.join(self.base, d) for d in dvs])
+            df = df.join(
+                dv.select(
+                    F.col("file_path").alias("__dv_file"),
+                    F.col("row_index").alias("__dv_pos"),
+                ),
+                ["__dv_file", "__dv_pos"],
+                "left_anti",
+            )
+        return df
+
+    def delete_where(self, spark: SparkSession, condition) -> int:
+        """Merge-on-read DELETE: rows matching ``condition`` (a Column
+        over the table schema) are tombstoned by writing a POSITIONAL
+        deletion vector — (file_path, row_index) pairs, nothing else —
+        and a manifest that references the parent's data dirs plus the
+        new DV. No data file is rewritten: the cost is proportional to
+        the DELETED rows, not the table (the whole point of DVs vs
+        copy-on-write at 100 TB). The predicate is evaluated on the
+        CURRENT visible state, so re-deleting already-dead rows can't
+        bloat the vector. Readers of old versions are untouched; time
+        travel across delete versions replays exactly the right
+        tombstone sets. Compaction is ``rewrite_compact``."""
+        import pyspark.sql.functions as F
+
+        prev = self.versions()
+        if not prev:
+            raise FileNotFoundError(f"snapshot table {self.base} has no commits")
+        m = prev[-1]
+        dv = (
+            self._scan_minus_dvs(spark, m)
+            .filter(condition)
+            .select(
+                # stored under the public names; read path re-aliases
+                F.col("__dv_file").alias("file_path"),
+                F.col("__dv_pos").alias("row_index"),
+            )
+        )
+        ddir = f"dv-{uuid.uuid4().hex[:12]}"
+        dv.write.mode("errorifexists").parquet(os.path.join(self.base, ddir))
+        return self._commit_manifest(
+            version=m["version"] + 1,
+            dirs=m["dirs"],
+            dvs=(m.get("dvs") or []) + [ddir],
+            mode="delete",
+            data_dir=ddir,
+        )
+
+    def rewrite_compact(self, spark: SparkSession) -> int:
+        """Materialize the current visible rows into a fresh data dir
+        and commit it with NO deletion vectors — the maintenance
+        rewrite that re-earns pure-scan reads after many deletes. Same
+        visible rows before and after (pinned by tests)."""
+        return self.commit(self.read(spark), mode="overwrite")
 
     # -- retention ------------------------------------------------------
 
@@ -174,12 +266,12 @@ class SnapshotTable:
         if len(vs) <= keep_last:
             return []
         drop, keep = vs[:-keep_last], vs[-keep_last:]
-        live = {d for m in keep for d in m["dirs"]}
+        live = {d for m in keep for d in m["dirs"] + (m.get("dvs") or [])}
         for m in drop:
             os.remove(os.path.join(self._manifest_dir(), f"{m['version']:08d}.json"))
         deleted = []
         for m in drop:
-            for d in m["dirs"]:
+            for d in m["dirs"] + (m.get("dvs") or []):
                 if d not in live and os.path.isdir(os.path.join(self.base, d)):
                     shutil.rmtree(os.path.join(self.base, d))
                     deleted.append(d)

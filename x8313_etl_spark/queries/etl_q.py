@@ -497,3 +497,47 @@ def m3_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").cast("bigint").alias("cnt"),
         F.col("total_dec").cast("double").alias("total"),
     )
+
+
+@register(
+    "m4_deletion_vectors",
+    category="etl",
+    oracle="""
+SELECT c_custkey, c_nationkey, c_acctbal
+FROM customer
+WHERE NOT (c_acctbal < 0) AND NOT (c_custkey % 10 = 0)
+""",
+)
+def m4_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: merge-on-read DELETE via POSITIONAL deletion vectors — the
+    lakehouse capability m2's copy-on-write MERGE deliberately scoped
+    out. Two successive deletes (negative balances, then every 10th
+    key) each write only a (file_path, row_index) tombstone parquet and
+    a manifest — zero data-file rewrites; the read path anti-joins the
+    DV union against the parquet reader's hidden _metadata positions
+    (operators/snapshots.py delete_where/_scan_minus_dvs — the Iceberg
+    v2 position-delete design). The base table is written as FOUR files
+    so positions are exercised per physical file, not per logical row
+    order. The twin states the net visible effect declaratively; time
+    travel across the delete chain, append-preserves-tombstones,
+    compaction equivalence, and vacuum liveness for DV dirs are pinned
+    in tests/test_snapshots.py.
+
+    Scale: a DELETE costs O(matched rows) write + a manifest; reads pay
+    one anti-join whose build side is the tombstone set (broadcast until
+    DVs grow large — then rewrite_compact, the standard maintenance
+    trade)."""
+    import shutil
+
+    from ..operators.snapshots import SnapshotTable
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    path = scratch(f"m4_dv_{_tag(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)  # deterministic rebuild per call
+    tbl = SnapshotTable(path)
+    tbl.commit(base.repartition(4))  # v0, multi-file
+    tbl.delete_where(spark, F.col("c_acctbal") < 0)  # v1
+    tbl.delete_where(spark, F.col("c_custkey") % 10 == 0)  # v2
+    return tbl.read(spark)
