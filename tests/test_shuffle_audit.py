@@ -170,6 +170,22 @@ ALLOWED_LEDGER: dict[str, tuple[dict[str, int], str]] = {
         "percentile over the pair-count table) broadcast into the edge "
         "filter — pair-table sized, never a driver collect",
     ),
+    "g5.edges": (
+        {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
+        "same quantile-threshold scalar broadcast as g3.edges (shared "
+        "_cosupply_edges construction, g5's own checkpoint)",
+    ),
+    "g5.k": (
+        {"Exchange SinglePartition": 1},
+        "the k scalar IS a global quantile over the node-degree table — "
+        "one row crosses, computed once for all peel rounds",
+    ),
+    "g5.round": (
+        {"BroadcastNestedLoopJoin": 2},
+        "single-row k scalar broadcast into the alive filter; the plan "
+        "string re-expands it once per alive reference (src + dst semi "
+        "joins of the same round)",
+    ),
     "similarity.ivf_assign": (
         {"BroadcastNestedLoopJoin": 1},
         "K=16 centroid seeds broadcast-crossed into the assignment scan — "

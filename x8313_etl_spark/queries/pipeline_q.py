@@ -748,3 +748,98 @@ def p_ngram_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             p.cast("decimal(18,8)").cast("double").alias("p_kn"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LM-perplexity quality filter — the consumer of the bigram LM.
+# ---------------------------------------------------------------------------
+
+_PPL_KEEP_MAX = 60.0
+
+
+@register(
+    "p_perplexity_filter",
+    category="pipeline",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+b AS MATERIALIZED (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) g
+),
+c AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS cnt FROM b GROUP BY w1, w2),
+ctx AS (SELECT w1, SUM(cnt) AS c1 FROM c GROUP BY w1),
+nll AS (
+  SELECT b.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         SUM(CAST(CAST(-ln(CAST(c.cnt AS DOUBLE) / CAST(ctx.c1 AS DOUBLE))
+                       AS DECIMAL(18,8)) AS DECIMAL(25,8))) AS nll_sum
+  FROM b JOIN c ON b.w1 = c.w1 AND b.w2 = c.w2
+         JOIN ctx ON ctx.w1 = b.w1
+  GROUP BY b.doc_id
+)
+SELECT doc_id, n_bigrams,
+       CAST(CAST(CAST(nll_sum AS DOUBLE) / n_bigrams AS DECIMAL(18,6))
+            AS DOUBLE) AS avg_nll,
+       CAST(CAST(CAST(nll_sum AS DOUBLE) / n_bigrams AS DECIMAL(18,6))
+            AS DOUBLE) <= ln({_PPL_KEEP_MAX}) AS keep
+FROM nll
+""",
+)
+def p_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity quality filter — score every document by its
+    average negative log-likelihood under the CORPUS-TRAINED bigram LM
+    (p_bigram_lm's count tables, unsmoothed conditional — every doc
+    bigram is in the corpus counts by construction, so P > 0 always)
+    and keep docs whose perplexity exp(avg_nll) stays under 60. This is
+    the standard LM-based corpus filter (the CCNet/Gopher recipe) and
+    the natural consumer of the tokenize→count→LM chain: unusual word
+    sequences score high and get dropped.
+
+    Determinism: each −ln(P) term is quantized to decimal(18,8) BEFORE
+    the per-doc sum (the p_bm25 ln()-ulp discipline; the sum of
+    quantized decimals is then exact and order-free), and the final
+    average is re-quantized at 1e-6. The keep threshold compares
+    avg_nll ≤ ln(60) — both engines compute ln(60) once on an exact
+    literal. Scale: the bigram aggregate and per-doc NLL sum share the
+    explode; counts table is vocab²-bounded and broadcast back; per-doc
+    aggregation is one map-side-combined shuffle on doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    b = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr("slice(w, 1, size(w) - 1)")).alias("i", "w1"),
+            F.col("w"),
+        )
+        .select("doc_id", "w1", F.expr("w[i + 1]").alias("w2"))
+    )
+    from ..operators.cachepool import swap_persist
+
+    b = swap_persist("pipeline.ppl_bigrams", b)
+    c = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    ctx = c.groupBy("w1").agg(F.sum("cnt").alias("c1"))
+    nll_term = (
+        -F.log(F.col("cnt").cast("double") / F.col("c1").cast("double"))
+    ).cast("decimal(18,8)").cast("decimal(25,8)")
+    nll = (
+        b.join(F.broadcast(c), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(nll_term).alias("nll_sum"),
+        )
+    )
+    avg_nll = (
+        (F.col("nll_sum").cast("double") / F.col("n_bigrams"))
+        .cast("decimal(18,6)")
+        .cast("double")
+    )
+    import math
+
+    return nll.select(
+        "doc_id",
+        "n_bigrams",
+        avg_nll.alias("avg_nll"),
+        (avg_nll <= F.lit(math.log(_PPL_KEEP_MAX))).alias("keep"),
+    )

@@ -844,3 +844,204 @@ def h16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@register(
+    "h2_min_cost_supplier",
+    category="analytics",
+    oracle="""
+SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal
+FROM (
+  SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, s.s_acctbal,
+         row_number() OVER (PARTITION BY p.p_partkey
+                            ORDER BY s.s_acctbal, s.s_suppkey) AS rn
+  FROM part p
+  JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    ON ps.l_partkey = p.p_partkey
+  JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE p.p_size <= 5 AND r.r_name = 'EUROPE'
+)
+WHERE rn = 1
+""",
+)
+def h2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted): for every small part (p_size ≤ 5), the
+    cheapest EUROPE supplier that has actually shipped it — the
+    correlated-MIN-subquery-with-join-back query. No partsupp in the
+    fixture, so the supply relation is the DISTINCT (part, supplier)
+    pairs observed in lineitem and 'cost' is s_acctbal (the h11
+    adaptation discipline); the classic correlated `= (SELECT min …)`
+    becomes a per-part WindowGroupLimit argmin with a pinned tiebreak
+    (acctbal, suppkey) — the decorrelated plan Catalyst would aim for,
+    written directly.
+
+    Plan: the distinct pair projection shuffles once on (part, supp);
+    supplier/nation/region dims broadcast; the argmin window runs on
+    the part-partitioned join output. At 100 TB the only big exchange
+    is the distinct over the pair projection of the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    w = Window.partitionBy("p_partkey").orderBy("s_acctbal", "s_suppkey")
+    return (
+        ps.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                ps.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(eu_supp), ps.l_suppkey == F.col("s_suppkey"))
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "h20_excess_inventory",
+    category="analytics",
+    oracle="""
+WITH pairs AS (
+  SELECT l.l_suppkey, l.l_partkey,
+         SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+                  THEN l.l_quantity ELSE 0 END) AS qty_recent,
+         SUM(l.l_quantity) AS qty_tot
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_type = 'PROMO'
+  GROUP BY l.l_suppkey, l.l_partkey
+),
+sel AS (
+  SELECT l_suppkey, COUNT(*) AS n_parts
+  FROM pairs WHERE qty_recent > 0.5 * qty_tot
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(sel.n_parts AS BIGINT) AS n_parts
+FROM sel JOIN supplier s ON s.s_suppkey = sel.l_suppkey
+""",
+)
+def h20_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted): suppliers whose recent (1999+) shipped
+    quantity of PROMO parts dominates (>50% of) their all-time quantity
+    for that part, with how many such parts each has — the
+    nested-aggregation semi-join shape of Q20 (supplier kept iff an
+    inner per-(supp, part) aggregate passes a fraction-of-aggregate
+    test). No partsupp availqty in the fixture, so 'excess availability'
+    becomes recency concentration over the same double aggregate
+    structure. Quantities are integral doubles, so the sums are exact
+    in ANY order (no decimal needed) and 0.5·tot is exact.
+
+    Plan: part filter broadcast-prunes the fact scan BEFORE the
+    (supp, part) aggregate — the only big shuffle; the passing pairs
+    collapse to a supplier-sized count joined to the broadcast dim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    recent = F.when(
+        F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("l_quantity"),
+    ).otherwise(F.lit(0.0))
+    pairs = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(recent).alias("qty_recent"),
+            F.sum("l_quantity").alias("qty_tot"),
+        )
+    )
+    sel = (
+        pairs.filter(F.col("qty_recent") > 0.5 * F.col("qty_tot"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    return sel.join(
+        F.broadcast(s.select("s_suppkey", "s_name")),
+        sel.l_suppkey == F.col("s_suppkey"),
+    ).select("s_suppkey", "s_name", F.col("n_parts").cast("bigint").alias("n_parts"))
+
+
+_H21_LATE_DAYS = 90
+
+
+@register(
+    "h21_waiting_supplier",
+    category="analytics",
+    oracle=f"""
+WITH late AS MATERIALIZED (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate > o.o_orderdate + INTERVAL {_H21_LATE_DAYS} DAY
+)
+SELECT s.s_suppkey, s.s_name, CAST(cnt.numwait AS BIGINT) AS numwait
+FROM (
+  SELECT l1.l_suppkey, COUNT(*) AS numwait FROM (
+    SELECT DISTINCT l1.l_suppkey, l1.l_orderkey
+    FROM late l1
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+  ) l1 GROUP BY l1.l_suppkey
+) cnt JOIN supplier s ON s.s_suppkey = cnt.l_suppkey
+""",
+)
+def h21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted): per supplier, the number of multi-supplier
+    orders where it was the ONLY late shipper — the double-correlated
+    EXISTS / NOT-EXISTS query, the hardest subquery shape in the suite.
+    'Late' adapts to ship > order date + 90 days (the fixture has no
+    commit/receipt dates). Decorrelated Spark-first instead of
+    translating the subqueries: ONE aggregate over the order-keyed
+    lineitem computes, per order, the distinct-supplier count and the
+    late-supplier set size, then a semi-structured join keeps late
+    (supp, order) events with total_supps > 1 AND late_supps = 1 —
+    the EXISTS pair becomes two columns of the same group-by, so the
+    whole query is two shuffles on l_orderkey instead of three
+    correlated probes of the fact table. Counts are exact BIGINTs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    lo = li.join(
+        F.broadcast(o.select("o_orderkey", "o_orderdate")),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_H21_LATE_DAYS} DAYS")
+        ).alias("is_late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supps"
+        ),
+    )
+    late_events = (
+        lo.filter(F.col("is_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter(
+                (F.col("n_supps") > 1) & (F.col("n_late_supps") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+    )
+    cnt = late_events.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("numwait")
+    )
+    return cnt.join(
+        F.broadcast(s.select("s_suppkey", "s_name")),
+        cnt.l_suppkey == F.col("s_suppkey"),
+    ).select("s_suppkey", "s_name", "numwait")
