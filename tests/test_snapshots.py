@@ -241,3 +241,48 @@ def test_dv_vacuum_keeps_referenced_dv_dirs(spark, tmp_path):
     live = tbl.versions()[-1]
     for d in live["dirs"] + live["dvs"]:
         assert os.path.isdir(os.path.join(tbl.base, d))
+
+
+# -- equality deletes (sequence-scoped) --------------------------------
+
+
+def test_eqdelete_exempts_younger_appends(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    tbl = _dv_table(spark, tmp_path)
+    tbl.delete_eq(
+        spark, spark.range(0, 100, 2).select(F.col("id").alias("k")), on="k"
+    )
+    # append rows REUSING deleted keys — younger than the delete
+    extra = spark.range(0, 10, 2).select(
+        F.col("id").alias("k"), F.lit(-1).alias("v")
+    )
+    tbl.commit(extra, mode="append")
+    rows = tbl.read(spark).collect()
+    odd = sorted(r.k for r in rows if r.v >= 0)
+    reused = sorted(r.k for r in rows if r.v == -1)
+    assert odd == list(range(1, 100, 2)), "covered rows must be deleted"
+    assert reused == [0, 2, 4, 6, 8], "younger appends must be exempt"
+
+
+def test_eqdelete_composes_with_positional_and_compacts(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    tbl = _dv_table(spark, tmp_path)
+    tbl.delete_where(spark, F.col("k") >= 90)  # positional
+    tbl.delete_eq(spark, spark.range(0, 5).select(F.col("id").alias("k")), on="k")
+    expect = list(range(5, 90))
+    assert sorted(r.k for r in tbl.read(spark).collect()) == expect
+    tbl.rewrite_compact(spark)
+    m = tbl.versions()[-1]
+    assert m["dvs"] == [] and m["eqdvs"] == []
+    assert sorted(r.k for r in tbl.read(spark).collect()) == expect
+
+
+def test_eqdelete_time_travel(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    tbl = _dv_table(spark, tmp_path)
+    tbl.delete_eq(spark, spark.range(50).select(F.col("id").alias("k")), on="k")
+    assert tbl.read(spark, version=0).count() == 100
+    assert tbl.read(spark, version=1).count() == 50

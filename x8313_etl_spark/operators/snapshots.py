@@ -101,16 +101,27 @@ class SnapshotTable:
         version = prev[-1]["version"] + 1 if prev else 0
         ddir = f"d-{uuid.uuid4().hex[:12]}"
         df.write.mode("errorifexists").parquet(os.path.join(self.base, ddir))
-        dirs, dvs = [ddir], []
+        dirs, dvs, eqdvs = [ddir], [], []
         if mode == "append" and prev:
             dirs = prev[-1]["dirs"] + dirs
             dvs = prev[-1].get("dvs") or []
+            # parent equality deletes stay scoped to their recorded
+            # covered dirs — the NEW delta dir is younger, so exempt
+            eqdvs = prev[-1].get("eqdvs") or []
         return self._commit_manifest(
-            version=version, dirs=dirs, dvs=dvs, mode=mode, data_dir=ddir
+            version=version, dirs=dirs, dvs=dvs, mode=mode, data_dir=ddir,
+            eqdvs=eqdvs,
         )
 
     def _commit_manifest(
-        self, *, version: int, dirs: list, dvs: list, mode: str, data_dir: str
+        self,
+        *,
+        version: int,
+        dirs: list,
+        dvs: list,
+        mode: str,
+        data_dir: str,
+        eqdvs: list | None = None,
     ) -> int:
         """Publish a manifest for ``version`` with writer mutual
         exclusion; on a lost race, reclaim ``data_dir`` (this writer's
@@ -119,6 +130,7 @@ class SnapshotTable:
             "version": version,
             "dirs": dirs,
             "dvs": dvs,
+            "eqdvs": eqdvs or [],
             "mode": mode,
             "commit_ts": time.time(),
         }
@@ -167,7 +179,7 @@ class SnapshotTable:
         version carries deletion vectors the scan applies them
         (merge-on-read); otherwise it is a plain multi-dir scan."""
         m = self._resolve(version, as_of_ts)
-        if m.get("dvs"):
+        if m.get("dvs") or m.get("eqdvs"):
             return self._scan_minus_dvs(spark, m).drop("__dv_file", "__dv_pos")
         paths = [os.path.join(self.base, d) for d in m["dirs"]]
         return spark.read.parquet(*paths)
@@ -198,6 +210,18 @@ class SnapshotTable:
                     F.col("row_index").alias("__dv_pos"),
                 ),
                 ["__dv_file", "__dv_pos"],
+                "left_anti",
+            )
+        for eq in m.get("eqdvs") or []:
+            # anti-join restricted to the dirs this delete covers: the
+            # row's source dir is the second-to-last path segment of its
+            # file — younger (appended-later) dirs fall outside `covers`
+            # and keep their rows, Iceberg's sequence-number semantics
+            eqk = spark.read.parquet(os.path.join(self.base, eq["dir"]))
+            src_dir = F.element_at(F.split(F.col("__dv_file"), "/"), -2)
+            df = df.join(
+                F.broadcast(eqk),
+                (F.col(eq["on"]) == eqk["key"]) & src_dir.isin(list(eq["covers"])),
                 "left_anti",
             )
         return df
@@ -246,6 +270,40 @@ class SnapshotTable:
         visible rows before and after (pinned by tests)."""
         return self.commit(self.read(spark), mode="overwrite")
 
+    # -- equality deletes (sequence-scoped, the Iceberg v2 sibling) ---
+
+    def delete_eq(self, spark: SparkSession, keys: DataFrame, on: str) -> int:
+        """Merge-on-read EQUALITY delete: tombstone every row whose
+        ``on`` value appears in ``keys`` — but ONLY in the data dirs
+        that exist NOW. Iceberg's sequence-number rule at directory
+        granularity: an equality delete applies to files OLDER than
+        itself, so rows appended later with the same key are exempt
+        (the upsert-by-delete-then-append pattern depends on this).
+        The manifest records each eq-delete with its covered dir set;
+        reads apply each eq set as one anti-join restricted to rows
+        whose source dir is covered."""
+        prev = self.versions()
+        if not prev:
+            raise FileNotFoundError(f"snapshot table {self.base} has no commits")
+        m = prev[-1]
+        import pyspark.sql.functions as F
+
+        ddir = f"ev-{uuid.uuid4().hex[:12]}"
+        keys.select(F.col(on).alias("key")).distinct().write.mode(
+            "errorifexists"
+        ).parquet(os.path.join(self.base, ddir))
+        eqdvs = list(m.get("eqdvs") or []) + [
+            {"dir": ddir, "on": on, "covers": list(m["dirs"])}
+        ]
+        return self._commit_manifest(
+            version=m["version"] + 1,
+            dirs=m["dirs"],
+            dvs=m.get("dvs") or [],
+            mode="delete_eq",
+            data_dir=ddir,
+            eqdvs=eqdvs,
+        )
+
     # -- retention ------------------------------------------------------
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
@@ -265,13 +323,20 @@ class SnapshotTable:
         vs = self.versions()
         if len(vs) <= keep_last:
             return []
+        def _alldirs(m):
+            return (
+                m["dirs"]
+                + (m.get("dvs") or [])
+                + [e["dir"] for e in (m.get("eqdvs") or [])]
+            )
+
         drop, keep = vs[:-keep_last], vs[-keep_last:]
-        live = {d for m in keep for d in m["dirs"] + (m.get("dvs") or [])}
+        live = {d for m in keep for d in _alldirs(m)}
         for m in drop:
             os.remove(os.path.join(self._manifest_dir(), f"{m['version']:08d}.json"))
         deleted = []
         for m in drop:
-            for d in m["dirs"] + (m.get("dvs") or []):
+            for d in _alldirs(m):
                 if d not in live and os.path.isdir(os.path.join(self.base, d)):
                     shutil.rmtree(os.path.join(self.base, d))
                     deleted.append(d)

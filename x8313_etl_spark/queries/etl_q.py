@@ -541,3 +541,46 @@ def m4_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl.delete_where(spark, F.col("c_acctbal") < 0)  # v1
     tbl.delete_where(spark, F.col("c_custkey") % 10 == 0)  # v2
     return tbl.read(spark)
+
+
+@register(
+    "m5_equality_deletes",
+    category="etl",
+    oracle=f"""
+SELECT c_custkey, c_acctbal
+FROM customer WHERE NOT (c_custkey % 7 = 0)
+UNION ALL
+SELECT c_custkey + {INS_KEY_OFFSET} AS c_custkey, 0.0 AS c_acctbal
+FROM customer WHERE c_custkey % 7 = 0
+""",
+)
+def m5_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: merge-on-read EQUALITY deletes with sequence scoping — the
+    Iceberg-v2 sibling of m4's positional vectors, and the one that
+    enables upsert-by-delete-then-append: (1) commit the customer base,
+    (2) equality-delete every key ≡ 0 (mod 7), (3) APPEND replacement
+    rows (offset keys, zeroed balances) — the appended dir is YOUNGER
+    than the delete, so the delete's recorded covered-dir set exempts
+    it; a naive global key tombstone would wrongly swallow any appended
+    row that reused a deleted key. The twin states the net effect:
+    survivors plus replacements. The delete costs O(|keys|) written;
+    the read applies one broadcast anti-join per eq-delete commit,
+    restricted to rows whose source dir the delete covers (derived from
+    the _metadata file path — no extra column in the data files)."""
+    import shutil
+
+    from ..operators.snapshots import SnapshotTable
+
+    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    path = scratch(f"m5_eqdel_{_tag(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)  # deterministic rebuild per call
+    tbl = SnapshotTable(path)
+    tbl.commit(base.repartition(4))  # v0, multi-file
+    doomed = base.filter(F.col("c_custkey") % 7 == 0)
+    tbl.delete_eq(spark, doomed.select("c_custkey"), on="c_custkey")  # v1
+    replacements = doomed.select(
+        (F.col("c_custkey") + INS_KEY_OFFSET).alias("c_custkey"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    tbl.commit(replacements, mode="append")  # v2 — younger than the delete
+    return tbl.read(spark)

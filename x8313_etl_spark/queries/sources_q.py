@@ -401,3 +401,63 @@ def s16_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S17: custom Python data source (Spark 4 DataSource API).
+# ---------------------------------------------------------------------------
+
+_S17_ROWS = 10_000
+_S17_PARTS = 8
+_S17_SENSORS = 50
+
+
+def _s17_reading_sql() -> str:
+    return (
+        "(CAST(CONCAT('0x', substr(md5('x11-' || CAST(seq AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) % 1000000) / 1000000.0"
+    )
+
+
+@register(
+    "s17_python_datasource",
+    category="sources",
+    oracle=f"""
+WITH g AS (SELECT unnest(generate_series(0, {_S17_ROWS - 1})) AS seq),
+r AS (
+  SELECT CAST(seq % {_S17_SENSORS} AS INTEGER) AS sensor_id,
+         {_s17_reading_sql()} AS reading
+  FROM g
+)
+SELECT sensor_id,
+       CAST(count(*) AS BIGINT) AS n,
+       {sql_dsum('reading')} AS total
+FROM r GROUP BY sensor_id
+""",
+)
+def s17_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17: a CUSTOM batch data source through the Spark 4 Python
+    DataSource API (pyspark.sql.datasource) — the modern extension
+    point for sources Spark has no native connector for. The source
+    declares 8 InputPartitions; each executor-side ``read(partition)``
+    generates its own row range independently (the partition object is
+    the only thing shipped), so the scan parallelizes like any native
+    source and scales by adding partitions. Rows are deterministic
+    md5-derived sensor readings quantized to 6 dp AT GENERATION, so the
+    DuckDB twin regenerates the identical table from generate_series +
+    the same md5 algebra, and the decimal-sum aggregate is
+    grid-exact cross-engine. The aggregate on top proves rows flow
+    through the normal relational pipeline (shuffle, partial aggs).
+    python_ds.py holds the DataSource/Reader classes — they must be
+    importable on executors, not closures."""
+    from ..python_ds import SensorDataSource
+
+    try:
+        spark.dataSource.register(SensorDataSource)
+    except Exception:
+        pass  # already registered in this session — idempotent use
+    df = spark.read.format("x8313_sensors").load()
+    return df.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("reading").alias("total"),
+    )

@@ -349,3 +349,188 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "value",
         (num / den).cast("decimal(18,6)").cast("double").alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LTTB downsampling — visualization-grade series decimation.
+# ---------------------------------------------------------------------------
+
+_LTTB_BUCKETS = 12  # first + 10 area-selected + last, per series
+
+
+def _lttb_oracle(n_buckets: int = _LTTB_BUCKETS) -> str:
+    mid = n_buckets - 2
+    area = (
+        "CAST(CAST(abs((p.x - a.ax) * (b.y - p.y) - (p.x - b.x) * (a.ay - p.y)) "
+        "AS DECIMAL(25,4)) AS DOUBLE)"
+    )
+    ctes = [
+        """base AS MATERIALIZED (
+  SELECT event_type AS series, ts, event_id, value AS y,
+         (epoch_us(ts) - min(epoch_us(ts))
+            OVER (PARTITION BY event_type)) / 1000000.0 AS x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)""",
+        f"""bkt AS MATERIALIZED (
+  SELECT *, CASE WHEN rk = 1 THEN 0
+                 WHEN rk = n THEN {n_buckets - 1}
+                 ELSE 1 + CAST(((rk - 2) * {mid}) // (n - 2) AS INTEGER)
+            END AS bucket
+  FROM base
+)""",
+        """avgs AS MATERIALIZED (
+  SELECT series, bucket,
+         CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS ax,
+         CAST(SUM(CAST(y AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS ay
+  FROM bkt GROUP BY series, bucket
+)""",
+        "s0 AS MATERIALIZED (SELECT series, ts, event_id, x, y FROM bkt "
+        "WHERE bucket = 0)",
+    ]
+    for r in range(1, mid + 1):
+        ctes.append(
+            f"""s{r} AS MATERIALIZED (
+  SELECT series, ts, event_id, x, y FROM (
+    SELECT b.series, b.ts, b.event_id, b.x, b.y,
+           row_number() OVER (PARTITION BY b.series
+                              ORDER BY {area} DESC, b.ts, b.event_id) AS rn
+    FROM bkt b
+    JOIN s{r - 1} p ON p.series = b.series
+    JOIN avgs a ON a.series = b.series AND a.bucket = {r + 1}
+    WHERE b.bucket = {r}
+  ) WHERE rn = 1
+)"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT series, {r} AS bucket, ts, y FROM s{r}" for r in range(mid + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT series, CAST(bucket AS INTEGER) AS bucket, ts, y AS value FROM (
+  {unions}
+  UNION ALL
+  SELECT series, {n_buckets - 1} AS bucket, ts, y FROM bkt
+  WHERE bucket = {n_buckets - 1}
+)"""
+    )
+
+
+@register(
+    "ts_lttb",
+    category="timeseries",
+    oracle=_lttb_oracle(),
+)
+def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013):
+    each series (event_type) decimates to 12 points — first, last, and
+    one point per middle bucket chosen to maximize the triangle area
+    with the PREVIOUSLY SELECTED point and the NEXT bucket's centroid —
+    the standard visualization-grade decimator that preserves visual
+    extremes where uniform sampling flattens them. The
+    previous-selection dependency makes it inherently sequential per
+    bucket, so it runs as 10 fixed rounds (the p_bpe_train chained
+    discipline), each a tiny broadcast join (one prev point + one
+    centroid per series) against the PERSISTED bucketed table — rounds
+    cost O(bucket) each, and the bucket count, not the series length,
+    bounds the sequential depth.
+
+    Cross-engine exactness: x is seconds offset from the series start —
+    (µs − µs)/1e6 is an exact 6-dp rational, so the centroid's decimal
+    mean is grid-exact; the triangle area (two products, one subtract —
+    a fixed IEEE tree) is quantized to 1e-4 before the argmax so a
+    cross-engine ulp can never flip the selection, and ties pin on
+    (ts, event_id). Bucket assignment is pure integer math."""
+    from ..audit import audited_checkpoint
+    from ..operators.cachepool import swap_persist
+
+    n_buckets, mid = _LTTB_BUCKETS, _LTTB_BUCKETS - 2
+    e = load_table(spark, sf_dir, "events")
+    wseries = Window.partitionBy("event_type")
+    worder = wseries.orderBy("ts", "event_id")
+    base = e.select(
+        F.col("event_type").alias("series"),
+        "ts",
+        "event_id",
+        F.col("value").alias("y"),
+        (
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.min(F.unix_micros(F.col("ts").cast("timestamp"))).over(wseries)
+            )
+            / 1000000.0
+        ).alias("x"),
+        F.row_number().over(worder).alias("rk"),
+        F.count(F.lit(1)).over(wseries).alias("n"),
+    )
+    bkt = swap_persist(
+        "ts_lttb.bkt",
+        base.withColumn(
+            "bucket",
+            F.when(F.col("rk") == 1, F.lit(0))
+            .when(F.col("rk") == F.col("n"), F.lit(n_buckets - 1))
+            .otherwise(
+                F.lit(1)
+                + F.expr(f"((rk - 2) * {mid}) div (n - 2)").cast("int")
+            ),
+        ),
+    )
+    avgs = bkt.groupBy("series", "bucket").agg(
+        (
+            F.sum(F.col("x").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ax"),
+        (
+            F.sum(F.col("y").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ay"),
+    )
+    avgs = swap_persist("ts_lttb.avgs", avgs)
+    sel = audited_checkpoint(
+        "ts_lttb.round",
+        bkt.filter(F.col("bucket") == 0).select("series", "ts", "event_id", "x", "y"),
+    )
+    picks = [sel.select("series", F.lit(0).alias("bucket"), "ts", "y")]
+    for r in range(1, mid + 1):
+        prev = sel.select(
+            "series", F.col("x").alias("px"), F.col("y").alias("py")
+        )
+        nxt = avgs.filter(F.col("bucket") == r + 1).select("series", "ax", "ay")
+        area = (
+            F.abs(
+                (F.col("px") - F.col("ax")) * (F.col("y") - F.col("py"))
+                - (F.col("px") - F.col("x")) * (F.col("ay") - F.col("py"))
+            )
+            .cast("decimal(25,4)")
+            .cast("double")
+        )
+        w = Window.partitionBy("series").orderBy(
+            F.col("__area").desc(), "ts", "event_id"
+        )
+        sel = audited_checkpoint(
+            "ts_lttb.round",
+            bkt.filter(F.col("bucket") == r)
+            .join(F.broadcast(prev), "series")
+            .join(F.broadcast(nxt), "series")
+            .withColumn("__area", area)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("series", "ts", "event_id", "x", "y"),
+        )
+        picks.append(sel.select("series", F.lit(r).alias("bucket"), "ts", "y"))
+    picks.append(
+        bkt.filter(F.col("bucket") == n_buckets - 1).select(
+            "series", F.lit(n_buckets - 1).alias("bucket"), "ts", "y"
+        )
+    )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "series", F.col("bucket").cast("int").alias("bucket"), "ts",
+        F.col("y").alias("value"),
+    )
