@@ -657,3 +657,72 @@ def test_t15_final_state_is_batch_split_invariant(spark, tmp_path):
     ragged = run([3, 4, 11, 23, 24, 39, 40])
     assert one == even == ragged
     assert len(one) == 5  # all five users present
+
+
+# -- t16: event-time timeout session flush ----------------------------
+
+
+class _FakeTimeoutState:
+    """Minimal GroupState double for apws_session_flush: properties for
+    get/exists/hasTimedOut (matching the pyspark GroupState API shape),
+    recording update/remove/setTimeoutTimestamp calls."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = tuple(v)
+
+    def remove(self):
+        self.removed = True
+        self._value = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_set = ms
+
+
+def _pdf(ts_ms, values):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "ts": pd.to_datetime([t * 10**6 for t in ts_ms]),  # ns
+            "value": values,
+        }
+    )
+
+
+def test_t16_update_branch_emits_nothing_and_arms_timer():
+    from x8313_etl_spark.streaming import T16_GAP_MS, apws_session_flush
+
+    st = _FakeTimeoutState()
+    out = list(apws_session_flush((7,), [_pdf([1000, 5000], [2.0, 9.0])], st))
+    assert out == [], "update path must not emit"
+    assert st.get == (2, 9.0)
+    assert st.timeout_set == 5000 + T16_GAP_MS, "timer = last event + gap"
+    # second call accumulates and re-arms from the NEW last event
+    out = list(apws_session_flush((7,), [_pdf([8000], [1.0])], st))
+    assert out == [] and st.get == (3, 9.0)
+    assert st.timeout_set == 8000 + T16_GAP_MS
+
+
+def test_t16_timeout_branch_is_the_only_emitter():
+    from x8313_etl_spark.streaming import apws_session_flush
+
+    st = _FakeTimeoutState(value=(4, 3.5), timed_out=True)
+    out = list(apws_session_flush((7,), [], st))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (row.user_id, row.n_events, row.max_value) == (7, 4, 3.5)
+    assert st.removed, "flushed state must be removed"

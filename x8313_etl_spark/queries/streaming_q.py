@@ -10,7 +10,7 @@ output-mode rationale.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.numeric import dsum, sql_dsum
 from ..io import load_table, stream_events
@@ -771,3 +771,97 @@ def t15_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_dec").cast("double").alias("sum_value"),
         F.col("last.event_type").alias("last_event_type"),
     )
+
+
+@register(
+    "t16_stateful_timeout",
+    category="streaming",
+    oracle="""
+SELECT user_id, count(*) AS n_events, max(value) AS max_value
+FROM events GROUP BY user_id
+""",
+)
+def t16_stateful_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T16: EVENT-TIME TIMEOUT firing in applyInPandasWithState — the
+    stateful-streaming capability t7b (NoTimeout) does not exercise:
+    output rows are produced ONLY when a group's timer fires with no
+    new input, i.e. by the timeout machinery itself, never by the
+    update path. The stream is the events table split into FOUR
+    ts-quartile files (maxFilesPerTrigger=1 → four real micro-batches
+    with an advancing watermark) plus two far-future sentinel files; the
+    per-user timeout re-arms at last-event + 8 days — LONGER than any
+    quartile's span, so no real user can flush early even if absent
+    from a batch — and the sentinels' watermark jump expires every
+    user's timer, flushing exactly one (count, max) session row per
+    user. Final output therefore equals the batch aggregate (sentinel
+    user filtered out), which is what the twin states; the timeout
+    branch being the only emitter is pinned by
+    tests/test_streaming.py's fake-GroupState unit tests. At scale this
+    is the standard session-expiry pattern: state is per-key and
+    bounded, timers fire on watermark progress, and the flush batch
+    costs O(expired keys)."""
+    import os
+    import shutil
+    import time as _time
+    import uuid as _uuid
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..schemas import SCHEMAS
+    from ..streaming import apws_session_flush, run_to_memory
+    from .sources_q import scratch, _tag
+
+    family = scratch(f"t16_timeout_{_tag(sf_dir)}")
+    cutoff = _time.time() - 1800
+    for d in os.listdir(family) if os.path.isdir(family) else []:
+        p = os.path.join(family, d)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    work = os.path.join(family, _uuid.uuid4().hex[:12])
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+
+    ev = load_table(spark, sf_dir, "events")
+    qtile = F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    slices = ev.withColumn("__q", qtile)
+    mx = ev.agg(F.max("ts").alias("m")).collect()[0].m
+    sentinels = [
+        [(10**12 + i, mx + __import__("datetime").timedelta(days=30 * (i + 1)),
+          -1, "sentinel", 0.0, "{}")]
+        for i in range(2)
+    ]
+    batches = [slices.filter(F.col("__q") == q + 1).drop("__q") for q in range(4)]
+    batches += [
+        spark.createDataFrame(s, SCHEMAS["events"]) for s in sentinels
+    ]
+    base_mtime = _time.time() - 600
+    for i, bdf in enumerate(batches):
+        tmp = os.path.join(work, f"tmp{i}")
+        bdf.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(src_dir, f"f{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        # the file source orders by modification time — pin the batch
+        # order explicitly instead of trusting write latency
+        os.utime(dst, (base_mtime + i * 10, base_mtime + i * 10))
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 minute")
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        apws_session_flush,
+        "user_id long, n_events long, max_value double",
+        "n long, mx double",
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+    res = run_to_memory(spark, out, "t16_timeout", "append")
+    return res.filter(F.col("user_id") >= 0)

@@ -227,3 +227,41 @@ def stateful_merge_counter(
         raise TimeoutError(f"stateful merge did not finish in {timeout_sec}s")
     assert latest["dir"] is not None, "stream produced no batches"
     return spark.read.parquet(latest["dir"])
+
+
+#: t16 session-flush gap: longer than any one micro-batch's time span
+#: (ts-quartile batches cover ~7.5 days), so a user absent from one
+#: batch cannot time out early — only the sentinel watermark jump
+#: flushes (see queries/streaming_q.py t16_stateful_timeout).
+T16_GAP_MS = 8 * 86_400 * 1000
+
+
+def apws_session_flush(pdfs_key, pdfs, state):
+    """applyInPandasWithState body for T16: accumulate per-key
+    (count, max) silently; rows are emitted ONLY from the
+    ``state.hasTimedOut`` branch (event-time timeout = the session
+    flush), then state is removed. The update branch re-arms the
+    timeout at last-event-time + gap — the canonical
+    session-with-timeout pattern. Module-level so a fake GroupState
+    can unit-test both branches."""
+    import pandas as pd
+
+    if state.hasTimedOut:
+        n, mx = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {"user_id": [pdfs_key[0]], "n_events": [n], "max_value": [mx]}
+        )
+        return
+    n, mx = state.get if state.exists else (0, None)
+    last_ms = None
+    for pdf in pdfs:
+        n += len(pdf)
+        batch_max = float(pdf["value"].max())
+        mx = batch_max if mx is None else max(mx, batch_max)
+        ts_ms = int(pdf["ts"].max().value // 10**6)
+        last_ms = ts_ms if last_ms is None else max(last_ms, ts_ms)
+    state.update((n, mx))
+    state.setTimeoutTimestamp(last_ms + T16_GAP_MS)
+    return
+    yield  # pragma: no cover — makes this branch a generator with no rows
