@@ -563,3 +563,96 @@ def w13_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gap_us"),
         )
     )
+
+
+@register(
+    "w14_pattern_quantifiers",
+    category="windows",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER w AS rk,
+         row_number() OVER w
+           - row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS grp
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, event_type, grp, count(*) AS len,
+         min(ts) AS t0, min(rk) AS rk0, min(event_id) AS first_id
+  FROM seq GROUP BY user_id, event_type, grp
+),
+ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY rk0) AS rn
+  FROM runs
+)
+SELECT v.user_id,
+       v.first_id AS view_first_id,
+       CAST(c.len AS BIGINT) AS click_len,
+       c.t0 AS clicks_start_ts,
+       p.t0 AS purchase_ts
+FROM ordered v
+JOIN ordered c ON c.user_id = v.user_id AND c.rn = v.rn + 1
+JOIN ordered p ON p.user_id = v.user_id AND p.rn = v.rn + 2
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+  AND c.len BETWEEN 2 AND 3 AND p.event_type = 'purchase'
+""",
+)
+def w14_pattern_quantifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W14: QUANTIFIED event-pattern detection — view, then 2–3
+    consecutive clicks, then purchase, per user (the MATCH_RECOGNIZE
+    `A B{2,3} C` shape w13's single-successor form can't express).
+    Compiled the way pattern engines do: run-length ISLANDS first (the
+    rk − per-type-rk gaps-and-islands difference collapses each maximal
+    same-type run to one row), then the quantifier becomes a plain
+    length predicate and adjacency becomes rn arithmetic on the
+    run table — three self-equi-joins of a table that is RUNS-sized,
+    not events-sized. One exchange on user_id feeds both window passes
+    and the run aggregate; the adjacency joins reuse the same key. All
+    tiebreaks pinned (ts, event_id); run identity is integer math."""
+    e = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wtype = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.row_number().over(wseq).alias("rk"),
+        (F.row_number().over(wseq) - F.row_number().over(wtype)).alias("grp"),
+    )
+    runs = seq.groupBy("user_id", "event_type", "grp").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("ts").alias("t0"),
+        F.min("rk").alias("rk0"),
+        F.min("event_id").alias("first_id"),
+    )
+    ordered = runs.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("user_id").orderBy("rk0"))
+    )
+    v = ordered.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("first_id").alias("view_first_id"),
+        F.col("rn").alias("vrn"),
+    )
+    c = ordered.filter(
+        (F.col("event_type") == "click") & F.col("len").between(2, 3)
+    ).select(
+        F.col("user_id").alias("cuid"),
+        F.col("len").cast("bigint").alias("click_len"),
+        F.col("t0").alias("clicks_start_ts"),
+        F.col("rn").alias("crn"),
+    )
+    p = ordered.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("puid"),
+        F.col("t0").alias("purchase_ts"),
+        F.col("rn").alias("prn"),
+    )
+    return (
+        v.join(c, (F.col("cuid") == F.col("user_id")) & (F.col("crn") == F.col("vrn") + 1))
+        .join(p, (F.col("puid") == F.col("user_id")) & (F.col("prn") == F.col("vrn") + 2))
+        .select(
+            "user_id", "view_first_id", "click_len", "clicks_start_ts",
+            "purchase_ts",
+        )
+    )
