@@ -130,6 +130,14 @@ ALLOWED: dict[str, tuple[dict[str, int], str]] = {
         {"BroadcastNestedLoopJoin": 2},
         "broadcast centroid seeds + broadcast probe side (K=16 keys would collapse a shuffle join's parallelism — PERF.md)",
     ),
+    "sim_rerank_two_stage": (
+        {"Exchange SinglePartition": 2},
+        "Catalyst-injected runtime bloom-filter join pruning: a "
+        "bloom_filter_agg over the candidate probe ids merges fixed-size "
+        "sketch PARTIALS in one partition and is pushed into the scan as "
+        "might_contain — an optimizer win (fewer scanned rows), never a "
+        "row funnel (plan prints the one subquery twice)",
+    ),
     "sim_neardup_exact": (
         {"BroadcastNestedLoopJoin": 1},
         "the deliberate O(n^2) correctness baseline for the bucketed variants",

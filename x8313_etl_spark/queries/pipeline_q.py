@@ -571,6 +571,23 @@ def p_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round), recorded in the audit ledger via audited_checkpoint.
     The DuckDB twin is the same algebra as k chained CTEs, so merge
     RULES AND tie handling are verified exactly, round by round."""
+    rules, _state = _bpe_train_loop(spark, sf_dir)
+    out = rules[0]
+    for rdf in rules[1:]:
+        out = out.unionByName(rdf)
+    return out.select(
+        F.col("round").cast("int").alias("round"),
+        F.col("pl").alias("left_sym"),
+        F.col("pr").alias("right_sym"),
+        F.concat("pl", "pr").alias("merged"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+
+
+def _bpe_train_loop(spark: SparkSession, sf_dir: str):
+    """Run the k-round BPE training loop; returns (per-round 1-row rule
+    DataFrames, final merged state table) — shared by p_bpe_train (the
+    rules) and p_bpe_encode (the state IS the encoded corpus)."""
     from ..audit import audited_checkpoint
 
     d = load_table(spark, sf_dir, "documents")
@@ -652,16 +669,8 @@ def p_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "w", "freq", F.row_number().over(wseq).alias("pos"), "sym"
             ),
         )
-    out = rules[0]
-    for rdf in rules[1:]:
-        out = out.unionByName(rdf)
-    return out.select(
-        F.col("round").cast("int").alias("round"),
-        F.col("pl").alias("left_sym"),
-        F.col("pr").alias("right_sym"),
-        F.concat("pl", "pr").alias("merged"),
-        F.col("cnt").cast("bigint").alias("cnt"),
-    )
+    return rules, state
+
 
 
 # ---------------------------------------------------------------------------
@@ -842,4 +851,46 @@ def p_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         avg_nll.alias("avg_nll"),
         (avg_nll <= F.lit(math.log(_PPL_KEEP_MAX))).alias("keep"),
+    )
+
+
+def _bpe_encode_oracle(k: int = _BPE_ROUNDS) -> str:
+    base = _bpe_oracle(k)
+    head = base[: base.rindex("\nSELECT")]
+    return head + f"""
+SELECT w, CAST(freq AS BIGINT) AS freq,
+       string_agg(sym, ' ' ORDER BY pos) AS tokens,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM t{k} GROUP BY w, freq"""
+
+
+@register(
+    "p_bpe_encode",
+    category="pipeline",
+    oracle=_bpe_encode_oracle(),
+)
+def p_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges — closes the tokenizer loop that
+    p_bpe_train opens: after the k training rounds, the state table IS
+    the encoded corpus (every word type as its post-merge symbol
+    sequence), so encoding costs nothing beyond the training pass the
+    two queries share (_bpe_train_loop). Output: word type, frequency,
+    the encoded token string, and its token count — the table a
+    tokenizer ships plus the compression evidence (n_tokens < word
+    length wherever merges fired). Ordered reassembly is
+    array_sort(struct(pos, sym)) → join, position math only — the same
+    determinism discipline as the train loop; the twin replays the
+    identical k rounds and string_agg's ORDER BY pos."""
+    _rules, state = _bpe_train_loop(spark, sf_dir)
+    return state.groupBy("w", "freq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                lambda x: x["sym"],
+            ),
+            " ",
+        ).alias("tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+    ).select(
+        "w", F.col("freq").cast("bigint").alias("freq"), "tokens", "n_tokens"
     )

@@ -826,6 +826,20 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependence, no decimal quantization needed. Ranks pinned
     (adc_d2, vec_id) / (d2, cent_id). Recall vs the exact scan is
     bounded in tests/test_pq.py."""
+    s = _pq_adc_scores(spark, sf_dir)
+    wr = Window.partitionBy("probe_id").orderBy("adc_d2", "vec_id")
+    return (
+        s.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _PQ_TOPK)
+        .select("probe_id", "vec_id", "adc_d2", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def _pq_adc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(probe_id, vec_id, adc_d2): every capped probe scored against
+    every corpus PQ code by asymmetric distance — the shared stage-1
+    core of sim_pq_topk and sim_rerank_two_stage (see sim_pq_topk's
+    docstring for the cost model and exactness discipline)."""
     from ..operators.cachepool import swap_persist
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -892,10 +906,110 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = F.col("__d0")
     for m in range(1, _PQ_M):
         total = total + F.col(f"__d{m}")
-    s = blocks_sum.select("probe_id", "vec_id", total.alias("adc_d2"))
-    wr = Window.partitionBy("probe_id").orderBy("adc_d2", "vec_id")
+    return blocks_sum.select("probe_id", "vec_id", total.alias("adc_d2"))
+
+
+
+_RERANK_CAND = 25  # stage-1 ADC candidates per probe re-ranked exactly
+
+
+@register(
+    "sim_rerank_two_stage",
+    category="similarity",
+    oracle=f"""
+WITH mm AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m),
+blocks AS MATERIALIZED (
+  SELECT vec_id, mm.m AS m,
+         embedding[(1 + {_PQ_SUB} * mm.m):({_PQ_SUB} + {_PQ_SUB} * mm.m)] AS bvec
+  FROM embeddings, mm
+),
+cents AS MATERIALIZED (
+  SELECT vec_id AS cent_id, m, bvec AS cvec FROM blocks WHERE vec_id < {_PQ_K}
+),
+d AS MATERIALIZED (
+  SELECT b.vec_id, b.m, c.cent_id, {_SQL_PQ_D2} AS d2
+  FROM blocks b JOIN cents c ON b.m = c.m
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, m, cent_id AS code FROM (
+    SELECT vec_id, m, cent_id,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cent_id) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+dtab AS MATERIALIZED (
+  SELECT vec_id AS probe_id, m, cent_id, d2 FROM d
+  WHERE vec_id % {_PQ_PROBE_MOD} = 0 AND vec_id < {_PQ_PROBE_CAP}
+),
+cand AS MATERIALIZED (
+  SELECT probe_id, vec_id FROM (
+    SELECT s.*, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY adc_d2, vec_id) AS crn
+    FROM (
+      SELECT t.probe_id, c.vec_id,
+             list_reduce(list(t.d2 ORDER BY t.m), (a, b) -> a + b) AS adc_d2
+      FROM codes c JOIN dtab t ON t.m = c.m AND t.cent_id = c.code
+      WHERE c.vec_id != t.probe_id
+      GROUP BY t.probe_id, c.vec_id
+    ) s
+  ) WHERE crn <= {_RERANK_CAND}
+)
+SELECT probe_id, vec_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT cand.probe_id, cand.vec_id,
+         {sql_cosine('p.embedding', 'x.embedding')} AS cos_sim,
+         row_number() OVER (PARTITION BY cand.probe_id
+                            ORDER BY {sql_cosine('p.embedding', 'x.embedding')} DESC,
+                                     cand.vec_id) AS rn
+  FROM cand
+  JOIN embeddings p ON p.vec_id = cand.probe_id
+  JOIN embeddings x ON x.vec_id = cand.vec_id
+)
+WHERE rn <= {_PQ_TOPK}
+""",
+)
+def sim_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the production ANN shape: stage 1 scores
+    PQ CODES by asymmetric distance (compressed-domain scan, the
+    sim_pq_topk core, shared via _pq_adc_scores and the pooled score
+    table) and keeps 25 candidates per probe; stage 2 re-ranks ONLY
+    those candidates by exact cosine over the full vectors and returns
+    the top 5. This is how real systems spend their compute: the cheap
+    approximate scan touches everything, the exact math touches
+    k·candidates rows — here stage 2 reads 25 vectors per probe instead
+    of the corpus, so its cost is probe-budget-bounded at any corpus
+    size, and stage-1 recall shortfalls are exactly what re-ranking
+    repairs (recall@5 of the two-stage form ≥ the raw PQ ranking's by
+    construction — stage 2 can only fix orderings inside the candidate
+    set). The twin replays both stages, so the candidate cut AND the
+    re-ranked order are verified; ranks pinned (adc_d2, vec_id) /
+    (cos desc, vec_id)."""
+    s = _pq_adc_scores(spark, sf_dir)
+    wc = Window.partitionBy("probe_id").orderBy("adc_d2", "vec_id")
+    cand = (
+        s.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= _RERANK_CAND)
+        .select("probe_id", "vec_id")
+    )
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vnorm", norm(F.col("embedding"))
+    )
+    p = e.select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pvec"),
+        F.col("vnorm").alias("pnorm"),
+    )
+    x = e.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("xvec"),
+        F.col("vnorm").alias("xnorm"),
+    )
+    cos = dot(F.col("pvec"), F.col("xvec")) / (F.col("pnorm") * F.col("xnorm"))
+    wr = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), "vec_id")
     return (
-        s.withColumn("rn", F.row_number().over(wr))
+        cand.join(F.broadcast(p), "probe_id")
+        .join(x, "vec_id")
+        .select("probe_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") <= _PQ_TOPK)
-        .select("probe_id", "vec_id", "adc_d2", F.col("rn").cast("int").alias("rn"))
+        .select("probe_id", "vec_id", "cos_sim", F.col("rn").cast("int").alias("rn"))
     )
