@@ -1004,3 +1004,74 @@ def p_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dg.join(contaminated, "doc_id", "left_anti").select(
         "doc_id", "lang", "n_chars", "n_tokens"
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-epoch mixing schedule — the p_domain_mix weights, per epoch.
+# ---------------------------------------------------------------------------
+
+#: (epoch, high-resource weight, low-resource weight): the standard
+#: anneal — later epochs down-weight the bulk domains and re-expose the
+#: rare ones (weights are per-source KEEP fractions, hash-thresholded)
+_MIX_EPOCHS = ((0, 0.9, 0.3), (1, 0.6, 0.6), (2, 0.3, 0.9))
+
+
+def _epoch_sql(epoch: int, w_hi: float, w_lo: float) -> str:
+    return f"""
+SELECT {epoch} AS epoch, doc_id, source,
+       CAST(CASE WHEN source IN ('src0','src1','src2','src3')
+                 THEN {w_hi} ELSE {w_lo} END AS DOUBLE) AS weight
+FROM (
+  SELECT doc_id, source,
+         {{bucket}} AS bucket
+  FROM documents
+)
+WHERE bucket < CASE WHEN source IN ('src0','src1','src2','src3')
+                    THEN {w_hi} ELSE {w_lo} END * 10000"""
+
+
+@register(
+    "p_mix_schedule",
+    category="pipeline",
+    oracle=" UNION ALL ".join(
+        _epoch_sql(e, hi, lo).format(
+            bucket=_sql_hash_bucket(f"concat('epoch{e}-', doc_id)", 10000)
+        )
+        for e, hi, lo in _MIX_EPOCHS
+    ),
+)
+def p_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch dataset mixing SCHEDULE — p_domain_mix per training
+    epoch with annealed weights: epoch 0 leans on the high-resource
+    sources (0.9 vs 0.3 keep), epoch 2 inverts (0.3 vs 0.9), the
+    standard recipe for re-exposing rare domains late in training.
+    Membership is hash-thresholded per (epoch, doc) — the epoch salt
+    makes epochs INDEPENDENT samples (a doc kept in epoch 0 carries no
+    information about epoch 2), deterministic, repartition-stable, and
+    resumable, none of which an RNG gives. Map-only: each epoch is a
+    filter over the scan, unioned — no shuffle at any scale; the
+    schedule table (epoch, doc_id, source, weight) is exactly what a
+    training-data loader consumes."""
+    d = load_table(spark, sf_dir, "documents")
+    hi = F.col("source").isin("src0", "src1", "src2", "src3")
+    parts = []
+    for e, w_hi, w_lo in _MIX_EPOCHS:
+        weight = F.when(hi, F.lit(w_hi)).otherwise(F.lit(w_lo)).cast("double")
+        bucket = _hash_bucket(
+            F.concat(F.lit(f"epoch{e}-"), F.col("doc_id").cast("string")), 10000
+        )
+        parts.append(
+            d.select(
+                F.lit(e).alias("epoch"),
+                "doc_id",
+                "source",
+                weight.alias("weight"),
+                bucket.alias("__b"),
+            )
+            .filter(F.col("__b") < F.col("weight") * 10000)
+            .drop("__b")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

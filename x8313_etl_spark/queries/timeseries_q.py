@@ -534,3 +534,155 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "series", F.col("bucket").cast("int").alias("bucket"), "ts",
         F.col("y").alias("value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition (additive, fixed period 24 h).
+# ---------------------------------------------------------------------------
+
+_SD_PERIOD = 24
+
+
+@register(
+    "ts_seasonal_decompose",
+    category="timeseries",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS y
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, min(hour) AS mn, max(hour) AS mx FROM hourly GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+),
+dense AS MATERIALIZED (
+  SELECT g.event_type, g.hour, coalesce(h.y, 0) AS y
+  FROM grid g LEFT JOIN hourly h
+    ON h.event_type = g.event_type AND h.hour = g.hour
+),
+tr AS MATERIALIZED (
+  SELECT *, CASE WHEN count(*) OVER w = {_SD_PERIOD}
+                 THEN CAST(SUM(y) OVER w AS DOUBLE) / {_SD_PERIOD}
+            END AS trend
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN {_SD_PERIOD // 2} PRECEDING
+                        AND {_SD_PERIOD // 2 - 1} FOLLOWING)
+),
+seas0 AS MATERIALIZED (
+  SELECT event_type, EXTRACT(hour FROM hour) AS hod,
+         CAST(SUM(CAST(y - trend AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS s_raw
+  FROM tr WHERE trend IS NOT NULL
+  GROUP BY 1, 2
+),
+seas AS MATERIALIZED (
+  SELECT event_type, hod,
+         CAST(CAST(s_raw - CAST(SUM(CAST(s_raw AS DECIMAL(25,6)))
+                OVER (PARTITION BY event_type) AS DOUBLE) / {_SD_PERIOD}
+              AS DECIMAL(18,6)) AS DOUBLE) AS seasonal
+  FROM seas0
+)
+SELECT t.event_type,
+       t.hour,
+       CAST(t.y AS BIGINT) AS y,
+       CAST(CAST(t.trend AS DECIMAL(18,6)) AS DOUBLE) AS trend,
+       s.seasonal,
+       CAST(CAST(t.y - t.trend - s.seasonal AS DECIMAL(18,6)) AS DOUBLE)
+         AS remainder
+FROM tr t JOIN seas s
+  ON s.event_type = t.event_type AND s.hod = EXTRACT(hour FROM t.hour)
+""",
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition, fixed period 24 h:
+    y = trend + seasonal + remainder over the dense per-type hourly
+    count grid (ts_gap_fill's grid build, zero-filled). Trend is the
+    centered 24-point moving average (emitted only where the frame is
+    complete — the standard edge-null convention); the seasonal profile
+    is the hour-of-day mean of the detrended series, centered so the
+    24 components sum to ~0; the remainder is what's left. Entirely
+    window/aggregate algebra — the decomposition every anomaly detector
+    and forecast-prep pipeline runs first.
+
+    Determinism: counts are integers, so the trend is exact-int-sum/24;
+    the detrended means go through decimal partials (order-free), and
+    trend/seasonal/remainder are 1e-6-quantized at the boundary (the
+    ts_ewma lesson). Scale: one exchange per series for the windows,
+    one (type, hour-of-day) aggregate whose key space is 24·|types|,
+    one broadcast join back — series count parallelizes, series length
+    streams."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("mn"), F.max("hour").alias("mx")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    dense = grid.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    half = _SD_PERIOD // 2
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-half, half - 1)
+    )
+    tr = dense.withColumn(
+        "trend",
+        F.when(
+            F.count(F.lit(1)).over(w) == _SD_PERIOD,
+            F.sum("y").over(w).cast("double") / _SD_PERIOD,
+        ),
+    )
+    from ..operators.cachepool import swap_persist
+
+    tr = swap_persist("timeseries.sd_trend", tr)
+    hod = F.hour(F.col("hour"))
+    seas0 = (
+        tr.filter(F.col("trend").isNotNull())
+        .groupBy("event_type", hod.alias("hod"))
+        .agg(
+            (
+                F.sum((F.col("y") - F.col("trend")).cast("decimal(25,6)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("s_raw")
+        )
+    )
+    wtype = Window.partitionBy("event_type")
+    seas = seas0.select(
+        F.col("event_type").alias("s_et"),
+        "hod",
+        (
+            F.col("s_raw")
+            - F.sum(F.col("s_raw").cast("decimal(25,6)")).over(wtype).cast("double")
+            / _SD_PERIOD
+        )
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("seasonal"),
+    )
+    return (
+        tr.join(
+            F.broadcast(seas),
+            (F.col("event_type") == F.col("s_et")) & (hod == F.col("hod")),
+        )
+        .select(
+            "event_type",
+            "hour",
+            F.col("y").cast("bigint").alias("y"),
+            F.col("trend").cast("decimal(18,6)").cast("double").alias("trend"),
+            "seasonal",
+            (F.col("y") - F.col("trend") - F.col("seasonal"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("remainder"),
+        )
+    )

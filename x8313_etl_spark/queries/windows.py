@@ -656,3 +656,78 @@ def w14_pattern_quantifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_ts",
         )
     )
+
+
+_ISLAND_GAP_DAYS = 30
+
+
+@register(
+    "w15_gaps_and_islands_dates",
+    category="windows",
+    oracle=f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CASE WHEN lag(o_orderdate) OVER w IS NULL
+                OR date_diff('day', lag(o_orderdate) OVER w, o_orderdate)
+                   > {_ISLAND_GAP_DAYS}
+              THEN 1 ELSE 0 END AS new_island
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+i AS (
+  SELECT *, SUM(new_island) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey
+                                  ROWS UNBOUNDED PRECEDING) AS island
+  FROM o
+)
+SELECT o_custkey,
+       CAST(island AS BIGINT) AS island,
+       min(o_orderdate) AS island_start,
+       max(o_orderdate) AS island_end,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(date_diff('day', min(o_orderdate), max(o_orderdate)) AS BIGINT)
+         AS span_days
+FROM i GROUP BY o_custkey, island
+""",
+)
+def w15_gaps_and_islands_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15: gaps-and-islands over ORDER DATES — contiguous activity
+    periods per customer, where a gap of more than 30 days starts a new
+    island. The date-calendar sibling of w8's event-time sessionize and
+    the island core w14's pattern compiler reuses: flag island starts
+    with lag(), turn flags into island ids with a running sum (integer
+    — no decimal trick needed), aggregate per (customer, island). One
+    exchange on o_custkey feeds the lag window, the running sum, and
+    the final aggregate — the textbook single-shuffle islands plan.
+    date_diff on day grain is integer math on both engines; tiebreaks
+    pinned with o_orderkey."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    new_island = F.when(
+        prev.isNull()
+        | (F.datediff(F.col("o_orderdate"), prev) > _ISLAND_GAP_DAYS),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    i = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        new_island.alias("new_island"),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return i.groupBy("o_custkey", "island").agg(
+        F.min("o_orderdate").alias("island_start"),
+        F.max("o_orderdate").alias("island_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+        .cast("bigint")
+        .alias("span_days"),
+    ).select(
+        "o_custkey", F.col("island").cast("bigint").alias("island"),
+        "island_start", "island_end", "n_orders", "span_days",
+    )
