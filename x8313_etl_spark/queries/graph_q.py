@@ -535,3 +535,203 @@ def g5_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ed.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg")).select(
         F.col("src").cast("bigint").alias("s_suppkey"), "deg"
     )
+
+
+# ---------------------------------------------------------------------------
+# G6: seed-sampled shortest-path-count centrality (integer Brandes-style
+# forward σ sweep + backward continuation sweep, hop-bounded).
+# ---------------------------------------------------------------------------
+
+_G6_SEEDS = ("S0", "S1", "S2")
+_G6_HOPS = 4
+
+
+def _g6_oracle(hops: int = _G6_HOPS) -> str:
+    seeds = ", ".join(f"('{s}')" for s in _G6_SEEDS)
+    ctes = [
+        """e AS MATERIALIZED (
+  SELECT DISTINCT 'S' || CAST(l.l_suppkey AS VARCHAR) AS src,
+                  'C' || CAST(o.o_custkey AS VARCHAR) AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)""",
+        "ed AS MATERIALIZED (SELECT src, dst FROM e "
+        "UNION ALL SELECT dst, src FROM e)",
+        f"seeds(seed) AS (VALUES {seeds})",
+        "h0 AS MATERIALIZED (SELECT seed, seed AS node, 0 AS hop FROM seeds)",
+    ]
+    for i in range(1, hops + 1):
+        ctes.append(
+            f"""h{i} AS MATERIALIZED (
+  SELECT seed, node, MIN(hop) AS hop FROM (
+    SELECT seed, node, hop FROM h{i - 1}
+    UNION ALL
+    SELECT p.seed, ed.dst AS node, p.hop + 1 AS hop
+    FROM ed JOIN h{i - 1} p ON ed.src = p.node
+  ) GROUP BY seed, node
+)"""
+        )
+    H = f"h{hops}"
+    ctes.append(
+        f"s0 AS MATERIALIZED (SELECT seed, node, CAST(1 AS BIGINT) AS sigma "
+        f"FROM {H} WHERE hop = 0)"
+    )
+    for l in range(1, hops + 1):
+        ctes.append(
+            f"""s{l} AS MATERIALIZED (
+  SELECT seed, node, sigma FROM s{l - 1}
+  UNION ALL
+  SELECT h.seed, h.node, SUM(p.sigma) AS sigma
+  FROM {H} h
+  JOIN ed ON ed.dst = h.node
+  JOIN s{l - 1} p ON p.seed = h.seed AND p.node = ed.src
+  JOIN {H} hp ON hp.seed = h.seed AND hp.node = ed.src AND hp.hop = {l - 1}
+  WHERE h.hop = {l}
+  GROUP BY h.seed, h.node
+)"""
+        )
+    ctes.append(
+        f"c{hops} AS MATERIALIZED (SELECT seed, node, CAST(1 AS BIGINT) AS c "
+        f"FROM {H} WHERE hop = {hops})"
+    )
+    for l in range(hops - 1, -1, -1):
+        ctes.append(
+            f"""c{l} AS MATERIALIZED (
+  SELECT h.seed, h.node,
+         1 + coalesce(SUM(w.c), 0) AS c
+  FROM {H} h
+  LEFT JOIN ed ON ed.src = h.node
+  LEFT JOIN c{l + 1} w ON w.seed = h.seed AND w.node = ed.dst
+  LEFT JOIN {H} hw ON hw.seed = h.seed AND hw.node = ed.dst
+  WHERE h.hop = {l} AND (w.node IS NULL OR hw.hop = {l + 1})
+  GROUP BY h.seed, h.node
+)"""
+        )
+    callc = " UNION ALL ".join(
+        f"SELECT seed, node, c FROM c{l}" for l in range(hops + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, CAST(SUM(s.sigma * cc.c) AS BIGINT) AS path_score
+FROM s{hops} s JOIN ({callc}) cc USING (seed, node)
+GROUP BY node"""
+    )
+
+
+@register(
+    "g6_path_centrality",
+    category="graph",
+    oracle=_g6_oracle(),
+)
+def g6_path_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: seed-sampled shortest-path-count centrality over the
+    supplier↔customer graph — for each of 3 fixed seeds, σ(v) counts
+    hop-shortest paths seed→v (forward sweep, level by level over the
+    BFS DAG) and c(v) counts shortest-path CONTINUATIONS from v
+    (backward sweep, c = 1 + Σ successors' c), so σ·c is the number of
+    seed-shortest paths passing through or ending at v; the score sums
+    it over seeds. This is Brandes' two-sweep structure with the
+    dependency fractions replaced by INTEGER path counts (stress-style
+    centrality), so every quantity is exact cross-engine — no fp
+    accumulation anywhere — and the whole thing is hop-bounded (4) like
+    g2's BFS, the honest truncation a 1000-executor run would also
+    make. All seeds propagate TOGETHER as (seed, node)-keyed tables:
+    per round one edges⋈frontier shuffle on the node key (the g1/g2
+    exchange-reuse discipline) and one map-combined sum; 12 bounded
+    rounds total (4 hop + 4 σ + 4 c), each checkpointed through the
+    audit ledger."""
+    from ..audit import audited_checkpoint
+    from ..operators.cachepool import swap_persist
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    ed = swap_persist(
+        "g6.edges",
+        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
+    )
+    seeds = spark.createDataFrame([(s,) for s in _G6_SEEDS], "seed string")
+    hop = audited_checkpoint(
+        "g6.round",
+        seeds.select("seed", F.col("seed").alias("node"), F.lit(0).alias("hop")),
+    )
+    for _ in range(_G6_HOPS):
+        expanded = ed.join(hop, ed["src"] == hop["node"]).select(
+            "seed", F.col("dst").alias("node"), (F.col("hop") + 1).alias("hop")
+        )
+        hop = audited_checkpoint(
+            "g6.round",
+            hop.unionByName(expanded)
+            .groupBy("seed", "node")
+            .agg(F.min("hop").alias("hop")),
+        )
+    hop = swap_persist("g6.hops", hop)
+    sigma = audited_checkpoint(
+        "g6.round",
+        hop.filter(F.col("hop") == 0).select(
+            "seed", "node", F.lit(1).cast("bigint").alias("sigma")
+        ),
+    )
+    for l in range(1, _G6_HOPS + 1):
+        lvl = hop.filter(F.col("hop") == l).select("seed", F.col("node").alias("vn"))
+        prev_lvl = hop.filter(F.col("hop") == l - 1).select(
+            "seed", F.col("node").alias("un")
+        )
+        contrib = (
+            sigma.join(prev_lvl.withColumnRenamed("seed", "s2"),
+                       (F.col("node") == F.col("un")) & (F.col("seed") == F.col("s2")))
+            .join(ed, ed["src"] == F.col("node"))
+            .join(lvl.withColumnRenamed("seed", "s3"),
+                  (ed["dst"] == F.col("vn")) & (F.col("seed") == F.col("s3")))
+            .groupBy("seed", "vn")
+            .agg(F.sum("sigma").alias("sigma"))
+            .select("seed", F.col("vn").alias("node"), "sigma")
+        )
+        sigma = audited_checkpoint("g6.round", sigma.unionByName(contrib))
+    cont = audited_checkpoint(
+        "g6.round",
+        hop.filter(F.col("hop") == _G6_HOPS).select(
+            "seed", "node", F.lit(1).cast("bigint").alias("c")
+        ),
+    )
+    call = [cont]
+    for l in range(_G6_HOPS - 1, -1, -1):
+        lvl = hop.filter(F.col("hop") == l).select("seed", F.col("node").alias("vn"))
+        succ = (
+            cont.join(ed, ed["dst"] == F.col("node"))
+            .join(lvl.withColumnRenamed("seed", "s2").withColumnRenamed("vn", "v2"),
+                  (ed["src"] == F.col("v2")) & (F.col("seed") == F.col("s2")))
+            .groupBy("s2", "v2")
+            .agg(F.sum("c").alias("csum"))
+            .select(F.col("s2").alias("sseed"), F.col("v2").alias("svn"), "csum")
+        )
+        cont = audited_checkpoint(
+            "g6.round",
+            lvl.join(
+                succ,
+                (F.col("vn") == F.col("svn")) & (F.col("seed") == F.col("sseed")),
+                "left",
+            )
+            .select(
+                "seed",
+                F.col("vn").alias("node"),
+                (F.lit(1) + F.coalesce(F.col("csum"), F.lit(0))).cast("bigint").alias("c"),
+            ),
+        )
+        call.append(cont)
+    allc = call[0]
+    for cdf in call[1:]:
+        allc = allc.unionByName(cdf)
+    return (
+        sigma.join(allc, ["seed", "node"])
+        .groupBy("node")
+        .agg(F.sum(F.col("sigma") * F.col("c")).cast("bigint").alias("path_score"))
+    )
