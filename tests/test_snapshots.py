@@ -286,3 +286,23 @@ def test_eqdelete_time_travel(spark, tmp_path):
     tbl.delete_eq(spark, spark.range(50).select(F.col("id").alias("k")), on="k")
     assert tbl.read(spark, version=0).count() == 100
     assert tbl.read(spark, version=1).count() == 50
+
+
+def test_schema_evolution_time_travel_keeps_old_schema(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from x8313_etl_spark.operators.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "evo"))
+    tbl.commit(spark.range(10).select(F.col("id").alias("k")))
+    tbl.commit(
+        spark.range(10, 15).select(
+            F.col("id").alias("k"), F.lit("x").alias("extra")
+        ),
+        mode="append",
+    )
+    v1 = tbl.read(spark)
+    assert set(v1.columns) == {"k", "extra"}
+    assert v1.filter(F.col("extra").isNull()).count() == 10, "old dirs null-fill"
+    v0 = tbl.read(spark, version=0)
+    assert v0.columns == ["k"], "time travel must keep the original schema"

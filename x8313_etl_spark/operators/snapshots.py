@@ -101,6 +101,11 @@ class SnapshotTable:
         version = prev[-1]["version"] + 1 if prev else 0
         ddir = f"d-{uuid.uuid4().hex[:12]}"
         df.write.mode("errorifexists").parquet(os.path.join(self.base, ddir))
+        # per-dir column fingerprint: read() turns on mergeSchema only
+        # when a version's dirs actually disagree (schema evolution —
+        # the added column null-fills older dirs), so the common
+        # homogeneous case keeps the cheap single-schema scan
+        self._dir_cols = getattr(self, "_dir_cols", {})
         dirs, dvs, eqdvs = [ddir], [], []
         if mode == "append" and prev:
             dirs = prev[-1]["dirs"] + dirs
@@ -108,9 +113,12 @@ class SnapshotTable:
             # parent equality deletes stay scoped to their recorded
             # covered dirs — the NEW delta dir is younger, so exempt
             eqdvs = prev[-1].get("eqdvs") or []
+        cols = {ddir: list(df.columns)}
+        if mode == "append" and prev:
+            cols.update(prev[-1].get("dir_cols") or {})
         return self._commit_manifest(
             version=version, dirs=dirs, dvs=dvs, mode=mode, data_dir=ddir,
-            eqdvs=eqdvs,
+            eqdvs=eqdvs, dir_cols=cols,
         )
 
     def _commit_manifest(
@@ -122,6 +130,7 @@ class SnapshotTable:
         mode: str,
         data_dir: str,
         eqdvs: list | None = None,
+        dir_cols: dict | None = None,
     ) -> int:
         """Publish a manifest for ``version`` with writer mutual
         exclusion; on a lost race, reclaim ``data_dir`` (this writer's
@@ -131,6 +140,7 @@ class SnapshotTable:
             "dirs": dirs,
             "dvs": dvs,
             "eqdvs": eqdvs or [],
+            "dir_cols": dir_cols or {},
             "mode": mode,
             "commit_ts": time.time(),
         }
@@ -181,8 +191,16 @@ class SnapshotTable:
         m = self._resolve(version, as_of_ts)
         if m.get("dvs") or m.get("eqdvs"):
             return self._scan_minus_dvs(spark, m).drop("__dv_file", "__dv_pos")
+        return self._scan(spark, m)
+
+    def _scan(self, spark: SparkSession, m: dict) -> DataFrame:
         paths = [os.path.join(self.base, d) for d in m["dirs"]]
-        return spark.read.parquet(*paths)
+        reader = spark.read
+        cols = m.get("dir_cols") or {}
+        schemas = {tuple(cols[d]) for d in m["dirs"] if d in cols}
+        if len(schemas) > 1:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
     # -- deletion vectors (merge-on-read DELETE) ----------------------
 
@@ -195,8 +213,7 @@ class SnapshotTable:
         v2 position-delete design."""
         import pyspark.sql.functions as F
 
-        paths = [os.path.join(self.base, d) for d in m["dirs"]]
-        df = spark.read.parquet(*paths).select(
+        df = self._scan(spark, m).select(
             "*",
             F.col("_metadata.file_path").alias("__dv_file"),
             F.col("_metadata.row_index").alias("__dv_pos"),

@@ -584,3 +584,49 @@ def m5_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tbl.commit(replacements, mode="append")  # v2 — younger than the delete
     return tbl.read(spark)
+
+
+@register(
+    "m6_schema_evolution_snapshots",
+    category="etl",
+    oracle=f"""
+SELECT c_custkey, c_acctbal, 'legacy' AS tier FROM customer
+UNION ALL
+SELECT c_custkey + {INS_KEY_OFFSET} AS c_custkey, c_acctbal,
+       CASE WHEN c_acctbal >= 5000 THEN 'gold' ELSE 'std' END AS tier
+FROM customer WHERE c_custkey % 3 = 0
+""",
+)
+def m6_schema_evolution_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: schema evolution THROUGH the snapshot table — an append
+    commit carries an ADDED column (c_tier); the manifest records each
+    data dir's column fingerprint, and the read path turns on
+    mergeSchema only when a version's dirs actually disagree, so the
+    homogeneous common case keeps the cheap single-schema scan while
+    evolved versions null-fill the old dirs (s11's mergeSchema
+    mechanics, now versioned: time travel to v0 yields the ORIGINAL
+    two-column schema, pinned in tests/test_snapshots.py). Output
+    backfills nulls with 'legacy' — the standard evolved-read
+    pattern."""
+    import shutil
+
+    from ..operators.snapshots import SnapshotTable
+
+    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    path = scratch(f"m6_evolve_{_tag(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)  # deterministic rebuild per call
+    tbl = SnapshotTable(path)
+    tbl.commit(base.repartition(2))  # v0: two columns
+    evolved = base.filter(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") + INS_KEY_OFFSET).alias("c_custkey"),
+        "c_acctbal",
+        F.when(F.col("c_acctbal") >= 5000, F.lit("gold"))
+        .otherwise(F.lit("std"))
+        .alias("c_tier"),
+    )
+    tbl.commit(evolved, mode="append")  # v1: adds c_tier
+    return tbl.read(spark).select(
+        "c_custkey",
+        "c_acctbal",
+        F.coalesce(F.col("c_tier"), F.lit("legacy")).alias("tier"),
+    )
