@@ -203,6 +203,18 @@ ALLOWED_LEDGER: dict[str, tuple[dict[str, int], str]] = {
 }
 
 
+#: (query, flag) pairs whose ALLOWED ceiling is OPTIONAL: the node is an
+#: OPTIMIZER-CONDITIONAL injection (Catalyst's runtime bloom-filter
+#: pruning fires only when its size/stats heuristics say so — e.g. it
+#: skips when the build side is already an InMemoryTableScan from an
+#: earlier query's pooled cache), so the flag legitimately flickers
+#: between cache-cold and cache-warm sessions. The ceiling still caps it
+#: when present; the per-flag STALE check skips it.
+ALLOWED_OPTIONAL: set[tuple[str, str]] = {
+    ("sim_rerank_two_stage", "Exchange SinglePartition"),
+}
+
+
 def ledger_violations(
     snapshot: dict[str, dict[str, int]],
 ) -> list[tuple[str, str, int, int]]:
@@ -323,6 +335,6 @@ def test_allowlist_has_no_stale_entries(audit_hits):
             continue
         got = audit_hits.get(name, {})
         for flag in flags:
-            if got.get(flag, 0) == 0:
+            if got.get(flag, 0) == 0 and (name, flag) not in ALLOWED_OPTIONAL:
                 stale.append((name, flag))
     assert not stale, f"stale allowlist ceilings — delete them: {stale}"

@@ -254,8 +254,10 @@ def test_eqdelete_exempts_younger_appends(spark, tmp_path):
         spark, spark.range(0, 100, 2).select(F.col("id").alias("k")), on="k"
     )
     # append rows REUSING deleted keys — younger than the delete
+    # (v cast to long: the table's column is bigint, and parquet multi-dir
+    # scans do not coerce int32 files to an int64 schema)
     extra = spark.range(0, 10, 2).select(
-        F.col("id").alias("k"), F.lit(-1).alias("v")
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
     )
     tbl.commit(extra, mode="append")
     rows = tbl.read(spark).collect()

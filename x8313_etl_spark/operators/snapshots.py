@@ -22,10 +22,23 @@ dirs it names — old versions stay readable until explicitly vacuumed.
 Scale notes: the manifest is O(commits) tiny JSON files read on the
 driver once per read — the data path is an ordinary multi-dir
 vectorized parquet scan with full predicate pushdown / partition
-parallelism. MERGE is one keyed shuffle (or an AQE broadcast when the
-change set is the usual <1% of base) + a full rewrite of the base into
-the next version dir — copy-on-write semantics, the same cost model as
-Delta's non-deletion-vector MERGE.
+parallelism. MERGE (apply_cdc) is one keyed shuffle (or an AQE
+broadcast when the change set is the usual <1% of base) + a full
+rewrite of the base into the next version dir — copy-on-write
+semantics, the same cost model as Delta's non-deletion-vector MERGE.
+
+Round-5 extensions give the merge-on-read side of the trade:
+- ``delete_where`` — POSITIONAL deletion vectors, (file_path,
+  row_index) tombstones from the parquet reader's hidden _metadata
+  columns (the Iceberg v2 position-delete design): a DELETE costs
+  O(matched rows), reads pay one anti-join on the DV union.
+- ``delete_eq`` — sequence-scoped EQUALITY deletes: key tombstones
+  recorded with the dir set they cover, so appends committed AFTER the
+  delete are exempt (the upsert-by-delete-then-append pattern).
+- ``rewrite_compact`` — materialize visible rows, clear all tombstones.
+- schema evolution — manifests record per-dir column fingerprints and
+  reads enable mergeSchema only when a version's dirs disagree; time
+  travel keeps each version's own schema.
 """
 
 from __future__ import annotations
