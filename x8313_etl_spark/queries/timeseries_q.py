@@ -543,10 +543,7 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SD_PERIOD = 24
 
 
-@register(
-    "ts_seasonal_decompose",
-    category="timeseries",
-    oracle=f"""
+_SD_ORACLE = f"""
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS y
   FROM events GROUP BY 1, 2
@@ -592,7 +589,13 @@ SELECT t.event_type,
          AS remainder
 FROM tr t JOIN seas s
   ON s.event_type = t.event_type AND s.hod = EXTRACT(hour FROM t.hour)
-""",
+"""
+
+
+@register(
+    "ts_seasonal_decompose",
+    category="timeseries",
+    oracle=_SD_ORACLE,
 )
 def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive seasonal decomposition, fixed period 24 h:
@@ -612,6 +615,12 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     one (type, hour-of-day) aggregate whose key space is 24·|types|,
     one broadcast join back — series count parallelizes, series length
     streams."""
+    return _seasonal_table(spark, sf_dir)
+
+
+def _seasonal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decomposition table — shared by ts_seasonal_decompose and
+    dq2_anomaly_flags."""
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
@@ -684,5 +693,74 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(18,6)")
             .cast("double")
             .alias("remainder"),
+        )
+    )
+
+
+@register(
+    "dq2_anomaly_flags",
+    category="timeseries",
+    oracle=f"""
+WITH sd AS MATERIALIZED ({_SD_ORACLE}),
+stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(remainder AS DECIMAL(25,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(remainder * remainder AS DECIMAL(38,12))) AS DOUBLE)
+           AS s2
+  FROM sd WHERE remainder IS NOT NULL
+  GROUP BY event_type
+)
+SELECT sd.event_type, sd.hour, sd.y, sd.remainder,
+       CAST(
+         (sd.remainder - stats.s1 / stats.n)
+         * (sd.remainder - stats.s1 / stats.n)
+         > 9.0 * (stats.s2 / stats.n
+                  - (stats.s1 / stats.n) * (stats.s1 / stats.n))
+       AS INTEGER) AS is_anomaly
+FROM sd JOIN stats USING (event_type)
+WHERE sd.remainder IS NOT NULL
+""",
+)
+def dq2_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly flags over the seasonal decomposition — the query
+    ts_seasonal_decompose exists to feed: a point is anomalous when its
+    remainder sits more than 3σ from the per-series remainder mean (the
+    classical residual test: trend and seasonality explained away
+    first, so a flagged hour is genuinely surprising, not just a daily
+    peak). Composition: the shared _seasonal_table → one per-series
+    moment aggregate (decimal partials — remainders are 1e-6-quantized,
+    their squares live exactly on the 1e-12 grid, so Σ and Σ² are
+    order-free) → broadcast join back with the (x−μ)² > 9σ² test
+    written as the SAME arithmetic tree on both engines (no sqrt — the
+    squared form avoids a transcendental). Edge-null trend rows are
+    excluded on both sides."""
+    sd = _seasonal_table(spark, sf_dir).filter(F.col("remainder").isNotNull())
+    from ..operators.cachepool import swap_persist
+
+    sd = swap_persist("timeseries.sd_table", sd)
+    stats = sd.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("remainder").cast("decimal(25,6)")).cast("double").alias("s1"),
+        F.sum((F.col("remainder") * F.col("remainder")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    return (
+        sd.join(F.broadcast(stats.withColumnRenamed("event_type", "s_et")),
+                F.col("event_type") == F.col("s_et"))
+        .select(
+            "event_type",
+            "hour",
+            "y",
+            "remainder",
+            (
+                (F.col("remainder") - mean) * (F.col("remainder") - mean)
+                > F.lit(9.0) * var
+            )
+            .cast("int")
+            .alias("is_anomaly"),
         )
     )
