@@ -140,7 +140,7 @@ def test_concurrent_commit_loser_fails_loudly(spark, tmp_path):
     # stale read: the loser snapshots versions() BEFORE the winner's
     # next commit lands (the race window), then both target version 1
     stale = loser.versions()
-    loser.versions = lambda: stale  # type: ignore[method-assign]
+    loser.versions = lambda branch="main": stale  # type: ignore[method-assign]
     assert winner.commit(spark.range(7).withColumnRenamed("id", "k")) == 1
 
     before = {d for d in os.listdir(base) if d.startswith("d-")}
@@ -308,3 +308,57 @@ def test_schema_evolution_time_travel_keeps_old_schema(spark, tmp_path):
     assert v1.filter(F.col("extra").isNull()).count() == 10, "old dirs null-fill"
     v0 = tbl.read(spark, version=0)
     assert v0.columns == ["k"], "time travel must keep the original schema"
+
+
+# -- write-audit-publish branches -------------------------------------
+
+
+def test_wap_stage_is_invisible_until_publish(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from x8313_etl_spark.operators.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "wap"))
+    tbl.commit(spark.range(10).select(F.col("id").alias("k")))
+    tbl.commit(
+        spark.range(5).select(F.col("id").alias("k")), branch="staging"
+    )
+    assert tbl.read(spark).count() == 10, "main must not see staged commits"
+    assert tbl.read(spark, branch="staging").count() == 5
+    tbl.publish("staging")
+    assert tbl.read(spark).count() == 5, "publish fast-forwards main"
+
+
+def test_wap_publish_is_metadata_only(spark, tmp_path):
+    import os
+
+    import pyspark.sql.functions as F
+
+    from x8313_etl_spark.operators.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "wap2"))
+    tbl.commit(spark.range(10).select(F.col("id").alias("k")))
+    tbl.commit(spark.range(5).select(F.col("id").alias("k")), branch="b")
+    dirs_before = {d for d in os.listdir(tbl.base) if d.startswith("d-")}
+    tbl.publish("b")
+    dirs_after = {d for d in os.listdir(tbl.base) if d.startswith("d-")}
+    assert dirs_before == dirs_after, "publish must move zero data"
+    m = tbl.versions()[-1]
+    assert m["mode"] == "publish"
+    assert m["dirs"] == tbl.versions("b")[-1]["dirs"]
+
+
+def test_wap_vacuum_keeps_branch_heads(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from x8313_etl_spark.operators.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "wap3"))
+    tbl.commit(spark.range(10).select(F.col("id").alias("k")))  # main v0
+    tbl.commit(spark.range(20).select(F.col("id").alias("k")))  # main v1
+    tbl.commit(spark.range(7).select(F.col("id").alias("k")), branch="b")
+    tbl.vacuum(keep_last=1)
+    assert tbl.read(spark).count() == 20
+    assert tbl.read(spark, branch="b").count() == 7, (
+        "an unpublished branch head must survive vacuum"
+    )

@@ -71,20 +71,30 @@ class SnapshotTable:
     def _manifest_dir(self) -> str:
         return os.path.join(self.base, _MANIFEST)
 
-    def versions(self) -> list[dict]:
+    def versions(self, branch: str = "main") -> list[dict]:
+        """Manifests of one branch, version-ordered ("main" unless the
+        commit was staged on a named branch — write-audit-publish).
+        ``branch=None`` returns every manifest (vacuum liveness)."""
         out = []
         for f in sorted(os.listdir(self._manifest_dir())):
             if f.endswith(".json"):
                 with open(os.path.join(self._manifest_dir(), f)) as fh:
-                    out.append(json.load(fh))
+                    m = json.load(fh)
+                if branch is None or m.get("branch", "main") == branch:
+                    out.append(m)
         return out
 
-    def latest_version(self) -> int | None:
-        vs = self.versions()
+    def latest_version(self, branch: str = "main") -> int | None:
+        vs = self.versions(branch)
         return vs[-1]["version"] if vs else None
 
-    def _resolve(self, version: int | None, as_of_ts: float | None) -> dict:
-        vs = self.versions()
+    def _resolve(
+        self,
+        version: int | None,
+        as_of_ts: float | None,
+        branch: str = "main",
+    ) -> dict:
+        vs = self.versions(branch)
         if not vs:
             raise FileNotFoundError(f"snapshot table {self.base} has no commits")
         if version is not None:
@@ -101,7 +111,9 @@ class SnapshotTable:
 
     # -- commits ------------------------------------------------------
 
-    def commit(self, df: DataFrame, mode: str = "overwrite") -> int:
+    def commit(
+        self, df: DataFrame, mode: str = "overwrite", branch: str = "main"
+    ) -> int:
         """Write ``df`` as the next version. ``append`` keeps the
         parent's data dirs (and deletion vectors — the parent's files
         stay live, so their tombstones must too) and adds one delta
@@ -110,8 +122,9 @@ class SnapshotTable:
         never see a half-written version."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
-        prev = self.versions()
-        version = prev[-1]["version"] + 1 if prev else 0
+        prev = self.versions(branch)
+        allv = self.versions(None)
+        version = allv[-1]["version"] + 1 if allv else 0
         ddir = f"d-{uuid.uuid4().hex[:12]}"
         df.write.mode("errorifexists").parquet(os.path.join(self.base, ddir))
         # per-dir column fingerprint: read() turns on mergeSchema only
@@ -131,7 +144,7 @@ class SnapshotTable:
             cols.update(prev[-1].get("dir_cols") or {})
         return self._commit_manifest(
             version=version, dirs=dirs, dvs=dvs, mode=mode, data_dir=ddir,
-            eqdvs=eqdvs, dir_cols=cols,
+            eqdvs=eqdvs, dir_cols=cols, branch=branch,
         )
 
     def _commit_manifest(
@@ -144,6 +157,7 @@ class SnapshotTable:
         data_dir: str,
         eqdvs: list | None = None,
         dir_cols: dict | None = None,
+        branch: str = "main",
     ) -> int:
         """Publish a manifest for ``version`` with writer mutual
         exclusion; on a lost race, reclaim ``data_dir`` (this writer's
@@ -154,6 +168,7 @@ class SnapshotTable:
             "dvs": dvs,
             "eqdvs": eqdvs or [],
             "dir_cols": dir_cols or {},
+            "branch": branch,
             "mode": mode,
             "commit_ts": time.time(),
         }
@@ -196,12 +211,13 @@ class SnapshotTable:
         spark: SparkSession,
         version: int | None = None,
         as_of_ts: float | None = None,
+        branch: str = "main",
     ) -> DataFrame:
         """Latest version, a specific ``version``, or time travel to the
         last version committed at or before ``as_of_ts``. When the
         version carries deletion vectors the scan applies them
         (merge-on-read); otherwise it is a plain multi-dir scan."""
-        m = self._resolve(version, as_of_ts)
+        m = self._resolve(version, as_of_ts, branch)
         if m.get("dvs") or m.get("eqdvs"):
             return self._scan_minus_dvs(spark, m).drop("__dv_file", "__dv_pos")
         return self._scan(spark, m)
@@ -334,6 +350,33 @@ class SnapshotTable:
             eqdvs=eqdvs,
         )
 
+    # -- write-audit-publish ------------------------------------------
+
+    def publish(self, branch: str) -> int:
+        """Fast-forward ``main`` to a branch's head: write the next MAIN
+        manifest referencing the branch head's exact dir/DV/schema sets
+        — no data moves, the staged directories simply become visible
+        to main readers. This is the PUBLISH step of write-audit-publish
+        (stage commits on a branch, validate them there, then promote
+        atomically); the link(2) commit point gives publish the same
+        optimistic concurrency as any commit — a racing publish or
+        main commit loses cleanly and retries."""
+        head = self.versions(branch)
+        if not head:
+            raise KeyError(f"branch {branch!r} has no commits")
+        h = head[-1]
+        allv = self.versions(None)
+        return self._commit_manifest(
+            version=allv[-1]["version"] + 1,
+            dirs=h["dirs"],
+            dvs=h.get("dvs") or [],
+            mode="publish",
+            data_dir="",
+            eqdvs=h.get("eqdvs") or [],
+            dir_cols=h.get("dir_cols") or {},
+            branch="main",
+        )
+
     # -- retention ------------------------------------------------------
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
@@ -350,7 +393,13 @@ class SnapshotTable:
 
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        vs = self.versions()
+        allv = self.versions(None)
+        mains = [m for m in allv if m.get("branch", "main") == "main"]
+        others = [m for m in allv if m.get("branch", "main") != "main"]
+        heads = {}
+        for m in others:
+            heads[m.get("branch")] = m  # version-ordered → last wins
+        vs = mains
         if len(vs) <= keep_last:
             return []
         def _alldirs(m):
@@ -361,6 +410,8 @@ class SnapshotTable:
             )
 
         drop, keep = vs[:-keep_last], vs[-keep_last:]
+        keep = keep + list(heads.values())  # branch heads stay readable
+        drop = drop + [m for m in others if m is not heads.get(m.get("branch"))]
         live = {d for m in keep for d in _alldirs(m)}
         for m in drop:
             os.remove(os.path.join(self._manifest_dir(), f"{m['version']:08d}.json"))

@@ -630,3 +630,44 @@ def m6_schema_evolution_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame
         "c_acctbal",
         F.coalesce(F.col("c_tier"), F.lit("legacy")).alias("tier"),
     )
+
+
+@register(
+    "m7_wap_publish",
+    category="etl",
+    oracle="""
+SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal >= 0
+""",
+)
+def m7_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: WRITE-AUDIT-PUBLISH over snapshot branches — the lakehouse
+    release workflow: (write) a cleaned rewrite (negative balances
+    dropped) is committed on branch 'audit', invisible to main readers;
+    (audit) validation runs against the BRANCH read — here the gate is
+    'no negative balances survive', checked in-plan; (publish) main
+    fast-forwards to the audited head atomically (a manifest write with
+    the same link(2) mutual exclusion as any commit — a racing main
+    writer loses cleanly). Main-before-publish isolation, the audit
+    gate, publish-is-metadata-only, and branch-head vacuum liveness are
+    pinned in tests/test_snapshots.py; the twin states the published
+    result. The point at 100 TB: staging + promotion move ZERO data —
+    both are manifest writes — while every reader keeps snapshot
+    isolation."""
+    import shutil
+
+    from ..operators.snapshots import SnapshotTable
+
+    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    path = scratch(f"m7_wap_{_tag(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)  # deterministic rebuild per call
+    tbl = SnapshotTable(path)
+    tbl.commit(base.repartition(2))  # v0 on main — the dirty state
+    cleaned = tbl.read(spark).filter(F.col("c_acctbal") >= 0)
+    tbl.commit(cleaned, branch="audit")  # staged, main unaffected
+    # audit gate on the BRANCH: publishing an unvalidated branch is the
+    # exact failure WAP exists to prevent
+    bad = tbl.read(spark, branch="audit").filter(F.col("c_acctbal") < 0).count()
+    if bad:
+        raise AssertionError(f"audit failed: {bad} negative balances staged")
+    tbl.publish("audit")
+    return tbl.read(spark)
