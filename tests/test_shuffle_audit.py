@@ -86,6 +86,12 @@ ALLOWED: dict[str, tuple[dict[str, int], str]] = {
         {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
         "scalar avg-acctbal subquery broadcast into the anti-join filter",
     ),
+    "j17_bloom_semi_join": (
+        {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
+        "the bloom-bucket summary IS a single-row scalar agg (<=16 KB "
+        "membership array) broadcast into the fact prefilter — that is "
+        "the operator's design, never a row funnel",
+    ),
     "j6_cross_join": (
         {"BroadcastNestedLoopJoin": 1},
         "J6 IS the deliberate cartesian operator (5x5 dims)",

@@ -1075,3 +1075,78 @@ def p_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "p_contamination_overlap_score",
+    category="pipeline",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id,
+             list_distinct({_sql_ngrams('w', DECON_NGRAM)}) AS grams
+      FROM w),
+bench AS (
+  SELECT DISTINCT gram, bench_id
+  FROM (SELECT doc_id AS bench_id, unnest(grams) AS gram
+        FROM g WHERE doc_id % {DECON_BENCH_MOD} = 0)
+),
+corpus AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+hits AS (
+  SELECT c.doc_id, CAST(COUNT(DISTINCT c.gram) AS BIGINT) AS n_hit
+  FROM corpus c JOIN bench b ON c.gram = b.gram AND c.doc_id <> b.bench_id
+  GROUP BY c.doc_id
+)
+SELECT g.doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       COALESCE(h.n_hit, 0) AS n_hit,
+       CASE WHEN len(grams) = 0 THEN 0.0
+            ELSE CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / len(grams) END
+         AS overlap_score
+FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+""",
+)
+def p_contamination_overlap_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded benchmark-contamination SCORE — p_decontaminate's boolean
+    flag upgraded to the fraction of a document's distinct 5-grams that
+    appear in the held-out benchmark slice, which is what a real
+    decontamination policy thresholds on (drop at high overlap,
+    down-weight at partial, keep incidental collisions). Same
+    corpus-vs-constant shape: the benchmark shingle set broadcasts, the
+    corpus explodes map-only and probes it, only matching pairs reach
+    the per-doc distinct-hit shuffle; the denominator rides the gram
+    array already built (no second pass). Score is one exact int/int
+    double division. Self-matches excluded on bench doc id, as in
+    p_decontaminate."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        F.array_distinct(_rx_ngrams(F.col("text"), DECON_NGRAM)).alias("grams"),
+    )
+    bench = (
+        g.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select(F.col("doc_id").alias("bench_id"), F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    corpus = g.select("doc_id", F.explode("grams").alias("gram"))
+    hits = (
+        corpus.join(
+            F.broadcast(bench),
+            (corpus["gram"] == bench["gram"])
+            & (corpus["doc_id"] != bench["bench_id"]),
+        )
+        .groupBy(corpus["doc_id"])
+        .agg(F.count_distinct(corpus["gram"]).alias("n_hit"))
+    )
+    n_hit = F.coalesce("n_hit", F.lit(0))
+    return (
+        g.select("doc_id", F.size("grams").cast("bigint").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            n_hit.cast("bigint").alias("n_hit"),
+            F.when(F.col("n_grams") == 0, F.lit(0.0))
+            .otherwise(n_hit.cast("double") / F.col("n_grams"))
+            .alias("overlap_score"),
+        )
+    )

@@ -624,3 +624,67 @@ def j15_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_cents",
         (F.col("c_cents") - F.col("s_cents")).alias("diff_cents"),
     )
+
+
+_BLOOM_BITS = 4096
+_BLOOM_PRICE_MIN = 350_000.0  # selective "large order" dim predicate
+
+
+@register(
+    "j17_bloom_semi_join",
+    category="joins",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_totalprice > {_BLOOM_PRICE_MIN})
+GROUP BY l_returnflag
+""",
+)
+def j17_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J17: semi join with an EXPLICIT bloom-style prefilter — the
+    two-phase shape for 'fact semi-join dim' when the dim's KEY SET is
+    too big to broadcast but a lossy summary is not: phase 1 collapses
+    the dim keys to a hash-bucket membership array (≤4096 ints ≈ 16 KB
+    regardless of dim size) broadcast into a map-side
+    array_contains filter over the fact scan; phase 2 is the exact
+    shuffle semi join over the survivors. The prefilter is
+    CONSERVATIVE (bucket membership is a superset of key membership —
+    false positives only), so the result is exactly the semi join and
+    the twin is the plain IN-subquery; the bloom needs no cross-engine
+    hash discipline because it never decides membership, only
+    candidacy. Catalyst injects this same pattern adaptively (runtime
+    bloom pruning, see sim_rerank_two_stage's ALLOWED note); here it is
+    a first-class dial with an explicit size/selectivity trade. At
+    100 TB: the 16 KB summary replaces shuffling the fact rows that
+    would die in the join — the win scales with (1 − selectivity)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > _BLOOM_PRICE_MIN
+    )
+    buckets = o.agg(
+        F.collect_set(
+            F.abs(F.hash("o_orderkey")) % _BLOOM_BITS
+        ).alias("__buckets")
+    )
+    prefiltered = (
+        li.crossJoin(F.broadcast(buckets))
+        .filter(
+            F.array_contains(
+                F.col("__buckets"), F.abs(F.hash("l_orderkey")) % _BLOOM_BITS
+            )
+        )
+        .drop("__buckets")
+    )
+    return (
+        prefiltered.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
