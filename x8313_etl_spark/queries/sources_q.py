@@ -461,3 +461,104 @@ def s17_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum("reading").alias("total"),
     )
+
+
+@register(
+    "s18_csv_malformed_modes",
+    category="sources",
+    oracle="""
+SELECT 'permissive_total' AS measure, CAST(count(*) AS BIGINT) AS n
+FROM supplier
+UNION ALL
+SELECT 'permissive_corrupt', CAST(count(*) AS BIGINT)
+FROM supplier WHERE s_suppkey % 10 = 0
+UNION ALL
+SELECT 'dropmalformed_rows', CAST(count(*) AS BIGINT)
+FROM supplier WHERE s_suppkey % 10 <> 0
+UNION ALL
+SELECT 'failfast_raises', CAST(1 AS BIGINT)
+""",
+)
+def s18_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18: the three CSV malformed-input postures, side by side —
+    s16's JSON quarantine pattern completed for the other
+    uncontrolled-feed format. Stage 1 manufactures a CSV where every
+    10th supplier row carries a non-numeric account balance (the
+    classic upstream type slip). Stage 2 reads it back three ways:
+    PERMISSIVE with a _corrupt_record column (bad lines quarantined
+    whole, fields NULL — the never-fail ingest posture),
+    DROPMALFORMED (bad lines silently gone — the quick-and-dirty
+    posture, counted to show exactly what it silently cost), and
+    FAILFAST (the strict posture — asserted to raise, recorded as a
+    measure row so the CONTRACT is part of the verified output). The
+    twin recomputes every count from the clean base table via the
+    corruption rule, proving classification lost nothing. All three
+    reads share one schema-pinned scan shape; at 100 TB this is the
+    dead-letter-sink triage s16 describes, format #2."""
+    import os
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    path = scratch(f"s18_csvfeed_{_tag(sf_dir)}")
+    s = load_table(spark, sf_dir, "supplier")
+    bal = F.when(F.col("s_suppkey") % 10 == 0, F.lit("not-a-number")).otherwise(
+        F.col("s_acctbal").cast("string")
+    )
+    line = F.concat_ws(
+        ",", F.col("s_suppkey").cast("string"), F.col("s_name"), bal
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        s.select(line.alias("value")).write.mode("overwrite").text(path)
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("name", StringType()),
+            StructField("bal", DoubleType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    # Spark refuses a query that projects ONLY the corrupt column (it
+    # would re-parse with a pruned schema and mark nothing corrupt) —
+    # cache the parsed result first, the documented pattern
+    permissive = spark.read.csv(
+        path, schema=schema, mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    ).cache()
+    try:
+        n_total = permissive.count()
+        n_corrupt = permissive.filter(
+            F.col("_corrupt_record").isNotNull()
+        ).count()
+    finally:
+        permissive.unpersist(blocking=False)
+    dropm = spark.read.csv(
+        path, schema=StructType(schema.fields[:3]), mode="DROPMALFORMED"
+    )
+    # same pruning trap as FAILFAST: carry the typed column through the
+    # aggregate so malformed rows are actually detected and dropped
+    n_drop = dropm.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("bal").alias("__force_parse")
+    ).collect()[0].n
+    failfast_raised = 0
+    try:
+        # count() alone would prune every column and parse nothing —
+        # aggregate the typed column so FAILFAST actually converts it
+        spark.read.csv(
+            path, schema=StructType(schema.fields[:3]), mode="FAILFAST"
+        ).agg(F.sum("bal")).collect()
+    except Exception:
+        failfast_raised = 1
+    assert failfast_raised == 1, "FAILFAST accepted a malformed feed"
+    rows = [
+        ("permissive_total", n_total),
+        ("permissive_corrupt", n_corrupt),
+        ("dropmalformed_rows", n_drop),
+        ("failfast_raises", failfast_raised),
+    ]
+    return spark.createDataFrame(rows, "measure string, n long")
