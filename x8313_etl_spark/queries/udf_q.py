@@ -336,3 +336,41 @@ def x10_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum("line_cents").alias("revenue_cents"),
     )
+
+
+_X12_K = 4
+
+
+@register(
+    "x12_polymorphic_udtf",
+    category="udf",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE doc_id < 50)
+SELECT doc_id,
+       {", ".join(f"w[{i + 1}] AS tok{i}" for i in range(_X12_K))}
+FROM w
+""",
+)
+def x12_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12: ANALYZE-TIME POLYMORPHIC Python UDTF (Spark 4's
+    table-function extension point beyond x6's fixed-schema form): the
+    static ``analyze`` hook inspects the CONSTANT k argument at plan
+    time and returns a k-column schema — the output shape is decided by
+    Catalyst analysis, not hardcoded, which is how table functions like
+    ``read_files``/``variant_explode`` self-describe. The function
+    widens each document's first k tokens into columns (short docs
+    null-pad), the twin does the same with list extracts. The UDTF
+    class lives at module scope (executors unpickle it by module path
+    — the python_ds.py rule). Per-row Python is the slow path by
+    policy; this row exists to cover the API surface, and the lateral
+    join it plans is map-side only."""
+    from x8313_etl_spark.udtfs import FirstKTokens
+
+    spark.udtf.register("x12_first_k_tokens", FirstKTokens)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("x12_docs")
+    return spark.sql(
+        f"SELECT v.doc_id, t.* FROM x12_docs v, "
+        f"LATERAL x12_first_k_tokens(v.text, {_X12_K}) t"
+    )
