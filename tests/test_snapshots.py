@@ -362,3 +362,118 @@ def test_wap_vacuum_keeps_branch_heads(spark, tmp_path):
     assert tbl.read(spark, branch="b").count() == 7, (
         "an unpublished branch head must survive vacuum"
     )
+
+
+# -- round-6 regression tests (ADVICE.md findings) ---------------------
+
+
+def test_publish_lost_race_does_not_delete_table(spark, tmp_path):
+    """publish() is metadata-only (data_dir="") — a lost commit race
+    must reclaim NOTHING. Before the guard, _commit_manifest ran
+    rmtree(join(base, "")) == rmtree(base), silently deleting the
+    entire table (every data dir and all manifests)."""
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from x8313_etl_spark.operators.snapshots import (
+        ConcurrentCommitError,
+        SnapshotTable,
+    )
+
+    base = str(tmp_path / "waprace")
+    tbl = SnapshotTable(base)
+    tbl.commit(spark.range(10).select(F.col("id").alias("k")))  # v0 main
+    tbl.commit(spark.range(5).select(F.col("id").alias("k")), branch="b")  # v1
+
+    # race: another publisher lands version 2 between this publisher's
+    # versions() read and its link(2) — simulate with a stale snapshot
+    loser = SnapshotTable(base)
+    stale = {None: loser.versions(None), "b": loser.versions("b")}
+    loser.versions = (  # type: ignore[method-assign]
+        lambda branch="main": stale.get(branch, [])
+    )
+    assert tbl.publish("b") == 2  # the winner
+
+    with _pytest.raises(ConcurrentCommitError):
+        loser.publish("b")
+    # the table must be fully intact: all dirs, all manifests, readable
+    assert os.path.isdir(base), "lost publish race deleted the table root"
+    assert tbl.read(spark).count() == 5
+    assert tbl.read(spark, version=0).count() == 10
+    assert len(tbl.versions(None)) == 3
+
+
+def test_positional_delete_after_eqdelete_keeps_eq_tombstones(spark, tmp_path):
+    """delete_where after delete_eq: the new manifest must carry the
+    parent's equality tombstones forward, or the positional delete
+    silently resurrects every equality-deleted row."""
+    import pyspark.sql.functions as F
+
+    tbl = _dv_table(spark, tmp_path)  # keys 0..99
+    tbl.delete_eq(
+        spark, spark.range(0, 100, 2).select(F.col("id").alias("k")), on="k"
+    )  # evens dead
+    tbl.delete_where(spark, F.col("k") >= 91)  # odds >= 91 dead too
+    got = sorted(r.k for r in tbl.read(spark).collect())
+    assert got == list(range(1, 91, 2)), (
+        "positional delete must not resurrect equality-deleted rows"
+    )
+    # and the reverse order still holds (the previously-tested path)
+    assert tbl.versions()[-1]["eqdvs"], "eqdvs must be forwarded in the manifest"
+
+
+def test_delete_preserves_schema_evolution_dir_cols(spark, tmp_path):
+    """Deletes on a schema-evolved table must forward dir_cols: without
+    them _scan() sees <=1 fingerprint, never enables mergeSchema, and
+    the evolved column silently disappears for rows in older dirs."""
+    import pyspark.sql.functions as F
+
+    from x8313_etl_spark.operators.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "evodel"))
+    tbl.commit(spark.range(10).select(F.col("id").alias("k")))
+    tbl.commit(
+        spark.range(10, 15).select(
+            F.col("id").alias("k"), F.lit("x").alias("extra")
+        ),
+        mode="append",
+    )
+    tbl.delete_where(spark, F.col("k") == 3)  # positional
+    v = tbl.read(spark)
+    assert set(v.columns) == {"k", "extra"}, "delete_where lost the evolved column"
+    assert sorted(r.k for r in v.collect()) == [k for k in range(15) if k != 3]
+    tbl.delete_eq(spark, spark.range(12, 13).select(F.col("id").alias("k")), on="k")
+    v = tbl.read(spark)
+    assert set(v.columns) == {"k", "extra"}, "delete_eq lost the evolved column"
+    assert sorted(r.k for r in v.collect()) == [
+        k for k in range(15) if k not in (3, 12)
+    ]
+
+
+def test_delete_version_numbering_is_global_across_branches(spark, tmp_path):
+    """Versions are numbered globally (commit()/publish() rule). A
+    branch commit ahead of main must not make deletes collide forever:
+    main-head+1 would hit the branch's manifest file with EEXIST and
+    every retry recomputes the same colliding version."""
+    import pyspark.sql.functions as F
+
+    from x8313_etl_spark.operators.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "gver"))
+    tbl.commit(
+        spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    )  # main v0
+    tbl.commit(
+        spark.range(3).select(F.col("id").alias("k"), F.lit(2).alias("v")),
+        branch="b",
+    )  # global v1 on branch b
+    v = tbl.delete_where(spark, F.col("k") >= 8)  # must be v2, not v1
+    assert v == 2
+    assert tbl.read(spark).count() == 8
+    v = tbl.delete_eq(spark, spark.range(1).select(F.col("id").alias("k")), on="k")
+    assert v == 3
+    assert sorted(r.k for r in tbl.read(spark).collect()) == list(range(1, 8))
+    # the branch is untouched throughout
+    assert tbl.read(spark, branch="b").count() == 3

@@ -131,7 +131,6 @@ class SnapshotTable:
         # when a version's dirs actually disagree (schema evolution —
         # the added column null-fills older dirs), so the common
         # homogeneous case keeps the cheap single-schema scan
-        self._dir_cols = getattr(self, "_dir_cols", {})
         dirs, dvs, eqdvs = [ddir], [], []
         if mode == "append" and prev:
             dirs = prev[-1]["dirs"] + dirs
@@ -161,7 +160,10 @@ class SnapshotTable:
     ) -> int:
         """Publish a manifest for ``version`` with writer mutual
         exclusion; on a lost race, reclaim ``data_dir`` (this writer's
-        just-written dir — data or DV) and raise."""
+        just-written dir — data or DV) and raise. Metadata-only commits
+        (publish) pass ``data_dir=""`` and have nothing to reclaim —
+        the guard below matters: rmtree(join(base, "")) IS rmtree(base),
+        i.e. the whole table."""
         manifest = {
             "version": version,
             "dirs": dirs,
@@ -195,9 +197,12 @@ class SnapshotTable:
             # reclaim the loser's data dir NOW: no manifest will ever
             # reference it, and vacuum() only walks manifest-listed
             # dirs, so leaving it would leak a table copy per lost race
-            import shutil
+            if data_dir:
+                import shutil
 
-            shutil.rmtree(os.path.join(self.base, data_dir), ignore_errors=True)
+                shutil.rmtree(
+                    os.path.join(self.base, data_dir), ignore_errors=True
+                )
             raise ConcurrentCommitError(
                 f"version {version} was committed by another writer"
             ) from exc
@@ -301,12 +306,20 @@ class SnapshotTable:
         )
         ddir = f"dv-{uuid.uuid4().hex[:12]}"
         dv.write.mode("errorifexists").parquet(os.path.join(self.base, ddir))
+        # version numbering is GLOBAL across branches (same rule as
+        # commit()/publish()): main-head+1 would collide forever with
+        # any branch commit ahead of main (EEXIST on every retry).
+        # eqdvs and dir_cols are forwarded — dropping them would
+        # resurrect equality-deleted rows and lose evolved-schema
+        # mergeSchema detection in the new version.
         return self._commit_manifest(
-            version=m["version"] + 1,
+            version=self.versions(None)[-1]["version"] + 1,
             dirs=m["dirs"],
             dvs=(m.get("dvs") or []) + [ddir],
             mode="delete",
             data_dir=ddir,
+            eqdvs=m.get("eqdvs") or [],
+            dir_cols=m.get("dir_cols") or {},
         )
 
     def rewrite_compact(self, spark: SparkSession) -> int:
@@ -342,12 +355,13 @@ class SnapshotTable:
             {"dir": ddir, "on": on, "covers": list(m["dirs"])}
         ]
         return self._commit_manifest(
-            version=m["version"] + 1,
+            version=self.versions(None)[-1]["version"] + 1,
             dirs=m["dirs"],
             dvs=m.get("dvs") or [],
             mode="delete_eq",
             data_dir=ddir,
             eqdvs=eqdvs,
+            dir_cols=m.get("dir_cols") or {},
         )
 
     # -- write-audit-publish ------------------------------------------
