@@ -30,6 +30,46 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _host_norm(spark, sf_dir: str, runs: int) -> dict:
+    """Pinned host-calibration pair (BASELINE.md protocol, automated per
+    r5 verdict item 5): time q1_pricing_summary on Spark AND its DuckDB
+    twin on the same parquet, same host, same process run. Cross-round
+    bench deltas divide by these to separate host drift from plan
+    regressions — the ~1.4× uniform VM slowdown at end of r4 cost a
+    manual re-measurement that this field now ships in every BENCH_rN."""
+    from x8313_etl_spark.registry import registry
+
+    spec = registry()["q1_pricing_summary"]
+    _run(spec.fn(spark, sf_dir))
+    spark_s = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        _run(spec.fn(spark, sf_dir))
+        spark_s.append(time.perf_counter() - t0)
+    out = {"q1_spark_sec": round(statistics.median(spark_s), 4)}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/lineitem.parquet')"
+        )
+        con.execute(spec.oracle).fetchall()  # warm-up
+        duck_s = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            con.execute(spec.oracle).fetchall()
+            duck_s.append(time.perf_counter() - t0)
+        out["q1_duckdb_sec"] = round(statistics.median(duck_s), 4)
+        out["spark_over_duckdb"] = round(
+            out["q1_spark_sec"] / out["q1_duckdb_sec"], 3
+        )
+    except Exception:  # duckdb missing → Spark half still calibrates
+        pass
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -63,6 +103,7 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "runs_per_query": runs,
+                "host_norm": _host_norm(spark, sf_dir, runs),
             }
         )
     )

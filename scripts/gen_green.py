@@ -27,12 +27,20 @@ WINDOW = 50
 
 
 def green_names() -> set[str]:
-    green: set[str] = set()
+    return set(green_stamps())
+
+
+def green_stamps() -> dict[str, int]:
+    """name → LATEST round number with a green driver row (hash_match,
+    or the designed rows-only outcome). Feeds both _DRIVER_GREEN and
+    the stalest-first rotation map _DRIVER_STAMP."""
+    stamps: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json", path).group(1))
         for name, row in json.load(open(path)).items():
             if row.get("hash_match") or row.get("err") == "no_oracle":
-                green.add(name)
-    return green
+                stamps[name] = max(stamps.get(name, 0), rnd)
+    return stamps
 
 
 def literal(names: set[str]) -> str:
@@ -43,10 +51,22 @@ def literal(names: set[str]) -> str:
     return "_DRIVER_GREEN = frozenset(\n    {\n" + "\n".join(lines) + "\n    }\n)"
 
 
+def stamp_literal(stamps: dict[str, int]) -> str:
+    items = sorted(stamps.items())
+    lines = []
+    for i in range(0, len(items), 4):
+        lines.append(
+            "    " + " ".join(f'"{n}": {r},' for n, r in items[i : i + 4])
+        )
+    return "_DRIVER_STAMP: dict[str, int] = {\n" + "\n".join(lines) + "\n}"
+
+
 def main() -> int:
     sys.path.insert(0, ROOT)
-    green = green_names()
+    stamps = green_stamps()
+    green = set(stamps)
     lit = literal(green)
+    slit = stamp_literal(stamps)
     if "--write" in sys.argv:
         reg_path = os.path.join(ROOT, "x8313_etl_spark", "registry.py")
         src = open(reg_path).read()
@@ -59,10 +79,20 @@ def main() -> int:
         if n != 1:
             print("could not locate _DRIVER_GREEN block in registry.py")
             return 1
+        new_src, n = re.subn(
+            r"_DRIVER_STAMP: dict\[str, int\] = \{\n(?:.*\n)*?\}",
+            slit,
+            new_src,
+            count=1,
+        )
+        if n != 1:
+            print("could not locate _DRIVER_STAMP block in registry.py")
+            return 1
         open(reg_path, "w").write(new_src)
-        print(f"patched registry.py: {len(green)} green names")
+        print(f"patched registry.py: {len(green)} green names + stamps")
     else:
         print(lit)
+        print(slit)
 
     from x8313_etl_spark.registry import registry
 

@@ -9,7 +9,12 @@ addition from silently reshuffling the window.
 
 from __future__ import annotations
 
-from x8313_etl_spark.registry import _DRIVER_GREEN, _REPAIRED_FAILURES, registry
+from x8313_etl_spark.registry import (
+    _DRIVER_GREEN,
+    _DRIVER_STAMP,
+    _REPAIRED_FAILURES,
+    registry,
+)
 
 WINDOW = 50
 
@@ -29,13 +34,33 @@ def test_repaired_failures_lead_the_window():
 
 
 def test_never_checked_queries_fit_the_window():
-    """All 16 names without a driver row (the 14 never-checked streaming/
-    timeseries/arrow queries + the 2 repaired r03 failures) must land in
-    round 4's 50-slot window."""
+    """Every name without a driver row must land in the 50-slot window
+    (new queries per round must stay ≤ the spare slots)."""
     names = list(registry())
     window = set(names[:WINDOW])
     unverified = {n for n in names if n not in _DRIVER_GREEN}
     assert unverified <= window, sorted(unverified - window)
+
+
+def test_green_block_rotates_stalest_first():
+    """Within the green block (and within the batch / streaming
+    sub-blocks the existing policy defines), older driver stamps sort
+    first, so spare window slots re-verify the stalest greens (r5
+    verdict item 1). Non-decreasing stamps per sub-block is the
+    invariant."""
+    specs = registry()
+    names = list(specs)
+    greens = [n for n in names if n in _DRIVER_GREEN]
+    assert greens == names[len(names) - len(greens) :], "greens must be last"
+    for want_streaming in (False, True):
+        stamps = [
+            _DRIVER_STAMP[n]
+            for n in greens
+            if (specs[n].category == "streaming") == want_streaming
+        ]
+        assert stamps == sorted(stamps)
+    # every green has a stamp — gen_green writes both from one source
+    assert set(greens) <= set(_DRIVER_STAMP)
 
 
 def test_ordering_is_deterministic():
@@ -58,3 +83,28 @@ def test_ordering_survives_direct_module_import():
         (n in _DRIVER_GREEN) for n in names
     ]
     assert cats == sorted(cats)
+
+
+def test_baseline_tag_demotion_is_machine_readable():
+    """The exact O(n²) forms kept as verification instruments are tagged
+    `baseline` (r5 verdict item 2): tooling can machine-distinguish them
+    from scale primaries. Every baseline must have a non-baseline
+    primary covering the same capability, and no baseline may occupy a
+    bench slot (bench measures the scale path, not the oracle
+    instrument)."""
+    specs = registry()
+    PRIMARY_OF = {
+        "sim_neardup_exact": "sim_lsh_neardup",
+        "p_semantic_dedup": "p_semantic_dedup_lsh",
+        "l10_knn_classify": "l10_knn_ivf",
+        "l4_topk_cosine": "sim_ivf_topk",
+    }
+    baselines = {n for n, s in specs.items() if "baseline" in s.tags}
+    assert baselines == set(PRIMARY_OF), "baseline tag set drifted"
+    for base, primary in PRIMARY_OF.items():
+        assert primary in specs, f"{base}: primary {primary} missing"
+        assert "baseline" not in specs[primary].tags, (
+            f"{base}: its primary {primary} is itself tagged baseline"
+        )
+    for n in baselines:
+        assert not specs[n].bench, f"baseline {n} must not hold a bench slot"

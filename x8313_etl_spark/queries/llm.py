@@ -257,7 +257,7 @@ def l3_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "l4_topk_cosine",
     category="llm",
-    bench=True,
+    tags=("baseline",),
     oracle=f"""
 SELECT probe_id, vec_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
   SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
