@@ -50,6 +50,13 @@ ALLOWED: dict[str, tuple[dict[str, int], str]] = {
         {"Exchange SinglePartition": 1},
         "heavy-hitter sketch merge: one sketch per task crosses, not rows",
     ),
+    "a24_global_median_twophase": (
+        {"Exchange SinglePartition": 2},
+        "two-phase global median: one single-partition window over the "
+        "bounded per-PARTITION count table (globalrank core, o1's entry) "
+        "+ the final global agg over exactly the TWO median-bracketing "
+        "rows — data-sized work stays range-partitioned",
+    ),
     "dq_profile": (
         {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 2},
         "global metric rows (single-row aggs) + the broadcast RI anti-join check",
@@ -132,6 +139,13 @@ ALLOWED: dict[str, tuple[dict[str, int], str]] = {
         {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
         "global min/max bounds (single row) crossed in to normalize the Morton interleave",
     ),
+    "sim_ivf_multiprobe": (
+        {"BroadcastNestedLoopJoin": 2},
+        "broadcast K=16 centroid seeds crossed into the probe fan-out + "
+        "the pooled ivf_assign's seed cross re-expanded in the plan "
+        "string (sim_ivf_topk's entry); the bucket search is a broadcast "
+        "HASH join on cent_id",
+    ),
     "sim_ivf_topk": (
         {"BroadcastNestedLoopJoin": 2},
         "broadcast centroid seeds + broadcast probe side (K=16 keys would collapse a shuffle join's parallelism — PERF.md)",
@@ -188,6 +202,12 @@ ALLOWED_LEDGER: dict[str, tuple[dict[str, int], str]] = {
         {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
         "same quantile-threshold scalar broadcast as g3.edges (shared "
         "_cosupply_edges construction, g5's own checkpoint)",
+    ),
+    "g7.edges": (
+        {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
+        "same quantile-threshold scalar broadcast as g3.edges (shared "
+        "_cosupply_edges construction, weight-keeping variant, g7's own "
+        "checkpoint)",
     ),
     "g5.k": (
         {"Exchange SinglePartition": 1},

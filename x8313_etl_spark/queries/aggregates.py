@@ -865,3 +865,91 @@ def a23_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("int").alias("bucket"),
         "cnt",
     )
+
+
+@register(
+    "a24_global_median_twophase",
+    category="aggregates",
+    oracle="""
+WITH r AS (
+  SELECT l_extendedprice AS v,
+         ROW_NUMBER() OVER (
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+         ) - 1 AS rn,
+         COUNT(*) OVER () AS n
+  FROM lineitem
+),
+picked AS (
+  SELECT * FROM r WHERE rn = (n - 1) // 2 OR rn = n // 2
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+       MIN(CASE WHEN rn = (n - 1) // 2 THEN v END) AS median_lo,
+       MIN(CASE WHEN rn = n // 2 THEN v END) AS median_hi,
+       (CAST(ROUND(MIN(CASE WHEN rn = (n - 1) // 2 THEN v END) * 100) AS BIGINT)
+        + CAST(ROUND(MIN(CASE WHEN rn = n // 2 THEN v END) * 100) AS BIGINT))
+       / 200.0 AS median
+FROM picked
+""",
+)
+def a24_global_median_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24: EXACT global median (order statistic over the WHOLE table)
+    with no sort-to-one — the gap a9/a9b left open (a9 is per-group
+    exact, a9b is the approx sketch). A naive
+    ``ROW_NUMBER() OVER (ORDER BY price)`` funnels every row through
+    one task; this uses the two-phase selection discipline
+    (operators/globalrank.py, the o4 terasort core): range-exchange on
+    the value, rank locally, turn the bounded per-partition count table
+    into cumulative offsets with the one permissible single-partition
+    window (over ≤ #partitions rows, never data), broadcast offsets
+    back — global rank with data-sized work fully parallel. The median
+    rows are then the two rank positions ⌊(n−1)/2⌋ and ⌊n/2⌋
+    (quantile_cont(0.5) bracketing: equal for odd n), picked by filter
+    and collapsed by a 2-row global aggregate.
+
+    Cross-engine fp: median_lo/median_hi are untouched data values; the
+    interpolated midpoint is computed from their exact cent integers —
+    (round(lo·100) + round(hi·100)) / 200.0, one correctly-rounded
+    double division of exact integers on both engines — so no
+    double-add or decimal-tie rounding can diverge (functions/numeric
+    policy). Tie order among equal prices cannot change the value at a
+    rank position, but the rank order is pinned anyway (orderkey,
+    linenumber).
+
+    Scale: phase 1 is the same machinery as a full sort EXCEPT nothing
+    ever concentrates: the only single-partition stage is over the
+    partition-count table. At 100 TB the range exchange is the cost of
+    one repartition of the column; a production variant would sample to
+    probe only the median-straddling partition (two-pass selection) —
+    the rank core here already exposes exactly that partition via
+    __pid, documented not implemented."""
+    from ..operators.globalrank import with_global_rank
+    from ..session import default_parallelism
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = with_global_rank(
+        li,
+        [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
+        partitions=default_parallelism(),
+        key="aggregates.a24_rank",
+        rank_col="rn",
+        count_col="n",
+    )
+    lo_pos = F.expr("(n - 1) div 2")
+    hi_pos = F.expr("n div 2")
+    picked = ranked.filter((F.col("rn") == lo_pos) | (F.col("rn") == hi_pos))
+    lo = F.min(F.when(F.col("rn") == lo_pos, F.col("l_extendedprice")))
+    hi = F.min(F.when(F.col("rn") == hi_pos, F.col("l_extendedprice")))
+    return picked.agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        lo.alias("median_lo"),
+        hi.alias("median_hi"),
+        (
+            (
+                F.round(lo * 100).cast("bigint")
+                + F.round(hi * 100).cast("bigint")
+            )
+            / F.lit(200.0)
+        ).alias("median"),
+    )

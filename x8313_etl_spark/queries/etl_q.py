@@ -671,3 +671,163 @@ def m7_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(f"audit failed: {bad} negative balances staged")
     tbl.publish("audit")
     return tbl.read(spark)
+
+
+# ---------------------------------------------------------------------------
+# M8: incremental maintenance of a JOIN view (delta-join rule).
+# ---------------------------------------------------------------------------
+
+#: deterministic CDC rules over orders (the customer side reuses
+#: UPD_MOD/DEL_MOD/INS_MOD): key % these pick the op; inserted orders
+#: keep their source row's o_custkey, so an insert can reference a
+#: customer the SAME batch deletes — the ΔA⋈ΔB term's job.
+B_DEL_MOD = 17
+B_UPD_MOD = 19
+B_INS_MOD = 23
+B_INS_KEY_OFFSET = 100_000_000
+
+
+def m8_customer_zset(a: DataFrame) -> DataFrame:
+    """Customer-side CDC delta as a Z-set: (c_custkey, c_nationkey,
+    bal, am) rows with multiplicity am ∈ {-1, +1}. delete → (old, -1);
+    update → (old, -1) + (new, +1); insert → (new, +1). D-beats-U as in
+    m1/m3."""
+    old = lambda m: [  # noqa: E731
+        "c_custkey", "c_nationkey",
+        F.col("c_acctbal").alias("bal"), F.lit(m).alias("am"),
+    ]
+    dels = a.filter(F.col("c_custkey") % DEL_MOD == 0).select(*old(-1))
+    updk = (F.col("c_custkey") % UPD_MOD == 0) & (
+        F.col("c_custkey") % DEL_MOD != 0
+    )
+    upd_old = a.filter(updk).select(*old(-1))
+    upd_new = a.filter(updk).select(
+        "c_custkey", "c_nationkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("bal"),
+        F.lit(1).alias("am"),
+    )
+    ins = a.filter(F.col("c_custkey") % INS_MOD == 0).select(
+        (F.col("c_custkey") + INS_KEY_OFFSET).alias("c_custkey"),
+        "c_nationkey", F.lit(0.0).alias("bal"), F.lit(1).alias("am"),
+    )
+    return dels.unionByName(upd_old).unionByName(upd_new).unionByName(ins)
+
+
+def m8_orders_zset(b: DataFrame) -> DataFrame:
+    """Orders-side CDC delta as a Z-set: (o_orderkey, o_custkey, price,
+    bm)."""
+    old = lambda m: [  # noqa: E731
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").alias("price"), F.lit(m).alias("bm"),
+    ]
+    dels = b.filter(F.col("o_orderkey") % B_DEL_MOD == 0).select(*old(-1))
+    updk = (F.col("o_orderkey") % B_UPD_MOD == 0) & (
+        F.col("o_orderkey") % B_DEL_MOD != 0
+    )
+    upd_old = b.filter(updk).select(*old(-1))
+    upd_new = b.filter(updk).select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice") + F.lit(10.0)).alias("price"),
+        F.lit(1).alias("bm"),
+    )
+    ins = b.filter(F.col("o_orderkey") % B_INS_MOD == 0).select(
+        (F.col("o_orderkey") + B_INS_KEY_OFFSET).alias("o_orderkey"),
+        "o_custkey", F.col("o_totalprice").alias("price"),
+        F.lit(1).alias("bm"),
+    )
+    return dels.unionByName(upd_old).unionByName(upd_new).unionByName(ins)
+
+
+def m8_delta_join_maintain(
+    vold: DataFrame, a_old: DataFrame, b_old: DataFrame,
+    da: DataFrame, db: DataFrame,
+) -> DataFrame:
+    """The delta-join rule: ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB with multiplied
+    Z-set multiplicities; V_new = (V_old ⊎ ΔV) with per-tuple
+    multiplicity sums, keeping m > 0. ``a_old``/``b_old`` carry the
+    view's column names (bal/price) so every term unions positionally
+    clean by name."""
+    key = a_old["c_custkey"]  # noqa: F841  (documents the join key)
+    cols = ["o_orderkey", "c_custkey", "c_nationkey", "bal", "price"]
+    t1 = b_old.join(da, b_old.o_custkey == da.c_custkey).select(
+        *cols, F.col("am").alias("m")
+    )
+    t2 = db.join(a_old, db.o_custkey == a_old.c_custkey).select(
+        *cols, F.col("bm").alias("m")
+    )
+    t3 = db.join(da, db.o_custkey == da.c_custkey).select(
+        *cols, (F.col("am") * F.col("bm")).alias("m")
+    )
+    return (
+        vold.withColumn("m", F.lit(1))
+        .unionByName(t1)
+        .unionByName(t2)
+        .unionByName(t3)
+        .groupBy(*cols)
+        .agg(F.sum("m").alias("m"))
+        .filter(F.col("m") > 0)
+        .select(*cols)
+    )
+
+
+@register(
+    "m8_delta_join_view",
+    category="etl",
+    oracle=f"""
+WITH ca AS (
+  SELECT c_custkey, c_nationkey,
+         CASE WHEN c_custkey % {UPD_MOD} = 0 THEN c_acctbal + 100.0
+              ELSE c_acctbal END AS bal
+  FROM customer WHERE c_custkey % {DEL_MOD} != 0
+  UNION ALL
+  SELECT c_custkey + {INS_KEY_OFFSET}, c_nationkey, 0.0
+  FROM customer WHERE c_custkey % {INS_MOD} = 0
+),
+ob AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % {B_UPD_MOD} = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % {B_DEL_MOD} != 0
+  UNION ALL
+  SELECT o_orderkey + {B_INS_KEY_OFFSET}, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % {B_INS_MOD} = 0
+)
+SELECT o_orderkey, c_custkey, c_nationkey, bal, price
+FROM ob JOIN ca ON ob.o_custkey = ca.c_custkey
+""",
+)
+def m8_delta_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: incremental maintenance of a two-table JOIN view — the
+    classic delta-join rule m3's aggregate maintenance left open:
+    ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, with CDC deltas encoded as Z-SETS
+    (rows carrying ±1 multiplicities: update = retract old ⊎ assert
+    new — the DBSP/differential-dataflow algebra). The cross-term
+    ΔA⋈ΔB is what makes same-batch interactions exact: an order
+    INSERTED in the batch referencing a customer DELETED in the same
+    batch nets to zero (+1 from A⋈ΔB, −1·+1 from ΔA⋈ΔB); an
+    update×update pair nets exactly one (new,new) row — the four-term
+    cancellation is pinned by tests/test_m8_deltajoin.py on crafted
+    literals, and the twin here is the gold standard: a FULL recompute
+    of post-CDC A⋈B; hash equality proves incremental ≡ full.
+
+    Scale: the three delta terms are delta×base joins — two shuffles
+    keyed on the SAME join key the view itself uses (co-partitioned
+    with the view's storage in a real deployment; AQE broadcasts the
+    delta side at the usual <1% delta rate) and one delta×delta join
+    that is delta-sized. The final multiplicity consolidation groups on
+    the view key — the base table is never rescanned, which is the
+    whole point of incremental view maintenance at 100 TB. Values pass
+    through untouched (doubles joined, never summed), so no decimal
+    state is needed, unlike m3's aggregate maintenance."""
+    a_old = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", F.col("c_acctbal").alias("bal")
+    )
+    b_old = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").alias("price")
+    )
+    vold = b_old.join(a_old, b_old.o_custkey == a_old.c_custkey).select(
+        "o_orderkey", "c_custkey", "c_nationkey", "bal", "price"
+    )
+    da = m8_customer_zset(load_table(spark, sf_dir, "customer"))
+    db = m8_orders_zset(load_table(spark, sf_dir, "orders"))
+    return m8_delta_join_maintain(vold, a_old, b_old, da, db)

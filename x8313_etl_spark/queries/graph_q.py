@@ -294,13 +294,20 @@ def g3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cosupply_edges(spark: SparkSession, sf_dir: str, ledger_key: str) -> DataFrame:
+def _cosupply_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    ledger_key: str,
+    with_weight: bool = False,
+) -> DataFrame:
     """Quantile-thresholded supplier co-supply edge set (s1 < s2) —
-    shared by g3 (triangles) and g5 (k-core). The pair-count aggregate
-    is pooled (one lineitem self-join per session); the bounded edge
-    table is checkpointed per caller so the one scalar-broadcast
-    threshold node isn't re-printed per downstream plan branch (the
-    ledger key carries the audited plan)."""
+    shared by g3 (triangles), g5 (k-core), and g7 (weighted SSSP,
+    which keeps the ``shared`` count as the integer edge weight via
+    ``with_weight``). The pair-count aggregate is pooled (one lineitem
+    self-join per session); the bounded edge table is checkpointed per
+    caller so the one scalar-broadcast threshold node isn't re-printed
+    per downstream plan branch (the ledger key carries the audited
+    plan)."""
     from ..audit import audited_checkpoint
     from ..operators.cachepool import swap_persist
 
@@ -319,11 +326,12 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str, ledger_key: str) -> DataFr
     thr = e0.agg(
         F.ceil(F.expr(f"percentile(shared, {_TRI_QUANTILE})")).alias("thr")
     )
+    cols = ["s1", "s2", "shared"] if with_weight else ["s1", "s2"]
     return audited_checkpoint(
         ledger_key,
         e0.crossJoin(F.broadcast(thr))
         .filter(F.col("shared") >= F.col("thr"))
-        .select("s1", "s2"),
+        .select(*cols),
     )
 
 
@@ -734,4 +742,120 @@ def g6_path_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigma.join(allc, ["seed", "node"])
         .groupBy("node")
         .agg(F.sum(F.col("sigma") * F.col("c")).cast("bigint").alias("path_score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# G7: weighted single-source shortest paths (bounded-round Bellman-Ford).
+# ---------------------------------------------------------------------------
+
+_SSSP_ROUNDS = 4
+_SSSP_SEED_MOD = 7
+_SSSP_QUANTILE = 0.8  # g3/g5's co-supply threshold, same edge family
+
+
+def _sssp_oracle(rounds: int = _SSSP_ROUNDS) -> str:
+    ctes = [
+        """pairs AS MATERIALIZED (
+  SELECT s1, s2, count(DISTINCT ok) AS shared FROM (
+    SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, a.l_orderkey AS ok
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  ) GROUP BY s1, s2
+)""",
+        f"t AS (SELECT CEIL(quantile_cont(shared, {_SSSP_QUANTILE})) AS thr FROM pairs)",
+        """eu AS MATERIALIZED (
+  SELECT s1 AS src, s2 AS dst, CAST(shared AS BIGINT) AS w
+  FROM pairs, t WHERE shared >= thr
+  UNION ALL
+  SELECT s2 AS src, s1 AS dst, CAST(shared AS BIGINT) AS w
+  FROM pairs, t WHERE shared >= thr
+)""",
+        "nodes AS (SELECT DISTINCT src AS node FROM eu)",
+        f"""d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
+       WHERE node % {_SSSP_SEED_MOD} = 0)""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT eu.dst AS node, p.dist + eu.w AS dist
+    FROM eu JOIN d{i - 1} p ON eu.src = p.node
+  ) GROUP BY node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(nodes.node AS BIGINT) AS s_suppkey,
+       CAST(coalesce(d.dist, -1) AS BIGINT) AS dist
+FROM nodes LEFT JOIN d{rounds} d ON d.node = nodes.node"""
+    )
+
+
+@register(
+    "g7_weighted_sssp",
+    category="graph",
+    oracle=_sssp_oracle(),
+)
+def g7_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: WEIGHTED single-source shortest paths — bounded-round
+    Bellman-Ford relaxation (4 rounds = paths of ≤ 4 edges) from the
+    mod-7 supplier seed set over the quantile-thresholded co-supply
+    graph (the g3/g5 edge family, kept WITH its distinct-shared-order
+    count as the integer edge weight; seeds verified non-empty at
+    sf0.001/0.01/0.1). Completes the graph family's missing distance
+    semiring: g2's BFS is SSSP with w≡1; here d_{i+1}(v) =
+    min(d_i(v), min over in-edges (u,v) of d_i(u)+w) — the (min, +)
+    semiring with the same monotone-fixpoint shape, so g2's whole
+    execution discipline transfers: per round ONE edge⋈frontier
+    equi-shuffle on src (identical key each round — co-partitioning
+    reused), a map-side-combined MIN aggregate, and a per-round persist
+    to truncate lineage. Unreached nodes report -1.
+
+    Determinism needs no fixed-point trick (g1's lesson applied):
+    distances are INTEGER sums of integer weights and the round count
+    is FIXED on both sides (k chained MATERIALIZED CTEs in the twin —
+    plain CTEs would re-run the pair scan per level), so no
+    float-rounding or convergence-detection divergence can exist.
+
+    Scale: Bellman-Ford rounds cost O(E) each but only the ACTIVE
+    frontier (nodes whose distance improved) produces new candidates
+    once labels stabilize — the Pregel cost model. At 100 TB the
+    standard upgrade is delta-stepping (bucketed priority), which
+    changes the round schedule, not this per-round join shape."""
+    from pyspark import StorageLevel
+
+    e = _cosupply_edges(spark, sf_dir, "g7.edges", with_weight=True)
+    eu = e.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst"),
+        F.col("shared").cast("bigint").alias("w"),
+    ).unionAll(
+        e.select(
+            F.col("s2").alias("src"), F.col("s1").alias("dst"),
+            F.col("shared").cast("bigint").alias("w"),
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = eu.select(F.col("src").alias("node")).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dist = nodes.filter(F.col("node") % _SSSP_SEED_MOD == 0).select(
+        "node", F.lit(0).cast("bigint").alias("dist")
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = eu.join(dist, eu.src == dist.node).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    return nodes.join(dist, "node", "left").select(
+        F.col("node").cast("bigint").alias("s_suppkey"),
+        F.coalesce(F.col("dist"), F.lit(-1)).cast("bigint").alias("dist"),
     )

@@ -34,6 +34,7 @@ _TOP_K = 5
 @register(
     "sim_neardup_exact",
     category="similarity",
+    tags=("baseline",),
     oracle=f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        {sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
@@ -376,6 +377,7 @@ def banded_verified_pairs(
 @register(
     "p_semantic_dedup",
     category="similarity",
+    tags=("baseline",),
     oracle=f"""
 WITH RECURSIVE p AS MATERIALIZED (
   -- MATERIALIZED: the recursive closure joins p every iteration; the
@@ -466,6 +468,7 @@ _KNN_PROBE_MOD = 20
 @register(
     "l10_knn_classify",
     category="similarity",
+    tags=("baseline",),
     oracle=f"""
 WITH sims AS (
   SELECT a.vec_id AS probe_id, a.label AS true_label,
@@ -1012,4 +1015,110 @@ def sim_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") <= _PQ_TOPK)
         .select("probe_id", "vec_id", "cos_sim", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe IVF: the standard recall dial (r5 verdict item 4).
+# ---------------------------------------------------------------------------
+
+_NPROBE = 4
+
+
+@register(
+    "sim_ivf_multiprobe",
+    category="similarity",
+    bench=True,
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+         WHERE vec_id < {_K_CENTROIDS}),
+ranked AS MATERIALIZED (
+  SELECT e.vec_id, cent.cent_id, e.embedding,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {sql_cosine('e.embedding', 'cent.cvec')} DESC, cent.cent_id
+         ) AS crn
+  FROM e CROSS JOIN cent
+),
+assign AS (SELECT vec_id, cent_id, embedding FROM ranked WHERE crn = 1),
+probes AS (SELECT vec_id, cent_id, embedding FROM ranked
+           WHERE crn <= {_NPROBE} AND vec_id % 25 = 0)
+SELECT probe_id, cent_id, vec_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT p.vec_id AS probe_id, m.cent_id, m.vec_id AS vec_id,
+         {sql_cosine('p.embedding', 'm.embedding')} AS cos_sim,
+         row_number() OVER (
+           PARTITION BY p.vec_id
+           ORDER BY {sql_cosine('p.embedding', 'm.embedding')} DESC, m.vec_id
+         ) AS rn
+  FROM probes p JOIN assign m
+    ON p.cent_id = m.cent_id AND m.vec_id != p.vec_id
+)
+WHERE rn <= {_TOP_K}
+""",
+)
+def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN top-k (nprobe=4): each probe searches its
+    NPROBE nearest centroid buckets instead of one — the standard
+    recall dial sim_ivf_topk's nprobe=1 lacks (PERF.md measured 0.19
+    top-5 recall on the isotropic corpus at nprobe=1; the recall test
+    tests/test_ivf_multiprobe.py pins that nprobe=4 is strictly
+    higher at ≤ NPROBE× candidate cost). Corpus vectors stay in exactly
+    ONE bucket (the pooled crn=1 assignment shared with sim_ivf_topk /
+    l10_knn_ivf); only the PROBE side fans out, so each (probe,
+    candidate) pair is generated at most once and no dedup stage is
+    needed. The probe fan-out reuses the seed cross (probes × K
+    broadcast centroids, ranked by the HOF-fold cosine, kept while
+    crn ≤ NPROBE) and is then BROADCAST into the corpus-bucket join —
+    same single-exchange shape as sim_ivf_topk: the join, per-pair
+    cosine, and partial top-k (WindowGroupLimit) all run in the corpus
+    scan's own partitioning; only top-k-per-probe rows shuffle.
+
+    Scale: candidate volume is NPROBE × (probe count × avg bucket), a
+    linear dial between nprobe=1 and exhaustive — the production knob
+    (FAISS's nprobe). The twin runs the SAME ranked-assignment chain
+    with crn ≤ NPROBE (QUALIFY shape), so the bucket choice itself is
+    oracle-verified, not assumed."""
+    assign = _ivf_assign(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vnorm", norm(F.col("embedding"))
+    )
+    cent = e.filter(F.col("vec_id") < _K_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cvec"),
+        F.col("vnorm").alias("cnorm"),
+    )
+    ccos = dot(F.col("pvec"), F.col("cvec")) / (F.col("pnorm") * F.col("cnorm"))
+    crn = Window.partitionBy("probe_id").orderBy(
+        F.col("ccos").desc(), F.col("cent_id")
+    )
+    pmulti = (
+        e.filter(F.col("vec_id") % 25 == 0)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("pvec"),
+            F.col("vnorm").alias("pnorm"),
+        )
+        .crossJoin(F.broadcast(cent))
+        .select("probe_id", "cent_id", "pvec", "pnorm", ccos.alias("ccos"))
+        .withColumn("crn", F.row_number().over(crn))
+        .filter(F.col("crn") <= _NPROBE)
+        .drop("ccos", "crn")
+    )
+    cos = dot(F.col("pvec"), F.col("embedding")) / (
+        F.col("pnorm") * F.col("vnorm")
+    )
+    rn = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        assign.join(F.broadcast(pmulti), on="cent_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "cent_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") <= _TOP_K)
+        .select(
+            "probe_id", "cent_id", "vec_id", "cos_sim",
+            F.col("rn").cast("int").alias("rn"),
+        )
     )
