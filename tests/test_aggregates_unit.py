@@ -119,3 +119,48 @@ def test_sliding_dau_bound(spark, sf_oracle_dir):
             )
         )
         assert abs(est - exact) <= max(3, 0.1 * exact), (day_s, est, exact)
+
+
+def test_global_median_twophase_bracketing(spark, tmp_path):
+    """a24's rank-position bracketing on literals: odd n (both positions
+    coincide), even n (interpolated midpoint), including a half-cent
+    midpoint — the case the cent-integer arithmetic exists for."""
+    import pyspark.sql.functions as F
+
+    from x8313_etl_spark.queries.aggregates import a24_global_median_twophase
+
+    def run(vals):
+        # io.load_table expects <dir>/lineitem.parquet as a single FILE
+        # (it sniffs the footer for timestamp units) — write via pyarrow
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        p = tmp_path / f"li{len(vals)}_{abs(hash(tuple(vals))) % 10**6}"
+        p.mkdir(exist_ok=True)
+        tbl = pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "l_extendedprice": [float(v) for v in vals],
+                    "l_orderkey": list(range(1, len(vals) + 1)),
+                    "l_linenumber": list(range(1, len(vals) + 1)),
+                }
+            ),
+            schema=pa.schema(
+                [
+                    ("l_extendedprice", pa.float64()),
+                    ("l_orderkey", pa.int64()),
+                    ("l_linenumber", pa.int32()),  # fixture width (schemas.py)
+                ]
+            ),
+        )
+        papq.write_table(tbl, str(p / "lineitem.parquet"))
+        r = a24_global_median_twophase(spark, str(p)).collect()[0]
+        return r.n_rows, r.median_lo, r.median_hi, r.median
+
+    assert run([3.0, 1.0, 2.0]) == (3, 2.0, 2.0, 2.0)  # odd n
+    assert run([4.0, 1.0, 2.0, 3.0]) == (4, 2.0, 3.0, 2.5)  # even n
+    # half-cent midpoint: (2.01 + 2.02) / 2 = 2.015 via exact cents
+    n, lo, hi, med = run([2.02, 1.0, 9.0, 2.01])
+    assert (n, lo, hi) == (4, 2.01, 2.02)
+    assert med == (201 + 202) / 200.0

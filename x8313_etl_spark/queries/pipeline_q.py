@@ -938,63 +938,76 @@ FROM (
 """,
 )
 def p_er_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity resolution by BLOCKED fuzzy matching — the record-linkage
-    shape (dedupe/Splink/Dedoop): a dirty feed (part names with the
-    trailing character deterministically dropped, so both engines build
-    the identical corruption) is linked back to the catalog via
-    (1) BLOCKING — an equality join on cheap keys (first token + a
-    second-token length band of +1, the matcher's corruption model) so
-    candidate volume is Σ block², never probes×catalog; (2) SCORING —
-    JVM-codegen'd Levenshtein on the candidate pairs only; (3) BEST
-    MATCH — top-1 per probe by (score, cand_id), the WindowGroupLimit
-    shape, ties pinned. Every stage is in the oracle: the twin runs the
-    same blocks, the same metric, the same tiebreak.
+    """Entity resolution by BLOCKED fuzzy matching with NAME INTERNING —
+    the record-linkage shape (dedupe/Splink/Dedoop): a dirty feed (part
+    names with the trailing character deterministically dropped, so both
+    engines build the identical corruption) is linked back to the
+    catalog via (1) INTERNING — the fuzzy core runs on DISTINCT name
+    pairs, never on rows: probe rows collapse to their distinct dirty
+    names, catalog rows collapse to (p_name, min partkey); (2) BLOCKING
+    — an equality join on cheap keys (first token + a second-token
+    length band of +1, the matcher's corruption model) confines the
+    quadratic candidate volume to Σ block² over the NAME vocabulary;
+    (3) SCORING — JVM-codegen'd Levenshtein on the interned candidate
+    pairs only; (4) BEST MATCH — top-1 per dirty name by (score,
+    cand_id), the WindowGroupLimit shape — then one broadcast equi-join
+    re-attaches the per-name verdict to every probe row. Reporting the
+    name's MIN partkey as cand_id is exactly the row-level (score,
+    cand_id) tiebreak: among tied-score candidates the global min
+    partkey wins either way, which is why the DELIBERATELY row-level
+    twin (it scores every probe-row × candidate-row pair) hash-matches —
+    the interning is verified as an algebraic identity, not assumed.
 
-    Scale: blocking is the entire game at 100 TB — the block join is an
-    equi-shuffle on the block key, and the quadratic work is confined
-    within blocks (here bounded by the name vocabulary per (token,
-    length) cell). A hot block (boilerplate names) is the same
-    mega-bucket problem as MinHash banding: cap-or-salt, the two
-    postures operators/bandjoin.py implements for l2. A production
-    matcher adds more block keys (phonetic, q-gram) UNIONed then
-    deduped — same plan shape per key."""
+    Scale: measured 10× (scripts/scale10x_r6.py) — the row-level form
+    was 3.0 s → 388 s at 10× (same 64-name vocabulary, so every block
+    grew 10× AND probes grew 10×: Σ block² is 100× pair work — the
+    classic ER trap); the interned form's fuzzy core is
+    vocabulary-bounded (constant here) and its row-side work is two
+    linear equi-joins. When the name domain is high-cardinality
+    (interning ≈ no-op), blocking granularity is the dial again: add
+    finer keys (phonetic, q-grams) and the cap-or-salt postures of
+    operators/bandjoin.py for hot blocks."""
     part = load_table(spark, sf_dir, "part")
     dirty = part.filter(F.col("p_partkey") % _ER_PROBE_MOD == 0).select(
         F.col("p_partkey").alias("probe_id"),
         F.expr("substr(p_name, 1, length(p_name) - 1)").alias("dirty_name"),
     )
-    db = dirty.select(
-        "probe_id",
+    dnames = dirty.select("dirty_name").distinct().select(
         "dirty_name",
         F.element_at(F.split(F.col("dirty_name"), " "), 1).alias("b1"),
         F.length(
             F.element_at(F.split(F.col("dirty_name"), " "), 2)
         ).alias("b2"),
     )
-    cand = part.select(
-        F.col("p_partkey").alias("cand_id"),
-        F.col("p_name"),
-        F.element_at(F.split(F.col("p_name"), " "), 1).alias("b1"),
-        F.length(F.element_at(F.split(F.col("p_name"), " "), 2)).alias("cb2"),
+    cnames = (
+        part.groupBy("p_name")
+        .agg(F.min("p_partkey").alias("cand_id"))
+        .select(
+            "p_name",
+            "cand_id",
+            F.element_at(F.split(F.col("p_name"), " "), 1).alias("cb1"),
+            F.length(
+                F.element_at(F.split(F.col("p_name"), " "), 2)
+            ).alias("cb2"),
+        )
     )
-    w = Window.partitionBy("probe_id").orderBy("score", "cand_id")
-    return (
-        db.join(
-            cand,
-            (db.b1 == cand.b1) & (cand.cb2 == db.b2 + F.lit(1)),
+    w = Window.partitionBy("dirty_name").orderBy("score", "cand_id")
+    best = (
+        dnames.join(
+            cnames,
+            (dnames.b1 == cnames.cb1) & (cnames.cb2 == dnames.b2 + F.lit(1)),
         )
         .select(
-            "probe_id",
-            "cand_id",
             "dirty_name",
+            "cand_id",
             F.col("p_name").alias("matched_name"),
             F.levenshtein("dirty_name", "p_name").alias("score"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
-        .select(
-            "probe_id", "cand_id", "dirty_name", "matched_name",
-            F.col("score").cast("int").alias("score"),
-        )
+    )
+    return dirty.join(F.broadcast(best), "dirty_name").select(
+        "probe_id", "cand_id", "dirty_name", "matched_name",
+        F.col("score").cast("int").alias("score"),
     )
