@@ -360,3 +360,165 @@ def test_global_rank_matches_sorted_position(spark, vals):
     exp_rank = {rid: i for i, (rid, _v) in enumerate(expected)}
     assert all(r.cnt == len(rows) for r in out)
     assert {r.id: r.rn for r in out} == exp_rank, (rows, out)
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6), st.integers(1, 9)),
+        min_size=1,
+        max_size=15,
+    ),
+    rounds=st.integers(1, 4),
+)
+def test_bounded_sssp_matches_reference(spark, edges, rounds):
+    """operators/sssp.py bounded_sssp ≡ driver-side min-plus over paths
+    of ≤ rounds edges, on random small weighted digraphs (seeds = even
+    nodes)."""
+    from x8313_etl_spark.operators.sssp import bounded_sssp
+
+    e = spark.createDataFrame(
+        [(s, d, w) for s, d, w in edges], "src int, dst int, w long"
+    )
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    seeds = [n for n in nodes if n % 2 == 0]
+    sdf = spark.createDataFrame([(n,) for n in seeds] or [(None,)], "node int")
+    if not seeds:
+        sdf = sdf.filter(F.col("node").isNotNull())
+    got = {
+        r.node: r.dist for r in bounded_sssp(e, sdf, rounds).collect()
+    }
+    # reference: k rounds of relaxation over a dict
+    ref = {n: 0 for n in seeds}
+    for _ in range(rounds):
+        nxt = dict(ref)
+        for s, d, w in edges:
+            if s in ref and ref[s] + w < nxt.get(d, float("inf")):
+                nxt[d] = ref[s] + w
+        ref = nxt
+    assert got == ref
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.integers(1, 9999),  # cents → exact double values v/100
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_two_phase_global_median_matches_sorted_reference(spark, vals):
+    """two_phase_global_median ≡ the sorted-list quantile_cont(0.5)
+    bracketing, on random multisets (duplicates included)."""
+    from x8313_etl_spark.queries.aggregates import two_phase_global_median
+
+    rows = [(c / 100.0, i) for i, c in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v double, k long")
+    r = two_phase_global_median(
+        df, "v", [F.col("k")], key="test.prop_median"
+    ).collect()[0]
+    s = sorted(c / 100.0 for c in vals)
+    n = len(s)
+    lo, hi = s[(n - 1) // 2], s[n // 2]
+    assert (r.n_rows, r.median_lo, r.median_hi) == (n, lo, hi)
+    assert r.median == (round(lo * 100) + round(hi * 100)) / 200.0
+
+
+@settings(**_SETTINGS)
+@given(
+    a0=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 2), st.integers(0, 99)),
+        min_size=0, max_size=8, unique_by=lambda t: t[0],
+    ),
+    b0=st.lists(
+        st.tuples(st.integers(100, 120), st.integers(0, 7), st.integers(0, 99)),
+        min_size=0, max_size=10, unique_by=lambda t: t[0],
+    ),
+    ops=st.data(),
+)
+def test_delta_join_maintain_equals_full_recompute(spark, a0, b0, ops):
+    """m8's delta-join rule ≡ full recompute of the post-state join, on
+    random bases and random per-key CDC ops (delete / update / insert on
+    each side) — every ΔA⋈ΔB interaction the generator happens to draw."""
+    from x8313_etl_spark.queries.etl_q import m8_delta_join_maintain
+
+    akeys = [t[0] for t in a0]
+    bkeys = [t[0] for t in b0]
+    a_ops = {
+        k: ops.draw(st.sampled_from(["keep", "del", "upd"]), label=f"a{k}")
+        for k in akeys
+    }
+    b_ops = {
+        k: ops.draw(st.sampled_from(["keep", "del", "upd"]), label=f"b{k}")
+        for k in bkeys
+    }
+    a_ins = ops.draw(
+        st.lists(
+            st.tuples(st.integers(50, 55), st.integers(0, 2), st.integers(0, 99)),
+            max_size=3, unique_by=lambda t: t[0],
+        ),
+        label="a_ins",
+    )
+    b_ins = ops.draw(
+        st.lists(
+            # inserted orders may reference ANY customer key incl. ones
+            # this batch deletes — the ΔA⋈ΔB cancellation case
+            st.tuples(st.integers(200, 205), st.integers(0, 7), st.integers(0, 99)),
+            max_size=3, unique_by=lambda t: t[0],
+        ),
+        label="b_ins",
+    )
+
+    A = "c_custkey long, c_nationkey int, bal double"
+    B = "o_orderkey long, o_custkey long, price double"
+
+    def df(rows, schema):
+        return spark.createDataFrame(
+            [tuple(float(x) if i == 2 else x for i, x in enumerate(r)) for r in rows],
+            schema,
+        )
+
+    a_old, b_old = df(a0, A), df(b0, B)
+
+    def zset(rows, op_map, ins, bump):
+        out = []
+        for k, mid, v in rows:
+            op = op_map[k]
+            if op == "del":
+                out.append((k, mid, float(v), -1))
+            elif op == "upd":
+                out.append((k, mid, float(v), -1))
+                out.append((k, mid, float(v + bump), 1))
+        out += [(k, mid, float(v), 1) for k, mid, v in ins]
+        return out
+
+    da = spark.createDataFrame(
+        zset(a0, a_ops, a_ins, 1000) or [(None, None, None, None)],
+        A + ", am int",
+    )
+    db = spark.createDataFrame(
+        zset(b0, b_ops, b_ins, 2000) or [(None, None, None, None)],
+        B + ", bm int",
+    )
+    da = da.filter(F.col("c_custkey").isNotNull())
+    db = db.filter(F.col("o_orderkey").isNotNull())
+
+    def post(rows, op_map, ins, bump):
+        out = [
+            (k, mid, v + bump if op_map[k] == "upd" else v)
+            for k, mid, v in rows
+            if op_map[k] != "del"
+        ]
+        return out + list(ins)
+
+    a1 = df(post(a0, a_ops, a_ins, 1000), A)
+    b1 = df(post(b0, b_ops, b_ins, 2000), B)
+
+    vold = b_old.join(a_old, b_old.o_custkey == a_old.c_custkey).select(
+        "o_orderkey", "c_custkey", "c_nationkey", "bal", "price"
+    )
+    want = b1.join(a1, b1.o_custkey == a1.c_custkey).select(
+        "o_orderkey", "c_custkey", "c_nationkey", "bal", "price"
+    )
+    got = m8_delta_join_maintain(vold, a_old, b_old, da, db)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

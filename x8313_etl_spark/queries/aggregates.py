@@ -922,25 +922,42 @@ def a24_global_median_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe only the median-straddling partition (two-pass selection) —
     the rank core here already exposes exactly that partition via
     __pid, documented not implemented."""
-    from ..operators.globalrank import with_global_rank
-    from ..session import default_parallelism
-
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
-    ranked = with_global_rank(
+    return two_phase_global_median(
         li,
-        [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
-        partitions=default_parallelism(),
+        "l_extendedprice",
+        [F.col("l_orderkey"), F.col("l_linenumber")],
         key="aggregates.a24_rank",
+    )
+
+
+def two_phase_global_median(
+    df: DataFrame, value_col: str, tiebreaks: list, key: str
+) -> DataFrame:
+    """a24's core, factored for reuse and property testing: one-row
+    DataFrame (n_rows, median_lo, median_hi, median) — the exact
+    quantile_cont(0.5) bracketing over a total order on
+    (value, *tiebreaks), ranked by the two-phase globalrank machinery
+    (no all-to-one stage), midpoint from exact cent integers. ``key``
+    names the swap-pool slot for the ranked intermediate."""
+    from ..operators.globalrank import with_global_rank
+    from ..session import default_parallelism
+
+    ranked = with_global_rank(
+        df,
+        [F.col(value_col), *tiebreaks],
+        partitions=default_parallelism(),
+        key=key,
         rank_col="rn",
         count_col="n",
     )
     lo_pos = F.expr("(n - 1) div 2")
     hi_pos = F.expr("n div 2")
     picked = ranked.filter((F.col("rn") == lo_pos) | (F.col("rn") == hi_pos))
-    lo = F.min(F.when(F.col("rn") == lo_pos, F.col("l_extendedprice")))
-    hi = F.min(F.when(F.col("rn") == hi_pos, F.col("l_extendedprice")))
+    lo = F.min(F.when(F.col("rn") == lo_pos, F.col(value_col)))
+    hi = F.min(F.when(F.col("rn") == hi_pos, F.col(value_col)))
     return picked.agg(
         F.max("n").cast("bigint").alias("n_rows"),
         lo.alias("median_lo"),

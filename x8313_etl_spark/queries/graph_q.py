@@ -810,7 +810,9 @@ def g7_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001/0.01/0.1). Completes the graph family's missing distance
     semiring: g2's BFS is SSSP with w≡1; here d_{i+1}(v) =
     min(d_i(v), min over in-edges (u,v) of d_i(u)+w) — the (min, +)
-    semiring with the same monotone-fixpoint shape, so g2's whole
+    semiring with the same monotone-fixpoint shape (factored as
+    operators/sssp.py bounded_sssp, property-tested against a
+    driver-side reference on random literal graphs), so g2's whole
     execution discipline transfers: per round ONE edge⋈frontier
     equi-shuffle on src (identical key each round — co-partitioning
     reused), a map-side-combined MIN aggregate, and a per-round persist
@@ -829,6 +831,8 @@ def g7_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes the round schedule, not this per-round join shape."""
     from pyspark import StorageLevel
 
+    from ..operators.sssp import bounded_sssp
+
     e = _cosupply_edges(spark, sf_dir, "g7.edges", with_weight=True)
     eu = e.select(
         F.col("s1").alias("src"), F.col("s2").alias("dst"),
@@ -842,19 +846,8 @@ def g7_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = eu.select(F.col("src").alias("node")).distinct().persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    dist = nodes.filter(F.col("node") % _SSSP_SEED_MOD == 0).select(
-        "node", F.lit(0).cast("bigint").alias("dist")
-    )
-    for _ in range(_SSSP_ROUNDS):
-        relaxed = eu.join(dist, eu.src == dist.node).select(
-            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
-        )
-        dist = (
-            dist.unionByName(relaxed)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+    seeds = nodes.filter(F.col("node") % _SSSP_SEED_MOD == 0)
+    dist = bounded_sssp(eu, seeds, _SSSP_ROUNDS)
     return nodes.join(dist, "node", "left").select(
         F.col("node").cast("bigint").alias("s_suppkey"),
         F.coalesce(F.col("dist"), F.lit(-1)).cast("bigint").alias("dist"),
