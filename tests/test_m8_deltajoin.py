@@ -38,10 +38,10 @@ def _view(a, b):
     )
 
 
-def _apply(df, zset, keycols):
+def _apply(df, zset):
     """Consolidate a base relation with a Z-set delta (m>0 survives)."""
     cols = df.columns
-    out = (
+    return (
         df.withColumn("m", F.lit(1))
         .unionByName(zset.withColumnRenamed(zset.columns[-1], "m"))
         .groupBy(*cols)
@@ -49,7 +49,6 @@ def _apply(df, zset, keycols):
         .filter(F.col("m") > 0)
         .select(*cols)
     )
-    return out
 
 
 def _rows(df):
@@ -75,8 +74,8 @@ def test_same_batch_interactions_cancel_exactly(spark):
         (13, 1, 7.0, 1),                           # insert → updated cust
     ])
     got = m8_delta_join_maintain(_view(a0, b0), a0, b0, da, db)
-    a1 = _apply(a0, da, ["c_custkey"])
-    b1 = _apply(b0, db, ["o_orderkey"])
+    a1 = _apply(a0, da)
+    b1 = _apply(b0, db)
     want = _view(a1, b1)
     assert _rows(got) == _rows(want)
     # the audit-by-hand expectations, explicitly:
@@ -96,8 +95,8 @@ def test_sequential_batches_compose(spark):
     db2 = _zb(spark, [(12, 1, 5.0, -1), (12, 1, 6.0, 1), (22, 2, 9.0, 1)])
 
     v1 = m8_delta_join_maintain(_view(a0, b0), a0, b0, da1, db1)
-    a1, b1 = _apply(a0, da1, None), _apply(b0, db1, None)
+    a1, b1 = _apply(a0, da1), _apply(b0, db1)
     v2_seq = m8_delta_join_maintain(v1, a1, b1, da2, db2)
 
-    a2, b2 = _apply(a1, da2, None), _apply(b1, db2, None)
+    a2, b2 = _apply(a1, da2), _apply(b1, db2)
     assert _rows(v2_seq) == _rows(_view(a2, b2))

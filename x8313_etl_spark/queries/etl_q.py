@@ -746,8 +746,7 @@ def m8_delta_join_maintain(
     Z-set multiplicities; V_new = (V_old ⊎ ΔV) with per-tuple
     multiplicity sums, keeping m > 0. ``a_old``/``b_old`` carry the
     view's column names (bal/price) so every term unions positionally
-    clean by name."""
-    key = a_old["c_custkey"]  # noqa: F841  (documents the join key)
+    clean by name. All three delta terms join on c_custkey."""
     cols = ["o_orderkey", "c_custkey", "c_nationkey", "bal", "price"]
     t1 = b_old.join(da, b_old.o_custkey == da.c_custkey).select(
         *cols, F.col("am").alias("m")

@@ -966,7 +966,13 @@ def p_er_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear equi-joins. When the name domain is high-cardinality
     (interning ≈ no-op), blocking granularity is the dial again: add
     finer keys (phonetic, q-grams) and the cap-or-salt postures of
-    operators/bandjoin.py for hot blocks."""
+    operators/bandjoin.py for hot blocks.
+
+    Contract: p_name is always two tokens (FIXTURES.md '<adj> <noun>'
+    vocabulary). On a one-token name the engines' missing-token
+    semantics diverge (Spark element_at → NULL, DuckDB split_part →
+    ''), so a general-input deployment would coalesce the block keys
+    explicitly."""
     part = load_table(spark, sf_dir, "part")
     dirty = part.filter(F.col("p_partkey") % _ER_PROBE_MOD == 0).select(
         F.col("p_partkey").alias("probe_id"),
