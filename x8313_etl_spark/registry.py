@@ -103,15 +103,15 @@ def register(
     return deco
 
 
-#: Names with at least one green driver row across CORRECTNESS_r01–r03
-#: (hash_match, or the designed rows-only outcome ``err: no_oracle`` for
-#: the sketch queries). The driver verifies exactly the FIRST 50 entries
-#: of ``queries()`` each round; rows are re-earnable, so entries NOT in
-#: this set sort first. Regenerated per round by scripts/gen_green.py
-#: --write; after r03, the 16 still-unverified names (the streaming/
-#: timeseries tail plus the two repaired r03 hash failures) plus round
-#: 4's additions — 50 total, an EXACT window fit
-#: (test_never_checked_queries_fit_the_window enforces ≤ 50).
+#: Names with at least one green driver row across every CORRECTNESS_r*
+#: file (hash_match, or the designed rows-only outcome ``err: no_oracle``
+#: for the sketch queries). The driver verifies exactly the FIRST 50
+#: entries of ``queries()`` each round; entries NOT in this set sort
+#: first, and within the green block _DRIVER_STAMP rotates the stalest
+#: stamps into the spare slots. Regenerated per round by
+#: scripts/gen_green.py --write (which emits BOTH blocks from the same
+#: source); test_never_checked_queries_fit_the_window enforces that new
+#: unverified names stay ≤ the window.
 _DRIVER_GREEN = frozenset(
     {
         "a10_max_by_min_by", "a11_pivot", "a11b_unpivot", "a13_hll_sketch_union",
