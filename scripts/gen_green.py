@@ -26,10 +26,6 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
 
-def green_names() -> set[str]:
-    return set(green_stamps())
-
-
 def green_stamps() -> dict[str, int]:
     """name → LATEST round number with a green driver row (hash_match,
     or the designed rows-only outcome). Feeds both _DRIVER_GREEN and

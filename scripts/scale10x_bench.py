@@ -24,6 +24,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SRC = "/root/testdata/sf0.1"
 DST = "/root/repo/.scratch/replica10x_bench"
@@ -31,33 +32,14 @@ COPIES = 10
 
 
 def build():
-    import pyarrow as pa
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
+
+    from replica_util import replicate_table
 
     os.makedirs(DST, exist_ok=True)
 
     def replicate(name, shifts, text_prefix=None):
-        t = pq.read_table(f"{SRC}/{name}.parquet")
-        parts = []
-        for c in range(COPIES):
-            x = t
-            for col, step in shifts.items():
-                x = x.set_column(
-                    x.schema.get_field_index(col), col,
-                    pc.add(t[col], c * step),
-                )
-            if text_prefix is not None:
-                x = x.set_column(
-                    x.schema.get_field_index(text_prefix),
-                    text_prefix,
-                    pc.binary_join_element_wise(
-                        pa.array([f"c{c}"] * len(t)), t[text_prefix], " "
-                    ),
-                )
-            parts.append(x)
-        pq.write_table(pa.concat_tables(parts), f"{DST}/{name}.parquet")
-        print(f"{name}: {len(t)} -> {len(t) * COPIES}")
+        replicate_table(SRC, DST, name, shifts, COPIES, text_prefix)
 
     for name in ("region", "nation"):
         t = pq.read_table(f"{SRC}/{name}.parquet")

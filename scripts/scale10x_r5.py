@@ -21,6 +21,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SRC = "/root/testdata/sf0.1"
 DST = "/root/repo/.scratch/replica10x_r5"
@@ -36,33 +37,14 @@ QUERIES = (
 
 
 def build():
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+    from replica_util import replicate_table
 
     os.makedirs(DST, exist_ok=True)
-    ev = pq.read_table(f"{SRC}/events.parquet")
-    li = pq.read_table(f"{SRC}/lineitem.parquet")
-    em = pq.read_table(f"{SRC}/embeddings.parquet")
-    evs, lis, ems = [], [], []
-    for c in range(COPIES):
-        evs.append(
-            ev.set_column(ev.schema.get_field_index("event_id"), "event_id",
-                          pc.add(ev["event_id"], c * 10**9))
-              .set_column(ev.schema.get_field_index("user_id"), "user_id",
-                          pc.add(ev["user_id"], c * 10**7))
-        )
-        lis.append(
-            li.set_column(li.schema.get_field_index("l_orderkey"), "l_orderkey",
-                          pc.add(li["l_orderkey"], c * 10**9))
-        )
-        ems.append(
-            em.set_column(em.schema.get_field_index("vec_id"), "vec_id",
-                          pc.add(em["vec_id"], c * 10**7))
-        )
-    pq.write_table(pa.concat_tables(evs), f"{DST}/events.parquet")
-    pq.write_table(pa.concat_tables(lis), f"{DST}/lineitem.parquet")
-    pq.write_table(pa.concat_tables(ems), f"{DST}/embeddings.parquet")
+    replicate_table(
+        SRC, DST, "events", {"event_id": 10**9, "user_id": 10**7}, COPIES
+    )
+    replicate_table(SRC, DST, "lineitem", {"l_orderkey": 10**9}, COPIES)
+    replicate_table(SRC, DST, "embeddings", {"vec_id": 10**7}, COPIES)
     print("built", DST)
 
 

@@ -28,6 +28,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SRC = "/root/testdata/sf0.1"
 DST = "/root/repo/.scratch/replica10x_r6"
@@ -43,39 +44,16 @@ QUERIES = (
 
 
 def build():
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+    from replica_util import replicate_table
 
     os.makedirs(DST, exist_ok=True)
-
-    def shifted(table, shifts):
-        out = []
-        for c in range(COPIES):
-            t = table
-            for col, step in shifts.items():
-                t = t.set_column(
-                    t.schema.get_field_index(col), col,
-                    pc.add(table[col], c * step),
-                )
-            out.append(t)
-        return pa.concat_tables(out)
-
-    li = pq.read_table(f"{SRC}/lineitem.parquet")
-    pq.write_table(
-        shifted(li, {"l_orderkey": 10**9}), f"{DST}/lineitem.parquet"
+    replicate_table(SRC, DST, "lineitem", {"l_orderkey": 10**9}, COPIES)
+    replicate_table(SRC, DST, "embeddings", {"vec_id": 10**7}, COPIES)
+    replicate_table(SRC, DST, "customer", {"c_custkey": 10**7}, COPIES)
+    replicate_table(
+        SRC, DST, "orders", {"o_orderkey": 10**9, "o_custkey": 10**7}, COPIES
     )
-    em = pq.read_table(f"{SRC}/embeddings.parquet")
-    pq.write_table(shifted(em, {"vec_id": 10**7}), f"{DST}/embeddings.parquet")
-    cu = pq.read_table(f"{SRC}/customer.parquet")
-    pq.write_table(shifted(cu, {"c_custkey": 10**7}), f"{DST}/customer.parquet")
-    od = pq.read_table(f"{SRC}/orders.parquet")
-    pq.write_table(
-        shifted(od, {"o_orderkey": 10**9, "o_custkey": 10**7}),
-        f"{DST}/orders.parquet",
-    )
-    pt = pq.read_table(f"{SRC}/part.parquet")
-    pq.write_table(shifted(pt, {"p_partkey": 10**7}), f"{DST}/part.parquet")
+    replicate_table(SRC, DST, "part", {"p_partkey": 10**7}, COPIES)
     print("built", DST)
 
 

@@ -67,7 +67,8 @@ def test_multiprobe_candidates_superset_and_bounded(spark, sf_dir):
     reg = registry()
     r1 = (
         reg["sim_ivf_topk"].fn(spark, sf_dir)
-        .groupBy("probe_id").agg(F.min("cos_sim").alias("worst1"))
+        .groupBy("probe_id")
+        .agg(F.min("cos_sim").alias("worst1"), F.count(F.lit(1)).alias("k1"))
     )
     r4 = (
         reg["sim_ivf_multiprobe"].fn(spark, sf_dir)
@@ -81,6 +82,10 @@ def test_multiprobe_candidates_superset_and_bounded(spark, sf_dir):
     j = r1.join(r4, "probe_id").collect()
     assert j, "no probes compared"
     for row in j:
-        assert row.worst4 >= row.worst1 - 1e-12, row
+        if row.k1 == _TOP_K:
+            # superset argument only holds when nprobe=1 already filled
+            # its top-k; a short bucket's partial result may legitimately
+            # have a higher min than nprobe=4's full top-k
+            assert row.worst4 >= row.worst1 - 1e-12, row
         assert row.n_buckets <= _NPROBE, row
         assert row.k <= _TOP_K, row

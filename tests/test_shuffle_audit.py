@@ -260,6 +260,13 @@ def ledger_violations(
 def audit_hits(spark, sf_dir) -> dict[str, dict[str, int]]:
     """One sweep shared by both tests — each query fn builds (and, for
     the few side-effecting ones, executes) exactly once per run."""
+    from x8313_etl_spark.operators.cachepool import clear_pool
+
+    # COLD pool: a prior test warming a pooled table (e.g. the IVF
+    # assignment) makes plan strings re-expand the cached subtree and
+    # the node counts become order-dependent; gen_audit.py runs in a
+    # fresh process, so cold is also what the artifact measures
+    clear_pool()
     hits: dict[str, dict[str, int]] = {}
     for name, spec in registry().items():
         if spec.category in SKIP_CATEGORIES:

@@ -61,3 +61,19 @@ def swap_persist(
             _POOL.pop(key, None)  # stale session — fall through, repersist
     _POOL[key] = df.persist(level)
     return _POOL[key]
+
+
+def clear_pool() -> None:
+    """Unpersist and forget every pooled table. For test isolation:
+    plan STRINGS re-expand an InMemoryRelation's child subtree, so a
+    sweep that counts plan nodes (tests/test_shuffle_audit.py) must run
+    against a COLD pool or its counts depend on which tests ran before
+    it (found by review in round 6 — an IVF test warming
+    similarity.ivf_assign at the audit's sf_dir flipped the BNLJ counts
+    order-dependently)."""
+    for df in _POOL.values():
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
+    _POOL.clear()

@@ -751,7 +751,7 @@ def g6_path_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SSSP_ROUNDS = 4
 _SSSP_SEED_MOD = 7
-_SSSP_QUANTILE = 0.8  # g3/g5's co-supply threshold, same edge family
+_SSSP_QUANTILE = _TRI_QUANTILE  # g3/g5's co-supply threshold — ONE source: the Spark side thresholds via _cosupply_edges, which reads _TRI_QUANTILE
 
 
 def _sssp_oracle(rounds: int = _SSSP_ROUNDS) -> str:
