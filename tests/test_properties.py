@@ -522,3 +522,55 @@ def test_delta_join_maintain_equals_full_recompute(spark, a0, b0, ops):
     )
     got = m8_delta_join_maintain(vold, a_old, b_old, da, db)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6), st.integers(1, 9)),
+        min_size=1,
+        max_size=15,
+    ),
+    delta=st.integers(1, 5),
+    max_buckets=st.integers(1, 4),
+)
+def test_delta_stepping_matches_dijkstra(spark, edges, delta, max_buckets):
+    """operators/sssp.py delta_stepping ≡ driver-side Dijkstra for every
+    node with true distance < max_buckets·Δ (the settled horizon), on
+    random weighted digraphs, across Δ values (Δ=1 ≈ Dijkstra schedule,
+    large Δ ≈ Bellman-Ford)."""
+    import heapq
+
+    from x8313_etl_spark.operators.sssp import delta_stepping
+
+    e = spark.createDataFrame(
+        [(s, d, w) for s, d, w in edges], "src int, dst int, w long"
+    )
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    seeds = [n for n in nodes if n % 2 == 0]
+    if not seeds:
+        return  # nothing to settle; bucket 0 is empty by construction
+    sdf = spark.createDataFrame([(n,) for n in seeds], "node int")
+    got = {
+        r.node: r.dist
+        for r in delta_stepping(e, sdf, delta, max_buckets).collect()
+    }
+    # reference: multi-source Dijkstra
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+    dist = {n: 0 for n in seeds}
+    pq = [(0, n) for n in seeds]
+    heapq.heapify(pq)
+    while pq:
+        dd, u = heapq.heappop(pq)
+        if dd > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = dd + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    horizon = max_buckets * delta
+    want = {n: d for n, d in dist.items() if d < horizon}
+    assert got == want, (edges, delta, max_buckets)

@@ -48,3 +48,76 @@ def bounded_sssp(edges: DataFrame, seeds: DataFrame, rounds: int) -> DataFrame:
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
     return dist
+
+
+def delta_stepping(
+    edges: DataFrame, seeds: DataFrame, delta: int, max_buckets: int
+) -> DataFrame:
+    """Delta-stepping SSSP (Meyer & Sanders) — the bucketed-priority
+    upgrade of ``bounded_sssp``, processing tentative distances in
+    buckets of width ``delta``: within a bucket, LIGHT edges (w ≤ Δ)
+    relax to fixpoint (≤ Δ inner rounds suffice — integer weights ≥ 1
+    strictly advance a tentative distance inside the bucket each
+    round); the bucket then SETTLES, and HEAVY edges (w > Δ) relax once
+    from the settled set. Returns the EXACT distances of every node
+    settled within ``max_buckets`` buckets, i.e. all nodes with true
+    distance < max_buckets·Δ (the classic invariant: once a bucket
+    reaches light-fixpoint, every future relaxation lands in a strictly
+    later bucket — settled distances are final).
+
+    vs bounded_sssp: Bellman-Ford's round count is bounded by path
+    EDGE-count; delta-stepping's by path WEIGHT/Δ. On graphs whose
+    shortest paths are many light hops, Δ buckets finish in
+    weight/Δ·(Δ+1) small frontier rounds where Bellman-Ford needs
+    diameter-many full-frontier rounds — the dial between Dijkstra
+    (Δ=1) and Bellman-Ford (Δ=∞). The per-round join shape (ONE
+    edge⋈frontier equi-shuffle + min-agg) is unchanged; only the
+    schedule differs. Weights must be positive integers.
+
+    Registration plan: r7's g8 candidate (ROADMAP.md) — the query twin
+    is a chained-CTE replay of the same bucket schedule; until then
+    this operator is exercised by tests/test_properties.py against a
+    driver-side Dijkstra on random graphs.
+    """
+    if delta < 1:
+        raise ValueError("delta must be >= 1")
+    light = edges.filter(F.col("w") <= delta)
+    heavy = edges.filter(F.col("w") > delta)
+    tent = seeds.select("node", F.lit(0).cast("bigint").alias("dist"))
+    settled = None
+
+    def min_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+        # localCheckpoint, not persist: the schedule runs
+        # max_buckets·(Δ+1) merges and a persist-only chain makes every
+        # later plan re-embed all earlier ones — analysis time grows
+        # quadratically (measured: the property test went from stuck to
+        # seconds). Checkpointing truncates lineage per merge, the
+        # standard iterative-on-Spark discipline (g1/g5); an r7 query
+        # registration would route this through audited_checkpoint so
+        # the shuffle-audit ledger sees each round's plan.
+        return (
+            a.unionByName(b)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+
+    for b in range(max_buckets):
+        lo, hi = b * delta, (b + 1) * delta
+        in_bucket = (F.col("dist") >= lo) & (F.col("dist") < hi)
+        for _ in range(delta):
+            bucket = tent.filter(in_bucket)
+            relaxed = light.join(bucket, light.src == bucket.node).select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            tent = min_merge(tent, relaxed)
+        done = tent.filter(in_bucket)
+        settled = done if settled is None else settled.unionByName(done)
+        hrelax = heavy.join(done, heavy.src == done.node).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        tent = min_merge(tent, hrelax)
+    # a union over the per-bucket checkpointed frames — already flat
+    return settled
