@@ -574,3 +574,34 @@ def test_delta_stepping_matches_dijkstra(spark, edges, delta, max_buckets):
     horizon = max_buckets * delta
     want = {n: d for n, d in dist.items() if d < horizon}
     assert got == want, (edges, delta, max_buckets)
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(st.integers(1, 9999), min_size=1, max_size=25)
+)
+def test_two_phase_global_quantiles_match_fraction_reference(spark, vals):
+    """two_phase_global_quantiles ≡ exact-rational quantile_cont
+    interpolation (computed with fractions.Fraction — no fp in the
+    reference) for a p25/p50/p75/p95 vector on random cent multisets."""
+    from fractions import Fraction
+
+    from x8313_etl_spark.queries.aggregates import two_phase_global_quantiles
+
+    QS = [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p95", 19, 20)]
+    rows = [(c / 100.0, i) for i, c in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v double, k long")
+    r = two_phase_global_quantiles(
+        df, "v", [F.col("k")], QS, key="test.prop_quantiles"
+    ).collect()[0]
+    cents = sorted(vals)
+    n = len(cents)
+    assert r.n_rows == n
+    for name, num, den in QS:
+        h = Fraction(num * (n - 1), den)
+        lo_c, hi_c = cents[math.floor(h)], cents[math.ceil(h)]
+        assert getattr(r, f"{name}_lo") == lo_c / 100.0
+        assert getattr(r, f"{name}_hi") == hi_c / 100.0
+        inner = (num * (n - 1)) % den
+        want = (lo_c * (den - inner) + hi_c * inner) / (100.0 * den)
+        assert getattr(r, name) == want, (name, vals)

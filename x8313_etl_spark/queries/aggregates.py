@@ -970,3 +970,72 @@ def two_phase_global_median(
             / F.lit(200.0)
         ).alias("median"),
     )
+
+
+def two_phase_global_quantiles(
+    df: DataFrame,
+    value_col: str,
+    tiebreaks: list,
+    qs: list,
+    key: str,
+) -> DataFrame:
+    """a25 candidate (ROADMAP): the median core generalized to a
+    QUANTILE VECTOR in the same single rank pass. ``qs`` is a list of
+    (name, num, den) exact fractions (e.g. ("p25", 1, 4)); for each q
+    the quantile_cont position h = q·(n−1) is bracketed by rank
+    positions ⌊h⌋/⌈h⌉ and interpolated EXACTLY in integer arithmetic:
+    interp = (lo_cents·(den−inner) + hi_cents·inner) / (100·den) where
+    inner = (num·(n−1)) mod den — one double division of exact
+    integers, correctly rounded identically on any engine (the a24
+    cent-integer discipline, generalized to arbitrary rational
+    fractions). One-row output: n_rows + {name}_lo/{name}_hi/{name}
+    per quantile.
+
+    Scale: identical to the median — ONE range-exchange rank pass
+    serves every quantile; only the bracketing filter widens to 2·|qs|
+    rank positions. The filter + final aggregate still touch a
+    constant number of rows."""
+    from ..operators.globalrank import with_global_rank
+    from ..session import default_parallelism
+
+    ranked = with_global_rank(
+        df,
+        [F.col(value_col), *tiebreaks],
+        partitions=default_parallelism(),
+        key=key,
+        rank_col="rn",
+        count_col="n",
+    )
+    cond = F.lit(False)
+    for name, num, den in qs:
+        h = f"({num} * (n - 1))"
+        ranked = ranked.withColumn(
+            f"__lo_{name}", F.expr(f"{h} div {den}")
+        ).withColumn(
+            f"__hi_{name}", F.expr(f"({h} + {den} - 1) div {den}")
+        ).withColumn(f"__in_{name}", F.expr(f"{h} % {den}"))
+        cond = cond | (F.col("rn") == F.col(f"__lo_{name}")) | (
+            F.col("rn") == F.col(f"__hi_{name}")
+        )
+    picked = ranked.filter(cond)
+    aggs = [F.max("n").cast("bigint").alias("n_rows")]
+    for name, num, den in qs:
+        lo = F.min(
+            F.when(F.col("rn") == F.col(f"__lo_{name}"), F.col(value_col))
+        )
+        hi = F.min(
+            F.when(F.col("rn") == F.col(f"__hi_{name}"), F.col(value_col))
+        )
+        inner = F.max(F.col(f"__in_{name}"))
+        aggs += [
+            lo.alias(f"{name}_lo"),
+            hi.alias(f"{name}_hi"),
+            (
+                (
+                    F.round(lo * 100).cast("bigint") * (F.lit(den) - inner)
+                    + F.round(hi * 100).cast("bigint") * inner
+                )
+                / F.lit(float(100 * den))
+            ).alias(name),
+        ]
+    return picked.agg(*aggs)
