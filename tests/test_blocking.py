@@ -76,3 +76,15 @@ def test_max_score_threshold_drops_unmatchable(spark):
         band_block_pairs(dn, cn), qgram_block_pairs(dn, cn)
     )
     assert best_match(multi, max_score=2).count() == 0
+
+
+def test_qgram_padding_rescues_sub_q_remnants(spark):
+    """A dirty remnant SHORTER than q must still find its source via the
+    padded edge grams (unpadded q-grams would yield zero candidates for
+    exactly the most-corrupted probes)."""
+    dn = _dnames(spark, ["sm ring"])  # 'small' truncated below q=3
+    cn = _cnames(spark)
+    pairs = qgram_block_pairs(dn, cn)
+    assert pairs.filter(F.col("p_name") == "small ring").count() == 1
+    got = best_match(pairs).collect()
+    assert got and got[0].matched_name == "small ring"

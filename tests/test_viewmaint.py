@@ -112,3 +112,37 @@ def test_restart_recovers_pointer_from_disk(spark, tmp_path):
     recovered.apply_batch(_batch(spark, [("B", 13, 1, 3.0, 1)]), 1)
     a, b = recovered.read_bases(spark)
     assert _rows(recovered.read_view(spark)) == _expected_view(a, b)
+
+
+def test_restart_in_init_only_window_recovers_seed(spark, tmp_path):
+    """Crash right after init_bases (seed version -1, no epochs yet): a
+    fresh sink must recover the pointer from v-1 — the copied isdigit
+    version parser could not see negative versions, so this exact
+    window crash-looped (review round 6) — and a re-called init_bases
+    must be a no-op, not an EEXIST rename failure."""
+    root = str(tmp_path / "seedrec")
+    a0 = _a(spark, [(1, 10, 100.0)])
+    b0 = _b(spark, [(11, 1, 1.0)])
+    JoinViewSink(root).init_bases(a0, b0)  # crash here: only v-1 on disk
+
+    sink = JoinViewSink(root)  # restarted driver
+    assert sink.current is not None and sink.current.endswith("v-1")
+    sink.init_bases(a0, b0)  # replayed init: must not raise
+    assert _rows(sink.read_view(spark)) == _expected_view(a0, b0)
+    sink.apply_batch(_batch(spark, [("B", 12, 1, 2.0, 1)]), 0)
+    a, b = sink.read_bases(spark)
+    assert _rows(sink.read_view(spark)) == _expected_view(a, b)
+
+
+def test_seed_version_is_pruned_once_unreferenced(spark, tmp_path):
+    """v-1 participates in retention like any version — the copied
+    parser exempted it, leaking a full A/B/V copy forever."""
+    import os
+
+    root = str(tmp_path / "seedprune")
+    sink = JoinViewSink(root, keep_versions=2)
+    sink.init_bases(_a(spark, [(1, 10, 100.0)]), _b(spark, [(11, 1, 1.0)]))
+    for i in range(3):
+        sink.apply_batch(_batch(spark, [("B", 20 + i, 1, 1.0, 1)]), i)
+    assert not os.path.exists(os.path.join(root, "v-1")), "seed never pruned"
+    assert sorted(os.listdir(root)) == ["v1", "v2"]

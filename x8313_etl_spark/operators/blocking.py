@@ -57,15 +57,24 @@ def qgram_block_pairs(
     """Shared character-q-gram blocking: a candidate pair exists iff the
     two names share at least one q-gram — corruption-model-agnostic
     (recovers length shifts, infix edits) at the cost of bigger blocks.
-    The explode→equi-join→distinct shape is the l2c inverted-index
-    pattern; hot grams are the usual cap-or-salt mega-bucket story."""
+    Names are PADDED with q−1 boundary markers on each side (the
+    standard positional-q-gram trick): without padding, a dirty name
+    shorter than q characters produces only sub-length grams that can
+    never equal a full-length gram from the catalog, so exactly the
+    most-corrupted probes would silently get zero candidates; padded,
+    a 2-char remnant still shares its '##a'-style edge grams with its
+    source name. The explode→equi-join→distinct shape is the l2c
+    inverted-index pattern; hot grams are the usual cap-or-salt
+    mega-bucket story."""
+    pad = "#" * (q - 1)
 
     def grams(col: str, out: str) -> F.Column:
-        n = F.length(col) - (q - 1)
+        padded = F.concat(F.lit(pad), F.col(col), F.lit(pad))
+        n = F.length(padded) - (q - 1)
         return F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-                lambda i: F.col(col).substr(i, F.lit(q)),
+                F.sequence(F.lit(1), n),
+                lambda i: padded.substr(i, F.lit(q)),
             )
         ).alias(out)
 

@@ -64,16 +64,22 @@ def swap_persist(
 
 
 def clear_pool() -> None:
-    """Unpersist and forget every pooled table. For test isolation:
-    plan STRINGS re-expand an InMemoryRelation's child subtree, so a
-    sweep that counts plan nodes (tests/test_shuffle_audit.py) must run
-    against a COLD pool or its counts depend on which tests ran before
-    it (found by review in round 6 — an IVF test warming
-    similarity.ivf_assign at the audit's sf_dir flipped the BNLJ counts
-    order-dependently)."""
-    for df in _POOL.values():
+    """Unpersist and forget every pooled table, AND drop their audit
+    ledger entries. For test isolation: plan STRINGS re-expand an
+    InMemoryRelation's child subtree, so a sweep that counts plan nodes
+    (tests/test_shuffle_audit.py) must run against a COLD pool or its
+    counts depend on which tests ran before it (found by review in
+    round 6 — an IVF test warming similarity.ivf_assign at the audit's
+    sf_dir flipped the BNLJ counts order-dependently). The ledger half
+    has the same hazard: record_plan is first-write-wins per key, so a
+    warm-pool recording from an earlier test would otherwise shadow the
+    cold sweep's — forgetting the keys lets the sweep re-record cold."""
+    from .. import audit
+
+    for key, df in _POOL.items():
         try:
             df.unpersist(blocking=False)
         except Exception:
             pass
+        audit.forget(key)
     _POOL.clear()

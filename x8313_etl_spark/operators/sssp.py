@@ -11,7 +11,8 @@ distance exact in any engine.
 
 Per round: ONE edge⋈frontier equi-shuffle on ``src`` (identical key
 every round — co-partitioning reused), a map-side-combined MIN
-aggregate, and a per-round persist to truncate lineage. Cost per round
+aggregate, and a per-round eager checkpoint (lineage truncation — see
+bounded_sssp's docstring for why persist is wrong here). Cost per round
 is O(E) worst case but tracks the ACTIVE frontier once labels
 stabilize — the Pregel model. The 100 TB upgrade is delta-stepping
 (bucketed priority), which changes the round schedule, not this
@@ -24,7 +25,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
-def bounded_sssp(edges: DataFrame, seeds: DataFrame, rounds: int) -> DataFrame:
+def bounded_sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    ledger_key: str | None = None,
+) -> DataFrame:
     """Multi-source shortest distances over ≤ ``rounds`` edges.
 
     ``edges``: (src, dst, w) — DIRECTED; symmetrize first for an
@@ -32,8 +38,17 @@ def bounded_sssp(edges: DataFrame, seeds: DataFrame, rounds: int) -> DataFrame:
     ``seeds``: (node) — distance-0 sources. Returns (node, dist) for
     every node reached within ``rounds`` edges; unreached nodes are
     absent (callers left-join and coalesce to their sentinel).
-    """
-    from pyspark import StorageLevel
+
+    Each round ends in an EAGER localCheckpoint, not a persist: persist
+    only caches — it neither truncates the growing union-of-rounds
+    lineage nor gets released at the end of the invocation (a per-round
+    persist leaked ``rounds`` cached tables per call for the session
+    lifetime — review round 6; the same reason delta_stepping's
+    min_merge checkpoints). Callers with a registered query pass
+    ``ledger_key`` so the shuffle audit still sees each round's
+    truncated plan (audited_checkpoint; the repo's standing
+    iterative-operator invariant)."""
+    from ..audit import audited_checkpoint
 
     dist = seeds.select("node", F.lit(0).cast("bigint").alias("dist"))
     for _ in range(rounds):
@@ -41,11 +56,15 @@ def bounded_sssp(edges: DataFrame, seeds: DataFrame, rounds: int) -> DataFrame:
             F.col("dst").alias("node"),
             (F.col("dist") + F.col("w")).alias("dist"),
         )
-        dist = (
+        merged = (
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        dist = (
+            audited_checkpoint(ledger_key, merged)
+            if ledger_key
+            else merged.localCheckpoint(eager=True)
         )
     return dist
 
@@ -81,6 +100,8 @@ def delta_stepping(
     """
     if delta < 1:
         raise ValueError("delta must be >= 1")
+    if max_buckets < 1:
+        raise ValueError("max_buckets must be >= 1")
     light = edges.filter(F.col("w") <= delta)
     heavy = edges.filter(F.col("w") > delta)
     tent = seeds.select("node", F.lit(0).cast("bigint").alias("dist"))

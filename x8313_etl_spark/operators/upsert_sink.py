@@ -41,12 +41,18 @@ from collections.abc import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from .verdir import VersionedStateDir
+
 #: (old_col, delta_col) -> merged_col, applied per non-key column.
 MergeExpr = Callable[[F.Column, F.Column], F.Column]
 
 
-class KeyedUpsertSink:
-    """Copy-on-write keyed state table driven by foreachBatch epochs."""
+class KeyedUpsertSink(VersionedStateDir):
+    """Copy-on-write keyed state table driven by foreachBatch epochs.
+    Commit/replay/prune discipline inherited from VersionedStateDir
+    (operators/verdir.py) — crash recovery works because the committed
+    version directories ARE the durable state and the base class
+    recovers the pointer from the highest one on disk."""
 
     def __init__(
         self,
@@ -56,40 +62,15 @@ class KeyedUpsertSink:
         merge_exprs: dict[str, MergeExpr],
         keep_versions: int = 2,
     ) -> None:
-        os.makedirs(state_root, exist_ok=True)
-        self.state_root = state_root
+        super().__init__(state_root, keep_versions)
         self.key = key
         self.delta_fn = delta_fn
         self.merge_exprs = merge_exprs
-        self.keep_versions = keep_versions
-        # Crash recovery: a restarted driver builds a FRESH sink object,
-        # but Spark's checkpoint resumes from the next epoch — if
-        # ``current`` started at None here, that epoch's merge would see
-        # empty state and silently drop everything accumulated so far.
-        # The committed version directories ARE the durable state, so
-        # recover the pointer from the highest one on disk.
-        done = self._versions_on_disk()
-        self.current: str | None = (
-            os.path.join(state_root, f"v{done[-1]}") if done else None
-        )
-
-    def _versions_on_disk(self) -> list[int]:
-        return sorted(
-            int(d[1:])
-            for d in os.listdir(self.state_root)
-            if d.startswith("v") and not d.endswith(".tmp") and d[1:].isdigit()
-        )
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         """Merge one epoch's rows into the state table (idempotent)."""
-        vdir = os.path.join(self.state_root, f"v{batch_id}")
-        if os.path.exists(vdir):  # replayed epoch: already committed
-            # never REWIND the pointer: a replay of an older epoch
-            # (delivered out of order after recovery) must not make the
-            # next merge build on pre-replay state and drop newer data
-            done = self._versions_on_disk()
-            if done and (self.current is None or batch_id >= done[-1]):
-                self.current = vdir
+        if os.path.exists(self._version_dir(batch_id)):
+            self._note_replay(batch_id)
             return
         delta = self.delta_fn(batch)
         if self.current is not None:
@@ -109,25 +90,9 @@ class KeyedUpsertSink:
             ).select(*cols)
         else:
             merged = delta
-        tmp = vdir + ".tmp"
-        # a crash between the tmp write and the rename leaves a stale
-        # tmp dir; the retried epoch must clobber it, not fail on it
-        merged.write.mode("overwrite").parquet(tmp)
-        os.rename(tmp, vdir)  # atomic commit of epoch batch_id
-        self.current = vdir
-        self._prune()
-
-    def _prune(self) -> None:
-        """Copy-on-write retention: drop all but the newest
-        ``keep_versions`` committed versions. The newest is live; one
-        predecessor is kept so an epoch replayed against the PREVIOUS
-        commit (the crash-between-commits window) still finds its
-        idempotency token. Older versions are unreferenced."""
-        import shutil
-
-        done = self._versions_on_disk()
-        for v in done[: -self.keep_versions]:
-            shutil.rmtree(os.path.join(self.state_root, f"v{v}"), ignore_errors=True)
+        self._commit(
+            batch_id, lambda tmp: merged.write.mode("overwrite").parquet(tmp)
+        )
 
     def read_state(self, spark) -> DataFrame:
         assert self.current is not None, "no epoch has been applied"

@@ -746,7 +746,16 @@ def m8_delta_join_maintain(
     Z-set multiplicities; V_new = (V_old ⊎ ΔV) with per-tuple
     multiplicity sums, keeping m > 0. ``a_old``/``b_old`` carry the
     view's column names (bal/price) so every term unions positionally
-    clean by name. All three delta terms join on c_custkey."""
+    clean by name. All three delta terms join on c_custkey.
+
+    SET-semantics precondition: bases and view are sets (tuple
+    multiplicity ≤ 1) and each applied delta respects that — assert
+    (+1) only for absent tuples, retract (−1) only for present ones,
+    which is exactly what primary-keyed CDC (delete / update / insert
+    per key) produces and what the m8 generators emit. The final
+    consolidation stores presence, not counts, so out-of-contract
+    multiplicities > 1 would be flattened (operators/viewmaint.py
+    documents the same contract for its streaming state)."""
     cols = ["o_orderkey", "c_custkey", "c_nationkey", "bal", "price"]
     t1 = b_old.join(da, b_old.o_custkey == da.c_custkey).select(
         *cols, F.col("am").alias("m")

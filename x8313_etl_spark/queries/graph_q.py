@@ -847,7 +847,7 @@ def g7_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         StorageLevel.MEMORY_AND_DISK
     )
     seeds = nodes.filter(F.col("node") % _SSSP_SEED_MOD == 0)
-    dist = bounded_sssp(eu, seeds, _SSSP_ROUNDS)
+    dist = bounded_sssp(eu, seeds, _SSSP_ROUNDS, ledger_key="g7.round")
     return nodes.join(dist, "node", "left").select(
         F.col("node").cast("bigint").alias("s_suppkey"),
         F.coalesce(F.col("dist"), F.lit(-1)).cast("bigint").alias("dist"),
