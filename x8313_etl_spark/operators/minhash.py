@@ -288,3 +288,46 @@ def near_dup_pairs(
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def band_candidate_prob(s: float, bands: int, rows: int) -> float:
+    """P(candidate | true Jaccard s) under the banding scheme:
+    ``1 - (1 - s^rows)^bands`` — the LSH S-curve (Mining of Massive
+    Datasets §3.4, public text). Driver-side math, no Spark."""
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def tune_bands(
+    threshold: float, n_hashes: int = N_HASHES, steps: int = 1000
+) -> tuple[int, int]:
+    """Pick (bands, rows) with bands*rows == n_hashes minimizing the
+    S-curve's total error mass around ``threshold``: the integral of
+    P(candidate) below the threshold (false-positive area, paid in
+    verify-join work) plus the integral of P(miss) above it
+    (false-negative area, paid in recall). Candidates are the divisor
+    pairs of n_hashes, so the search space is tiny and exact; the
+    integrals are midpoint sums over ``steps`` cells, deterministic for
+    a given steps.
+
+    Why it matters at 100 TB: the fixed (8, 4) default centers the
+    curve at (1/8)^(1/4) ≈ 0.595. A pipeline hunting t = 0.9 near-exact
+    dups with that split floods the verify join with sub-threshold
+    candidates; tune_bands(0.9, 32) -> (2, 16) moves the knee to ≈ 0.96
+    and the false-positive area drops by ~20x. The tuner makes that
+    trade explicit instead of hard-coded."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1): {threshold}")
+    best: tuple[float, int, int] | None = None
+    for rows in range(1, n_hashes + 1):
+        if n_hashes % rows:
+            continue
+        bands = n_hashes // rows
+        err = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = band_candidate_prob(s, bands, rows)
+            err += (p if s < threshold else 1.0 - p) / steps
+        if best is None or err < best[0]:
+            best = (err, bands, rows)
+    assert best is not None
+    return best[1], best[2]
