@@ -110,3 +110,37 @@ def test_intra_doc_repetition_counts(spark):
     # doc0: windows at 0 and 3 (gap 3 > k=2 -> two islands);
     # doc1: "c c" at 0,1,2 -> one island covering the whole doc.
     assert got == [(0, 0, 2), (0, 3, 5), (1, 0, 4)]
+
+
+@settings(**_SETTINGS)
+@given(docs=_corpus, probes=_corpus, k=st.sampled_from([2, 3]))
+def test_contaminated_spans_match_bruteforce(spark, docs, probes, k):
+    from x8313_etl_spark.operators.substrdedup import contaminated_spans
+
+    probe_grams = {
+        tuple(toks[p : p + k])
+        for toks in probes
+        for p in range(len(toks) - k + 1)
+    }
+    marked: dict[int, list[int]] = {}
+    for d, toks in enumerate(docs):
+        for p in range(len(toks) - k + 1):
+            if tuple(toks[p : p + k]) in probe_grams:
+                marked.setdefault(d, []).append(p)
+    ref = []
+    for d, ps in sorted(marked.items()):
+        start, prev, n = ps[0], ps[0], 1
+        for p in ps[1:]:
+            if p - prev > k:
+                ref.append((d, start, prev + k, n))
+                start, n = p, 0
+            prev = p
+            n += 1
+        ref.append((d, start, prev + k, n))
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_dup_grams)
+        for r in contaminated_spans(
+            _corpus_df(spark, docs), _corpus_df(spark, probes), k
+        ).collect()
+    )
+    assert got == sorted(ref)

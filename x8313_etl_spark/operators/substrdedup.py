@@ -51,6 +51,12 @@ from pyspark.sql import DataFrame, Window
 SPAN_COLS = ("doc_id", "span_start", "span_end", "n_dup_grams")
 
 
+def gram_pattern(k: int) -> str:
+    """Word-boundary-anchored lookahead regex matching every k-word
+    window of a single-spaced string (overlapping matches included)."""
+    return "(?:^|(?<= ))(?=((?:[^ ]+ ){" + str(k - 1) + "}[^ ]+))"
+
+
 def position_grams(
     docs: DataFrame,
     k: int,
@@ -65,8 +71,7 @@ def position_grams(
     is the token index of the gram's first word. Assumes the corpus
     contract of single-space tokenization (every oracle twin pins the
     same split semantics)."""
-    pat = "(?:^|(?<= ))(?=((?:[^ ]+ ){" + str(k - 1) + "}[^ ]+))"
-    grams = F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(1))
+    grams = F.regexp_extract_all(F.col(text_col), F.lit(gram_pattern(k)), F.lit(1))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(grams).alias("pos", "gram"),
@@ -129,6 +134,44 @@ def duplicated_spans(
     marked = pg.join(dup.select("gram"), "gram", "left_semi").select(
         "doc_id", "pos"
     )
+    return merge_marked_windows(marked, k)
+
+
+def contaminated_spans(
+    docs: DataFrame,
+    probes: DataFrame,
+    k: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """Span-level decontamination marker: maximal token spans of
+    ``docs`` covered by k-grams that occur ANYWHERE in the ``probes``
+    corpus (the benchmark / eval set). The doc-level posture
+    (p_decontaminate) throws away a whole document over one shared
+    n-gram; the span posture — what large pretraining pipelines
+    actually ship — localizes the overlap so ``clip_spans`` can excise
+    just the contaminated text.
+
+    Same growth law as ``duplicated_spans`` minus the corpus-wide
+    count: the probe gram set is DISTINCT k-grams of the benchmark
+    (tiny next to the corpus — benchmarks are MBs against TBs), so the
+    semi join broadcasts under AQE and the corpus side never shuffles
+    at all; the only wide stage is the per-doc interval-merge window.
+    ``n_dup_grams`` counts the marked windows inside each span."""
+    pg = position_grams(docs, k, text_col=text_col, id_col=id_col)
+    probe_grams = (
+        probes.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(probe_text_col), F.lit(gram_pattern(k)), F.lit(1)
+                )
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    marked = pg.join(probe_grams, "gram", "left_semi").select("doc_id", "pos")
     return merge_marked_windows(marked, k)
 
 
