@@ -1,0 +1,200 @@
+"""Pre-registration oracle checks for the round-7 candidate queries.
+
+These run the EXACT compare the registry queries get (tests/
+oracle_utils.compare_query, tolerance 0) on ad-hoc QuerySpecs that are
+NOT registered — the r6 driver verify window must keep its 5-new+45-
+stalest composition (the r5 verdict criterion), so these twins are
+verified here and registered next round by copying fn + oracle into the
+query modules. See ROADMAP.md "Candidate surface for the r7 window".
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from x8313_etl_spark.io import load_table
+from x8313_etl_spark.registry import QuerySpec
+
+from .oracle_utils import compare_query
+
+K = 8
+BENCH_MOD = 7  # the p_decontaminate benchmark-slice convention
+
+
+def _spans_fn(spark, sf_dir):
+    from x8313_etl_spark.operators.substrdedup import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = duplicated_spans(docs, K)
+    return s.select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        "n_dup_grams",
+    )
+
+
+_SPANS_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, i - 1 AS pos,
+             list_reduce(w[i:i + {K - 1}], (a, b) -> a || ' ' || b) AS gram
+      FROM w, unnest(generate_series(1, len(w) - {K - 1})) AS t(i)),
+d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM d)),
+i AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       > {K} THEN 1 ELSE 0 END AS brk
+      FROM m),
+s AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM i)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {K} AS BIGINT) AS span_end,
+       count(*) AS n_dup_grams
+FROM s GROUP BY doc_id, island
+"""
+
+
+def test_substr_dedup_spans_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:p_substr_dedup_spans", fn=_spans_fn, oracle=_SPANS_SQL,
+        category="pipeline",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
+def _contam_fn(spark, sf_dir):
+    from x8313_etl_spark.operators.substrdedup import contaminated_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % BENCH_MOD != 0)
+    bench = d.filter(F.col("doc_id") % BENCH_MOD == 0)
+    s = contaminated_spans(corpus, bench, K)
+    return s.select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        "n_dup_grams",
+    )
+
+
+_CONTAM_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, i - 1 AS pos,
+             list_reduce(w[i:i + {K - 1}], (a, b) -> a || ' ' || b) AS gram
+      FROM w, unnest(generate_series(1, len(w) - {K - 1})) AS t(i)),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % {BENCH_MOD} = 0),
+m AS (SELECT doc_id, pos FROM g
+      WHERE doc_id % {BENCH_MOD} <> 0 AND gram IN (SELECT gram FROM b)),
+i AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       > {K} THEN 1 ELSE 0 END AS brk
+      FROM m),
+s AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM i)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {K} AS BIGINT) AS span_end,
+       count(*) AS n_dup_grams
+FROM s GROUP BY doc_id, island
+"""
+
+
+def test_contamination_spans_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:p_contamination_spans", fn=_contam_fn, oracle=_CONTAM_SQL,
+        category="pipeline",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
+def _dq3_fn(spark, sf_dir):
+    from x8313_etl_spark.operators.constraints import Check, audit
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return audit(
+        o,
+        [
+            Check("orderkey_not_null", "not_null", "o_orderkey"),
+            Check("orderkey_unique", "unique", "o_orderkey"),
+            Check("totalprice_min", "min", "o_totalprice", value=0.0),
+            Check("status_domain", "in_set", "o_orderstatus", values=("O", "F", "P")),
+            Check(
+                "priority_format",
+                "matches",
+                "o_orderpriority",
+                pattern="^[1-5]-[A-Z ]+$",
+            ),
+            Check(
+                "urgent_is_open_or_final",
+                "expr",
+                predicate="o_orderpriority <> '1-URGENT' OR o_orderstatus IN ('O','F','P')",
+            ),
+            Check("custkey_fk", "ref", "o_custkey", ref_df=c, ref_col="c_custkey"),
+        ],
+    ).select(
+        "check", "kind", F.col("column").alias("col"), "violations", "total", "passed"
+    )
+
+
+_DQ3_SQL = """
+WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM orders),
+v AS (
+  SELECT 'orderkey_not_null' AS "check", 'not_null' AS kind,
+         'o_orderkey' AS col,
+         CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT)
+           AS violations
+  FROM orders
+  UNION ALL
+  SELECT 'orderkey_unique', 'unique', 'o_orderkey',
+         CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'totalprice_min', 'min', 'o_totalprice',
+         CAST(count(CASE WHEN o_totalprice < 0.0 THEN 1 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'status_domain', 'in_set', 'o_orderstatus',
+         CAST(count(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END)
+              AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'priority_format', 'matches', 'o_orderpriority',
+         CAST(count(CASE WHEN o_orderpriority IS NOT NULL
+                          AND NOT regexp_full_match(o_orderpriority,
+                                                    '^[1-5]-[A-Z ]+$')
+                         THEN 1 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'urgent_is_open_or_final', 'expr', '',
+         CAST(count(CASE WHEN NOT coalesce(
+                        o_orderpriority <> '1-URGENT'
+                        OR o_orderstatus IN ('O', 'F', 'P'), FALSE)
+                         THEN 1 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'custkey_fk', 'ref', 'o_custkey',
+         CAST((SELECT count(*) FROM orders o
+               WHERE o.o_custkey IS NOT NULL
+                 AND o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+              AS BIGINT)
+)
+SELECT v."check", v.kind, v.col, v.violations, t.total,
+       v.violations = 0 AS passed
+FROM v, t
+"""
+
+
+def test_dq3_constraint_audit_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:dq3_constraint_audit", fn=_dq3_fn, oracle=_DQ3_SQL,
+        category="etl",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
