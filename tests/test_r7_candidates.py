@@ -198,3 +198,62 @@ def test_dq3_constraint_audit_twin(spark, sf_oracle_dir):
     )
     res = compare_query(spark, spec, sf_oracle_dir)
     assert res.ok, res.detail
+
+
+_QS = (("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10))
+
+
+def _a25_fn(spark, sf_dir):
+    from x8313_etl_spark.queries.aggregates import two_phase_global_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return two_phase_global_quantiles(
+        li,
+        "l_extendedprice",
+        [F.col("l_orderkey"), F.col("l_linenumber")],
+        list(_QS),
+        key="aggregates.a25_rank_r7test",
+    )
+
+
+def _a25_sql():
+    # The a24 twin generalized: one rank CTE, 2·|qs| bracket positions,
+    # cent-integer interpolation per quantile.
+    lo = {n: f"(({num} * (n - 1)) // {den})" for n, num, den in _QS}
+    hi = {n: f"((({num} * (n - 1)) + {den} - 1) // {den})" for n, num, den in _QS}
+    inner = {n: f"(({num} * (n - 1)) % {den})" for n, num, den in _QS}
+    picked = " OR ".join(f"rn = {lo[n]} OR rn = {hi[n]}" for n, _, _ in _QS)
+    cols = ["CAST(MAX(n) AS BIGINT) AS n_rows"]
+    for n, _, den in _QS:
+        lo_v = f"MIN(CASE WHEN rn = {lo[n]} THEN v END)"
+        hi_v = f"MIN(CASE WHEN rn = {hi[n]} THEN v END)"
+        cols += [
+            f"{lo_v} AS {n}_lo",
+            f"{hi_v} AS {n}_hi",
+            f"(CAST(ROUND({lo_v} * 100) AS BIGINT) * ({den} - MAX({inner[n]}))"
+            f" + CAST(ROUND({hi_v} * 100) AS BIGINT) * MAX({inner[n]}))"
+            f" / {float(100 * den)} AS {n}",
+        ]
+    return f"""
+WITH r AS (
+  SELECT l_extendedprice AS v,
+         ROW_NUMBER() OVER (
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+         ) - 1 AS rn,
+         COUNT(*) OVER () AS n
+  FROM lineitem
+),
+picked AS (SELECT * FROM r WHERE {picked})
+SELECT {", ".join(cols)} FROM picked
+"""
+
+
+def test_a25_global_quantile_vector_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:a25_global_quantiles", fn=_a25_fn, oracle=_a25_sql(),
+        category="aggregates",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
