@@ -257,3 +257,245 @@ def test_a25_global_quantile_vector_twin(spark, sf_oracle_dir):
     )
     res = compare_query(spark, spec, sf_oracle_dir)
     assert res.ok, res.detail
+
+
+def _er_multikey_fn(spark, sf_dir):
+    from x8313_etl_spark.operators.blocking import (
+        band_block_pairs,
+        best_match,
+        multikey_candidates,
+        qgram_block_pairs,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    dirty = part.filter(F.col("p_partkey") % 10 == 0).select(
+        F.col("p_partkey").alias("probe_id"),
+        F.expr(
+            "substr(p_name, 1, length(p_name) - "
+            "(CASE WHEN p_partkey % 20 = 0 THEN 1 ELSE 2 END))"
+        ).alias("dirty_name"),
+    )
+    dnames = dirty.select("dirty_name").distinct()
+    cnames = part.groupBy("p_name").agg(F.min("p_partkey").alias("cand_id"))
+    pairs = multikey_candidates(
+        band_block_pairs(dnames, cnames), qgram_block_pairs(dnames, cnames)
+    )
+    best = best_match(pairs, max_score=3)
+    return dirty.join(best, "dirty_name").select(
+        "probe_id", "cand_id", "dirty_name", "matched_name", "score"
+    )
+
+
+_ER_MULTIKEY_SQL = """
+WITH dirty AS (
+  SELECT p_partkey AS probe_id,
+         substr(p_name, 1, length(p_name)
+                - CASE WHEN p_partkey % 20 = 0 THEN 1 ELSE 2 END) AS dirty_name
+  FROM part WHERE p_partkey % 10 = 0
+),
+dn AS (SELECT DISTINCT dirty_name FROM dirty),
+cand AS (SELECT p_name, min(p_partkey) AS cand_id FROM part GROUP BY p_name),
+dg AS (
+  SELECT dirty_name,
+         split_part(dirty_name, ' ', 1) AS b1,
+         length(split_part(dirty_name, ' ', 2)) AS b2,
+         list_distinct(list_transform(
+           generate_series(1, length('##' || dirty_name || '##') - 2),
+           i -> substr('##' || dirty_name || '##', i, 3))) AS grams
+  FROM dn
+),
+cg AS (
+  SELECT p_name, cand_id,
+         split_part(p_name, ' ', 1) AS cb1,
+         length(split_part(p_name, ' ', 2)) AS cb2,
+         list_distinct(list_transform(
+           generate_series(1, length('##' || p_name || '##') - 2),
+           i -> substr('##' || p_name || '##', i, 3))) AS grams
+  FROM cand
+),
+best AS (
+  SELECT d.dirty_name, c.cand_id, c.p_name AS matched_name,
+         levenshtein(d.dirty_name, c.p_name) AS score,
+         row_number() OVER (
+           PARTITION BY d.dirty_name
+           ORDER BY levenshtein(d.dirty_name, c.p_name), c.cand_id
+         ) AS rn
+  FROM dg d JOIN cg c
+    ON (d.b1 = c.cb1 AND c.cb2 = d.b2 + 1) OR list_has_any(d.grams, c.grams)
+  WHERE levenshtein(d.dirty_name, c.p_name) <= 3
+)
+SELECT probe_id, cand_id, dirty_name, matched_name,
+       CAST(score AS INTEGER) AS score
+FROM dirty JOIN best USING (dirty_name)
+WHERE rn = 1
+"""
+
+
+def test_er_multikey_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:p_er_blocked_multikey", fn=_er_multikey_fn,
+        oracle=_ER_MULTIKEY_SQL, category="pipeline",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
+_G8_BUCKETS = 3
+_G8_LIGHT_ROUNDS = 2
+
+
+def _g8_edges(spark, sf_dir, key):
+    from x8313_etl_spark.queries.graph_q import _cosupply_edges
+
+    e = _cosupply_edges(spark, sf_dir, key, with_weight=True)
+    return e.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst"),
+        F.col("shared").cast("bigint").alias("w"),
+    ).unionAll(
+        e.select(
+            F.col("s2").alias("src"), F.col("s1").alias("dst"),
+            F.col("shared").cast("bigint").alias("w"),
+        )
+    )
+
+
+def _g8_fn(spark, sf_dir):
+    from x8313_etl_spark.operators.sssp import delta_stepping
+    from x8313_etl_spark.queries.graph_q import _SSSP_SEED_MOD
+
+    eu = _g8_edges(spark, sf_dir, "g8.edges_r7test").persist()
+    # Δ = ceil of the MEDIAN edge weight (quantile-derived, the g3
+    # rule: light and heavy edge classes are both non-empty at every
+    # sf by construction). One-row driver scalar — the t16
+    # sentinel pattern; an r7 registration would thread it as a
+    # broadcast column instead.
+    delta = int(
+        eu.agg(F.ceil(F.expr("percentile(w, 0.5)")).alias("d")).first()["d"]
+    )
+    seeds = (
+        eu.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") % _SSSP_SEED_MOD == 0)
+    )
+    settled = delta_stepping(
+        eu, seeds, delta, _G8_BUCKETS, light_rounds=_G8_LIGHT_ROUNDS
+    )
+    out = settled.select(
+        F.col("node").cast("bigint").alias("s_suppkey"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )
+    eu.unpersist()
+    return out
+
+
+def _g8_sql():
+    from x8313_etl_spark.queries.graph_q import (
+        _SSSP_SEED_MOD,
+        _TRI_QUANTILE,
+    )
+
+    d = "(SELECT delta FROM dd)"
+    ctes = [
+        """pairs AS MATERIALIZED (
+  SELECT s1, s2, count(DISTINCT ok) AS shared FROM (
+    SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, a.l_orderkey AS ok
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  ) GROUP BY s1, s2
+)""",
+        f"t AS (SELECT CEIL(quantile_cont(shared, {_TRI_QUANTILE})) AS thr FROM pairs)",
+        """eu AS MATERIALIZED (
+  SELECT s1 AS src, s2 AS dst, CAST(shared AS BIGINT) AS w
+  FROM pairs, t WHERE shared >= thr
+  UNION ALL
+  SELECT s2 AS src, s1 AS dst, CAST(shared AS BIGINT) AS w
+  FROM pairs, t WHERE shared >= thr
+)""",
+        "dd AS (SELECT CAST(CEIL(quantile_cont(w, 0.5)) AS BIGINT) AS delta FROM eu)",
+        f"""t0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist FROM eu
+  WHERE src % {_SSSP_SEED_MOD} = 0
+)""",
+    ]
+    prev = "t0"
+    dones = []
+    for b in range(_G8_BUCKETS):
+        in_b = f"dist >= {b} * {d} AND dist < {b + 1} * {d}"
+        for r in range(1, _G8_LIGHT_ROUNDS + 1):
+            cur = f"t{b}_{r}"
+            ctes.append(
+                f"""{cur} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT eu.dst AS node, p.dist + eu.w AS dist
+    FROM eu JOIN (SELECT * FROM {prev} WHERE {in_b}) p ON eu.src = p.node
+    WHERE eu.w <= {d}
+  ) GROUP BY node
+)"""
+            )
+            prev = cur
+        done = f"done{b}"
+        ctes.append(
+            f"{done} AS MATERIALIZED (SELECT node, dist FROM {prev} WHERE {in_b})"
+        )
+        dones.append(done)
+        nxt = f"t{b + 1}"
+        ctes.append(
+            f"""{nxt} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT eu.dst AS node, p.dist + eu.w AS dist
+    FROM eu JOIN {done} p ON eu.src = p.node
+    WHERE eu.w > {d}
+  ) GROUP BY node
+)"""
+        )
+        prev = nxt
+    union = "\nUNION ALL\n".join(f"SELECT node, dist FROM {x}" for x in dones)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(node AS BIGINT) AS s_suppkey, CAST(dist AS BIGINT) AS dist
+FROM ({union})"""
+    )
+
+
+def test_g8_delta_stepping_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:g8_delta_stepping", fn=_g8_fn, oracle=_g8_sql(),
+        category="graph",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
+def test_g8_light_round_cap_suffices_on_fixtures(spark, sf_dir, sf_oracle_dir):
+    # The fixed cap=2 must reach the same settled set as the full Δ
+    # fixpoint schedule at every fixture sf (the cap-sufficiency
+    # verification the operator docstring demands).
+    from x8313_etl_spark.operators.sssp import delta_stepping
+    from x8313_etl_spark.queries.graph_q import _SSSP_SEED_MOD
+
+    for d in (sf_dir, sf_oracle_dir):
+        eu = _g8_edges(spark, d, f"g8.capcheck.{d}").persist()
+        delta = int(
+            eu.agg(F.ceil(F.expr("percentile(w, 0.5)")).alias("d")).first()["d"]
+        )
+        seeds = (
+            eu.select(F.col("src").alias("node"))
+            .distinct()
+            .filter(F.col("node") % _SSSP_SEED_MOD == 0)
+        )
+        capped = sorted(
+            map(tuple, delta_stepping(
+                eu, seeds, delta, _G8_BUCKETS, light_rounds=_G8_LIGHT_ROUNDS
+            ).collect())
+        )
+        full = sorted(
+            map(tuple, delta_stepping(eu, seeds, delta, _G8_BUCKETS).collect())
+        )
+        assert capped == full, d
+        eu.unpersist()

@@ -70,7 +70,11 @@ def bounded_sssp(
 
 
 def delta_stepping(
-    edges: DataFrame, seeds: DataFrame, delta: int, max_buckets: int
+    edges: DataFrame,
+    seeds: DataFrame,
+    delta: int,
+    max_buckets: int,
+    light_rounds: int | None = None,
 ) -> DataFrame:
     """Delta-stepping SSSP (Meyer & Sanders) — the bucketed-priority
     upgrade of ``bounded_sssp``, processing tentative distances in
@@ -93,6 +97,19 @@ def delta_stepping(
     edge⋈frontier equi-shuffle + min-agg) is unchanged; only the
     schedule differs. Weights must be positive integers.
 
+    ``light_rounds`` (default: Δ) caps the per-bucket inner loop at a
+    FIXED round count independent of Δ. The Δ-round default guarantees
+    light fixpoint for integer weights; a registered query needs the
+    fixed cap because its chained-CTE twin must unroll a Δ-INDEPENDENT
+    number of rounds (Δ itself is quantile-derived from the data — the
+    g3 non-constant-threshold rule — so the SQL string cannot depend on
+    it). With a cap below fixpoint the result is still EXACTLY
+    deterministic — both engines replay the identical schedule — it is
+    just no longer guaranteed equal to true distances; the registered
+    query must verify sufficiency of its cap on the fixture the same
+    way seed-nonemptiness is verified (tests/test_r7_candidates.py
+    pins cap=2 ≡ cap=Δ on every fixture sf).
+
     Registration plan: r7's g8 candidate (ROADMAP.md) — the query twin
     is a chained-CTE replay of the same bucket schedule; until then
     this operator is exercised by tests/test_properties.py against a
@@ -102,6 +119,8 @@ def delta_stepping(
         raise ValueError("delta must be >= 1")
     if max_buckets < 1:
         raise ValueError("max_buckets must be >= 1")
+    if light_rounds is None:
+        light_rounds = delta
     light = edges.filter(F.col("w") <= delta)
     heavy = edges.filter(F.col("w") > delta)
     tent = seeds.select("node", F.lit(0).cast("bigint").alias("dist"))
@@ -126,7 +145,7 @@ def delta_stepping(
     for b in range(max_buckets):
         lo, hi = b * delta, (b + 1) * delta
         in_bucket = (F.col("dist") >= lo) & (F.col("dist") < hi)
-        for _ in range(delta):
+        for _ in range(light_rounds):
             bucket = tent.filter(in_bucket)
             relaxed = light.join(bucket, light.src == bucket.node).select(
                 F.col("dst").alias("node"),
