@@ -499,3 +499,108 @@ def test_g8_light_round_cap_suffices_on_fixtures(spark, sf_dir, sf_oracle_dir):
         )
         assert capped == full, d
         eu.unpersist()
+
+
+_PQD = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+    "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
+)
+_KC, _M, _SUB, _KB, _NPROBE, _TOPK, _PMOD = 16, 8, 8, 16, 4, 5, 25
+
+
+def _ivfpq_fn(spark, sf_dir):
+    from x8313_etl_spark.operators.ivfpq import ivfpq_index, ivfpq_search
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % _PMOD == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    idx = ivfpq_index(e, k_coarse=_KC, m=_M, sub=_SUB, k_code=_KB)
+    out = ivfpq_search(
+        idx, probes, nprobe=_NPROBE, topk=_TOPK, exclude_self=True
+    )
+    return out.select(
+        "probe_id", "vec_id", "adc_d2", F.col("rn").cast("int").alias("rn")
+    )
+
+
+_IVFPQ_SQL = f"""
+WITH mm AS (SELECT unnest(generate_series(0, {_M - 1})) AS m),
+cents AS MATERIALIZED (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+  WHERE vec_id < {_KC}
+),
+ad AS MATERIALIZED (
+  SELECT e.vec_id, c.cent_id,
+         {_PQD.format(a="e.embedding", b="c.cvec")} AS d2,
+         list_transform(list_zip(e.embedding, c.cvec),
+           p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS resid
+  FROM embeddings e, cents c
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, cent_id, resid FROM (
+    SELECT vec_id, cent_id, resid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+    FROM ad
+  ) WHERE rn = 1
+),
+rb AS MATERIALIZED (
+  SELECT a.vec_id, a.cent_id, mm.m,
+         a.resid[(1 + {_SUB} * mm.m):({_SUB} + {_SUB} * mm.m)] AS rvec
+  FROM assign a, mm
+),
+books AS MATERIALIZED (
+  SELECT m, vec_id - {_KC} AS code, rvec AS bvec FROM rb
+  WHERE vec_id >= {_KC} AND vec_id < {_KC + _KB}
+),
+cd AS MATERIALIZED (
+  SELECT r.vec_id, r.cent_id, r.m, b.code,
+         {_PQD.format(a="r.rvec", b="b.bvec")} AS d2
+  FROM rb r JOIN books b ON r.m = b.m
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, cent_id, m, code FROM (
+    SELECT vec_id, cent_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+    FROM cd
+  ) WHERE rn = 1
+),
+passign AS MATERIALIZED (
+  SELECT vec_id AS probe_id, cent_id, resid FROM (
+    SELECT vec_id, cent_id, resid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+    FROM ad WHERE vec_id % {_PMOD} = 0
+  ) WHERE rn <= {_NPROBE}
+),
+dtab AS MATERIALIZED (
+  SELECT p.probe_id, p.cent_id, b.m, b.code,
+         {_PQD.format(
+             a=f"p.resid[(1 + {_SUB} * b.m):({_SUB} + {_SUB} * b.m)]",
+             b="b.bvec",
+         )} AS d2m
+  FROM passign p JOIN books b ON TRUE
+),
+adc AS (
+  SELECT t.probe_id, c.vec_id,
+         list_reduce(list(t.d2m ORDER BY t.m), (a, b) -> a + b) AS adc_d2
+  FROM codes c
+  JOIN dtab t ON t.cent_id = c.cent_id AND t.m = c.m AND t.code = c.code
+  WHERE c.vec_id != t.probe_id
+  GROUP BY t.probe_id, c.vec_id
+)
+SELECT probe_id, vec_id, adc_d2, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY adc_d2, vec_id) AS rn
+  FROM adc
+) WHERE rn <= {_TOPK}
+"""
+
+
+def test_ivfpq_topk_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:sim_ivfpq_topk", fn=_ivfpq_fn, oracle=_IVFPQ_SQL,
+        category="similarity",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail

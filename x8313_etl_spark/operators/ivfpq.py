@@ -161,11 +161,21 @@ def ivfpq_search(
     topk: int = 5,
     id_col: str = "probe_id",
     vec_col: str = "embedding",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """(probe_id, vec_id, adc_d2, rn ≤ topk): asymmetric-distance top-k
     over the probed buckets. The per-query work is one distance table
     (nprobe · M · k_code entries — broadcast-sized) and one aggregation
-    over its bucket candidates; raw vectors never participate."""
+    over its bucket candidates; raw vectors never participate.
+
+    The ADC total is an m-ORDERED fixed add chain over per-block
+    conditional aggregates (the sim_pq_topk fold discipline), NOT a
+    plain sum over shuffle-ordered rows — double addition is
+    non-associative, and a registered query's oracle twin can only
+    reproduce the exact IEEE sequence if the fold order is pinned on
+    both engines. ``exclude_self`` drops vec_id == probe_id BEFORE
+    ranking (the corpus-probe convention where probes are corpus
+    members)."""
     q = queries.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("qv")
     )
@@ -211,10 +221,20 @@ def ivfpq_search(
         )
     )
     w = Window.partitionBy("probe_id").orderBy("adc_d2", "vec_id")
+    cand = index.codes.join(F.broadcast(dtable), ["cent_id", "m", "code"])
+    if exclude_self:
+        cand = cand.filter(F.col("vec_id") != F.col("probe_id"))
+    blocks_sum = cand.groupBy("probe_id", "vec_id").agg(
+        *[
+            F.sum(F.when(F.col("m") == mi, F.col("d2m"))).alias(f"__d{mi}")
+            for mi in range(index.m)
+        ]
+    )
+    total = F.col("__d0")
+    for mi in range(1, index.m):
+        total = total + F.col(f"__d{mi}")
     return (
-        index.codes.join(F.broadcast(dtable), ["cent_id", "m", "code"])
-        .groupBy("probe_id", "vec_id")
-        .agg(F.sum("d2m").alias("adc_d2"))
+        blocks_sum.select("probe_id", "vec_id", total.alias("adc_d2"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= topk)
         .select("probe_id", "vec_id", "adc_d2", "rn")
