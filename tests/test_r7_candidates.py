@@ -604,3 +604,80 @@ def test_ivfpq_topk_twin(spark, sf_oracle_dir):
     )
     res = compare_query(spark, spec, sf_oracle_dir)
     assert res.ok, res.detail
+
+
+def _t17_fn(spark, sf_dir):
+    import os
+    import shutil
+    import time as _time
+    import uuid as _uuid
+
+    from x8313_etl_spark.operators.viewmaint import JoinViewSink
+    from x8313_etl_spark.queries.etl_q import m8_customer_zset, m8_orders_zset
+    from x8313_etl_spark.queries.sources_q import _tag, scratch
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a0 = customer.select(
+        "c_custkey", "c_nationkey", F.col("c_acctbal").alias("bal")
+    )
+    b0 = orders.select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").alias("price")
+    )
+    da = m8_customer_zset(customer).select(
+        F.lit("A").alias("side"), "c_custkey", "c_nationkey", "bal",
+        F.col("am").alias("m"),
+    )
+    db = m8_orders_zset(orders).select(
+        F.lit("B").alias("side"), "o_orderkey", "o_custkey", "price",
+        F.col("bm").alias("m"),
+    )
+    feed = da.unionByName(db, allowMissingColumns=True).select(
+        "side", "c_custkey", "c_nationkey", "bal",
+        "o_orderkey", "o_custkey", "price", "m",
+    )
+    family = scratch(f"t17_deltajoin_{_tag(sf_dir)}")
+    cutoff = _time.time() - 1800
+    for d in os.listdir(family) if os.path.isdir(family) else []:
+        p = os.path.join(family, d)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    work = os.path.join(family, _uuid.uuid4().hex[:12])
+    src, ckpt = os.path.join(work, "src"), os.path.join(work, "ckpt")
+    # 4 part-files -> 4 real micro-batches under maxFilesPerTrigger=1
+    feed.repartition(4).write.parquet(src)
+    sink = JoinViewSink(os.path.join(work, "state"))
+    sink.init_bases(a0, b0)
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink.apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("t17 delta-join stream did not finish in 180s")
+    return sink.read_view(spark)
+
+
+def test_t17_stream_delta_join_twin(spark, sf_oracle_dir):
+    # The streamed epochs must land on exactly the full post-CDC
+    # recompute — m8's own registered oracle IS the gold standard, so
+    # the twin is shared verbatim.
+    from x8313_etl_spark.registry import registry
+
+    spec = QuerySpec(
+        name="r7:t17_stream_delta_join", fn=_t17_fn,
+        oracle=registry()["m8_delta_join_view"].oracle,
+        category="streaming",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
