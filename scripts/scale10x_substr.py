@@ -36,6 +36,7 @@ def build():
 
 
 def run():
+    from x8313_etl_spark.operators.setjoin import similarity_join
     from x8313_etl_spark.operators.substrdedup import duplicated_spans
     from x8313_etl_spark.session import get_spark
 
@@ -46,6 +47,17 @@ def run():
         t0 = time.perf_counter()
         n = duplicated_spans(docs, K).count()
         print(f"{tag:6s} duplicated_spans k={K} {time.perf_counter()-t0:7.2f}s  {n} rows")
+        # setjoin on the exact-copy replica is its worst case: every
+        # doc gains 9 identical twins, so each shingle's prefix-df
+        # multiplies by 10 and candidate volume follows Σ prefix-df².
+        # Measured: the UN-interned form went 16.9s -> 1195s (~71x) —
+        # the catch that forced identical-set interning into
+        # similarity_join; the interned form measures 18.9s -> 23.6s
+        # for the same 250,600 pairs (quadratic stages run on distinct
+        # sets, expansion is output-bound).
+        t0 = time.perf_counter()
+        n = similarity_join(docs, 1, 2, shingle_k=3).count()
+        print(f"{tag:6s} similarity_join t=1/2 {time.perf_counter()-t0:6.2f}s  {n} pairs")
     spark.stop()
 
 

@@ -681,3 +681,43 @@ def test_t17_stream_delta_join_twin(spark, sf_oracle_dir):
     )
     res = compare_query(spark, spec, sf_oracle_dir)
     assert res.ok, res.detail
+
+
+_SJ_INTER = "len(list_intersect(a.toks, b.toks))"
+_SJ_UNI = f"(len(a.toks) + len(b.toks) - {_SJ_INTER})"
+
+
+def _setjoin_fn(spark, sf_dir):
+    from x8313_etl_spark.operators.setjoin import similarity_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    return similarity_join(docs, 1, 2, shingle_k=3)
+
+
+_SETJOIN_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - 2, 0)),
+           i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS toks
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({_SJ_INTER} AS BIGINT) AS inter,
+       CAST({_SJ_UNI} AS BIGINT) AS uni,
+       CAST({_SJ_INTER} AS DOUBLE) / {_SJ_UNI} AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE {_SJ_UNI} > 0 AND {_SJ_INTER} * 2 >= 1 * {_SJ_UNI}
+"""
+
+
+def test_setjoin_exact_twin(spark, sf_oracle_dir):
+    # The twin is DELIBERATELY the brute-force all-pairs form (the
+    # sim_neardup_exact precedent): prefix filtering must be invisible
+    # in the answer, so the naive join IS the oracle.
+    spec = QuerySpec(
+        name="r7:l11_setjoin_exact", fn=_setjoin_fn, oracle=_SETJOIN_SQL,
+        category="llm",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
