@@ -106,3 +106,34 @@ def test_ref_check_with_no_violations_reports_zero(spark):
     ref = spark.createDataFrame([(1,), (2,), (3,)], "k int")
     r = audit(df, [Check("fk", "ref", "k", ref_df=ref, ref_col="k")]).collect()[0]
     assert (r.violations, r.total, r.passed) == (0, 3, True)
+
+
+def test_empty_table_reports_zero_violations_and_passes(spark):
+    df = spark.createDataFrame([], "id int, s string")
+    got = _by_check(
+        audit(
+            df,
+            [
+                Check("nn", "not_null", "id"),
+                Check("uq", "unique", "id"),
+                Check("rx", "matches", "s", pattern="[a-z]+"),
+            ],
+        ).collect()
+    )
+    for r in got.values():
+        assert (r.violations, r.total, r.passed) == (0, 0, True), r
+
+
+def test_matches_is_full_match_not_substring_search(spark):
+    # '[0-9]{3}' unanchored: 'ab123cd' CONTAINS a match but is not a
+    # full match — the documented contract counts it as a violation.
+    df = spark.createDataFrame([("ab123cd",), ("123",)], "s string")
+    r = audit(df, [Check("fmt", "matches", "s", pattern="[0-9]{3}")]).collect()[0]
+    assert r.violations == 1
+
+
+def test_non_identifier_names_are_rejected(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    for bad in ("o'brien", "has space", "_total", "1num"):
+        with pytest.raises(ValueError):
+            audit(df, [Check(bad, "not_null", "id")])

@@ -91,3 +91,13 @@ def test_fixture_run_finds_pairs_and_prunes(spark, sf_dir):
     # prune the quadratic, and the verified answer is a subset.
     assert 0 < n_pairs <= cand < all_pairs, (n_pairs, cand, all_pairs)
     sets.unpersist()
+
+
+def test_out_of_range_thresholds_are_rejected(spark):
+    import pytest
+
+    df = _df(spark, [["a", "b"]])
+    with pytest.raises(ValueError):
+        similarity_join(df, 0, 1)  # t=0: prefix theorem vacuous
+    with pytest.raises(ValueError):
+        similarity_join(df, 2, 1)  # t>1: negative prefix length

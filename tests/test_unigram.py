@@ -175,3 +175,13 @@ def test_fixture_vocab_learns_whole_words(spark, sf_dir):
     for word in ("table", "customer", "window"):
         assert viterbi_path(word, costs) == (word,), (word, counts)
     words.unpersist()
+
+
+def test_encode_preserves_empty_docs(spark):
+    docs = _docs(spark, ["ab ab", ""])
+    words = distinct_words(docs).persist()
+    _, costs = train_unigram(words, vocab_size=4, rounds=1, max_piece_len=2)
+    got = {r.doc_id: r.pieces for r in encode_corpus(docs, costs, max_piece_len=2).collect()}
+    assert set(got) == {0, 1}
+    assert got[1] == []
+    words.unpersist()

@@ -73,6 +73,14 @@ def shingles_from_words(w: Column, k: int = 3) -> Column:
     )
 
 
+def gram_pattern(k: int) -> str:
+    """THE word-k-gram regex (one definition, shared by every caller —
+    shingles_rx, corpus_q n-grams, operators/substrdedup): a
+    word-boundary-anchored lookahead whose group 1 captures each
+    overlapping k-word window of a single-spaced string."""
+    return "(?:^|(?<= ))(?=((?:[^ ]+ ){" + str(k - 1) + "}[^ ]+))"
+
+
 def shingles_rx(text: Column, k: int = 3) -> Column:
     """Distinct k-gram shingles straight off the raw string: one
     word-boundary-anchored lookahead regex pass (overlapping grams all
@@ -82,8 +90,9 @@ def shingles_rx(text: Column, k: int = 3) -> Column:
     the higher-order ``transform`` form, which is interpreted
     row-at-a-time (HOFs don't enter whole-stage codegen) while
     regexp_extract_all stays inside codegen."""
-    pat = "(?:^|(?<= ))(?=((?:[^ ]+ ){" + str(k - 1) + "}[^ ]+))"
-    return F.array_distinct(F.regexp_extract_all(text, F.lit(pat), F.lit(1)))
+    return F.array_distinct(
+        F.regexp_extract_all(text, F.lit(gram_pattern(k)), F.lit(1))
+    )
 
 
 def word_count(w: Column) -> Column:

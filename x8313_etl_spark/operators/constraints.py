@@ -68,13 +68,19 @@ def _violation_count(c: Check) -> Column:
     elif c.kind == "in_set":
         cond = col.isNotNull() & ~col.isin(*c.values)
     elif c.kind == "matches":
-        cond = col.isNotNull() & ~col.rlike(c.pattern)
+        # FULL-match semantics (the documented contract): rlike alone
+        # is a substring SEARCH, which silently under-counts on
+        # unanchored patterns and diverges from any oracle's
+        # regexp_full_match.
+        cond = col.isNotNull() & ~col.rlike(f"^(?:{c.pattern})$")
     elif c.kind == "expr":
         # SQL CHECK-constraint semantics: NULL predicate violates.
         cond = ~F.coalesce(F.expr(c.predicate), F.lit(False))
     else:
         raise ValueError(f"not a row-level check kind: {c.kind}")
-    return F.sum(cond.cast("bigint")).alias(c.name)
+    # coalesce: on an EMPTY table sum() is NULL, which would surface
+    # as violations=None / passed=None — a CI gate must read 0 / True.
+    return F.coalesce(F.sum(cond.cast("bigint")), F.lit(0)).alias(c.name)
 
 
 def audit(df: DataFrame, checks: list[Check]) -> DataFrame:
@@ -84,9 +90,20 @@ def audit(df: DataFrame, checks: list[Check]) -> DataFrame:
     ``ref`` check adds one distinct+anti-join pass over its two key
     columns only (column pruning reaches the scan). Check names must be
     unique — they become aggregate aliases."""
+    import re
+
     names = [c.name for c in checks]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate check names: {names}")
+    for c in checks:
+        # names/kinds/columns are interpolated into a selectExpr stack
+        # string — reject anything that isn't a plain identifier (and
+        # the internal _total alias) instead of failing later with an
+        # opaque AnalysisException or a broken string literal.
+        if not re.fullmatch(r"[A-Za-z][A-Za-z0-9_]*", c.name) or c.name == "_total":
+            raise ValueError(f"check name must be a plain identifier: {c.name!r}")
+        if c.column and not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c.column):
+            raise ValueError(f"column must be a plain identifier: {c.column!r}")
 
     row_checks = [c for c in checks if c.kind not in ("unique", "ref")]
     uniq_checks = [c for c in checks if c.kind == "unique"]
@@ -112,6 +129,7 @@ def audit(df: DataFrame, checks: list[Check]) -> DataFrame:
         "_total AS total",
     ) if n else None
 
+    refs = None
     for c in ref_checks:
         # Pre-aggregate to (key, multiplicity) so the anti-join carries
         # distinct keys, not rows; violations stay row-level via the sum.
@@ -133,8 +151,14 @@ def audit(df: DataFrame, checks: list[Check]) -> DataFrame:
             F.lit("ref").alias("kind"),
             F.lit(c.column).alias("column"),
             F.col("violations"),
-        ).crossJoin(df.agg(F.count(F.lit(1)).alias("total")))
-        out = row if out is None else out.unionByName(row)
+        )
+        refs = row if refs is None else refs.unionByName(row)
+    if refs is not None:
+        # ONE total-count scan for ALL ref checks (a per-check
+        # crossJoin would re-scan df once per FK — review finding),
+        # attached as a single-row scalar cross.
+        refs = refs.crossJoin(df.agg(F.count(F.lit(1)).alias("total")))
+        out = refs if out is None else out.unionByName(refs)
 
     if out is None:
         raise ValueError("no checks given")

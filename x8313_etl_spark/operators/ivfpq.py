@@ -162,6 +162,7 @@ def ivfpq_search(
     id_col: str = "probe_id",
     vec_col: str = "embedding",
     exclude_self: bool = False,
+    broadcast_dtable: bool = True,
 ) -> DataFrame:
     """(probe_id, vec_id, adc_d2, rn ≤ topk): asymmetric-distance top-k
     over the probed buckets. The per-query work is one distance table
@@ -175,7 +176,14 @@ def ivfpq_search(
     reproduce the exact IEEE sequence if the fold order is pinned on
     both engines. ``exclude_self`` drops vec_id == probe_id BEFORE
     ranking (the corpus-probe convention where probes are corpus
-    members)."""
+    members).
+
+    ``broadcast_dtable`` (default True) assumes the BOUNDED-PROBE
+    contract (the l10_knn_ivf fixed-budget posture): the distance
+    table is probes × nprobe × M × k_code rows — linear in the probe
+    count, NOT constant — so an unbounded probe set must pass False
+    and take the plain shuffle join on (cent_id, m, code) instead of
+    an over-limit broadcast."""
     q = queries.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("qv")
     )
@@ -221,7 +229,8 @@ def ivfpq_search(
         )
     )
     w = Window.partitionBy("probe_id").orderBy("adc_d2", "vec_id")
-    cand = index.codes.join(F.broadcast(dtable), ["cent_id", "m", "code"])
+    dt = F.broadcast(dtable) if broadcast_dtable else dtable
+    cand = index.codes.join(dt, ["cent_id", "m", "code"])
     if exclude_self:
         cand = cand.filter(F.col("vec_id") != F.col("probe_id"))
     blocks_sum = cand.groupBy("probe_id", "vec_id").agg(

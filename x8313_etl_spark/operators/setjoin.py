@@ -133,7 +133,14 @@ def similarity_join(
     (doc_a, doc_b, inter, uni, jaccard). Membership is decided by the
     integer cross-multiplication ``inter·t_den ≥ t_num·uni`` — exact,
     engine-independent; the double-typed ``jaccard`` column is derived
-    output (one division of exact integers), never a filter input."""
+    output (one division of exact integers), never a filter input.
+
+    The threshold must satisfy 0 < t ≤ 1: the prefix-filter theorem is
+    vacuous at t = 0 (disjoint pairs qualify but share no prefix token
+    — they would be silently missing), and t > 1 drives prefix_length
+    negative (a runtime slice error, not an empty answer)."""
+    if not 0 < t_num <= t_den:
+        raise ValueError(f"threshold must be in (0, 1]: {t_num}/{t_den}")
     sets = token_sets(
         docs, text_col=text_col, id_col=id_col, shingle_k=shingle_k
     )
@@ -194,8 +201,10 @@ def similarity_join(
             "uni",
         )
     )
+    # identity pairs always qualify (J = 1 and t ≤ 1 is validated at
+    # entry — no per-row constant guard needed)
     within = (
-        groups.filter((F.size("members") >= 2) & (F.lit(t_num) <= F.lit(t_den)))
+        groups.filter(F.size("members") >= 2)
         .select("n", F.col("members").alias("ms"), F.explode("members").alias("x"))
         .select("n", "x", F.explode("ms").alias("y"))
         .filter(F.col("x") < F.col("y"))

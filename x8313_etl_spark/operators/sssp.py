@@ -121,6 +121,8 @@ def delta_stepping(
         raise ValueError("max_buckets must be >= 1")
     if light_rounds is None:
         light_rounds = delta
+    elif light_rounds < 1:
+        raise ValueError("light_rounds must be >= 1")
     light = edges.filter(F.col("w") <= delta)
     heavy = edges.filter(F.col("w") > delta)
     tent = seeds.select("node", F.lit(0).cast("bigint").alias("dist"))

@@ -51,10 +51,7 @@ from pyspark.sql import DataFrame, Window
 SPAN_COLS = ("doc_id", "span_start", "span_end", "n_dup_grams")
 
 
-def gram_pattern(k: int) -> str:
-    """Word-boundary-anchored lookahead regex matching every k-word
-    window of a single-spaced string (overlapping matches included)."""
-    return "(?:^|(?<= ))(?=((?:[^ ]+ ){" + str(k - 1) + "}[^ ]+))"
+from ..functions.text import gram_pattern  # one shared regex definition
 
 
 def position_grams(

@@ -236,7 +236,7 @@ def encode_corpus(
         costs,
         max_piece_len,
     ).select("word", "pieces")
-    return (
+    agg = (
         toks.join(dic, "word")
         .groupBy("doc_id")
         .agg(
@@ -246,4 +246,12 @@ def encode_corpus(
                 ).pieces
             ).alias("pieces")
         )
+    )
+    # left join back to the full id set: a doc with empty /
+    # whitespace-only text must come back with an EMPTY pieces array,
+    # not vanish from the output (the clip_spans preserve-docs rule).
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return ids.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("pieces", F.array().cast("array<string>")).alias("pieces"),
     )

@@ -185,8 +185,9 @@ def _rx_ngrams(text: Column, n: int) -> Column:
     multi-space text the split version emits empty words where this one
     skips them (and every oracle twin pins the split semantics, so a
     corpus violating the contract fails the compare loudly)."""
-    pat = "(?:^|(?<= ))(?=((?:[^ ]+ ){" + str(n - 1) + "}[^ ]+))"
-    return F.regexp_extract_all(text, F.lit(pat), F.lit(1))
+    from ..functions.text import gram_pattern
+
+    return F.regexp_extract_all(text, F.lit(gram_pattern(n)), F.lit(1))
 
 
 def _sql_ngrams(w: str, n: int) -> str:
