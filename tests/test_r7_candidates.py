@@ -11,11 +11,29 @@ query modules. See ROADMAP.md "Candidate surface for the r7 window".
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
+from x8313_etl_spark import audit
 from x8313_etl_spark.io import load_table
 from x8313_etl_spark.registry import QuerySpec
 
 from .oracle_utils import compare_query
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _scrub_ledger_keys():
+    """These UNREGISTERED candidate fns route through audited_checkpoint
+    with their own ledger keys (g8.edges_r7test, g8.capcheck.*, the a25
+    rank key). The materialization-ledger gate audits REGISTERED
+    queries only — forget every key this module introduced so a full
+    suite run doesn't present the gate with unallowlisted keys (caught
+    by the r6 full-suite run: test_ledger_has_no_unjustified_flags
+    failed on g8's test keys while passing in isolation). Keys that
+    already existed keep their first-write-wins record."""
+    before = set(audit.ledger())
+    yield
+    for key in set(audit.ledger()) - before:
+        audit.forget(key)
 
 K = 8
 BENCH_MOD = 7  # the p_decontaminate benchmark-slice convention
