@@ -739,3 +739,76 @@ def test_setjoin_exact_twin(spark, sf_oracle_dir):
     )
     res = compare_query(spark, spec, sf_oracle_dir)
     assert res.ok, res.detail
+
+
+_G9_ROUNDS = 5
+_G9_SEEDS = ("S0", "S1", "S2", "S3", "S4")
+
+
+def _g9_fn(spark, sf_dir):
+    from x8313_etl_spark.operators.ppr import personalized_pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    ed = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = spark.createDataFrame([(s,) for s in _G9_SEEDS], "node string")
+    return personalized_pagerank(ed, seeds, _G9_ROUNDS)
+
+
+def _g9_sql():
+    from x8313_etl_spark.queries.graph_q import DAMP_DEN, DAMP_NUM, SCALE
+
+    ns = len(_G9_SEEDS)
+    inlist = ", ".join(f"'{s}'" for s in _G9_SEEDS)
+    base = (
+        f"CASE WHEN deg.src IN ({inlist}) "
+        f"THEN ({SCALE} * {DAMP_DEN - DAMP_NUM}) // ({DAMP_DEN} * {ns}) "
+        f"ELSE 0 END"
+    )
+    ctes = [
+        """e AS (
+  SELECT DISTINCT 'S' || CAST(l.l_suppkey AS VARCHAR) AS src,
+                  'C' || CAST(o.o_custkey AS VARCHAR) AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)""",
+        "ed AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY src)",
+        f"""r0 AS (SELECT deg.src AS node,
+  CASE WHEN deg.src IN ({inlist}) THEN {SCALE} // {ns} ELSE 0 END AS r
+  FROM deg)""",
+    ]
+    for i in range(1, _G9_ROUNDS + 1):
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT ed.dst AS node, SUM(p.r // deg.outdeg) AS msum
+  FROM ed JOIN r{i - 1} p ON ed.src = p.node JOIN deg ON deg.src = ed.src
+  GROUP BY ed.dst
+),
+r{i} AS MATERIALIZED (
+  SELECT deg.src AS node,
+         {base} + ({DAMP_NUM} * coalesce(s.msum, 0)) // {DAMP_DEN} AS r
+  FROM deg LEFT JOIN s{i} s ON s.node = deg.src
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(r AS BIGINT) AS rank_pico FROM r{_G9_ROUNDS}"
+    )
+
+
+def test_g9_personalized_pagerank_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:g9_personalized_pagerank", fn=_g9_fn, oracle=_g9_sql(),
+        category="graph",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail

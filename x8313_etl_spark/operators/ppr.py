@@ -1,0 +1,101 @@
+"""Personalized PageRank — the seed-restricted teleport variant of g1
+(Page et al.; Jeh & Widom *Scaling Personalized Web Search*, public
+papers). Global PageRank teleports uniformly; PPR teleports ONLY to a
+seed set, so mass concentrates in the seeds' neighbourhood — the
+similarity / recommendation primitive ("rank everything relative to
+THIS user/doc/account").
+
+Same execution discipline as the registered g1 (queries/graph_q.py):
+fixed iteration count, integer pico-rank fixed-point (engine-exact —
+iterated floating point cannot be oracled, the g1 module lesson), and
+per round ONE edge⋈rank equi-shuffle on src (identical key each round,
+co-partitioning reused), a map-side-combined integer sum, and a left
+join onto the node frame so nodes receiving no mass keep their base.
+The only difference is the base vector: ``scale·(den−num)/(den·|S|)``
+on seed nodes, ZERO elsewhere — one broadcast seed-flag join, no new
+shuffle.
+
+Dangling nodes (no out-edges) leak their mass — the usual simplified
+model, fine for ranking BY seed-proximity where only relative order
+matters; redistributing dangling mass adds one scalar aggregate per
+round if exact probability mass is ever needed (documented, not
+implemented — g1 sidesteps it the same way via its symmetric graph).
+
+Lineage: per-round persist (MEMORY_AND_DISK), the g1 pattern — round
+count is a small constant so the plan stays shallow without
+checkpoints; a registered query threads ``ledger_key`` through
+audited_checkpoint instead so the shuffle audit sees each round.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+PPR_SCALE = 10**12
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    scale: int = PPR_SCALE,
+    ledger_key: str | None = None,
+) -> DataFrame:
+    """(node, rank_pico) after ``rounds`` integer power iterations.
+
+    ``edges``: (src, dst) directed; ``seeds``: (node). Initial rank =
+    the base vector itself (scale/|S| on seeds — starting from the
+    teleport distribution, the standard PPR power iteration)."""
+    from pyspark import StorageLevel
+
+    from ..audit import audited_checkpoint
+
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ns = seeds.agg(F.count(F.lit(1)).alias("n_seeds"))
+    seeded = nodes.join(
+        seeds.select(F.col("node"), F.lit(1).alias("is_seed")), "node", "left"
+    ).crossJoin(F.broadcast(ns))
+    base = F.when(
+        F.col("is_seed").isNotNull(),
+        F.expr(f"({scale} * {damp_den - damp_num}) div ({damp_den} * n_seeds)"),
+    ).otherwise(F.lit(0))
+    init = F.when(
+        F.col("is_seed").isNotNull(), F.expr(f"{scale} div n_seeds")
+    ).otherwise(F.lit(0))
+    frame = seeded.select("node", base.alias("base"), init.alias("r")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ranks = frame.select("node", "r")
+    for _ in range(rounds):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select("dst", F.expr("r div outdeg").alias("c"))
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("msum"))
+        merged = (
+            frame.select("node", "base")
+            .join(sums, frame.node == sums.dst, "left")
+            .select(
+                "node",
+                (
+                    F.col("base")
+                    + F.expr(f"({damp_num} * coalesce(msum, 0)) div {damp_den}")
+                ).alias("r"),
+            )
+        )
+        ranks = (
+            audited_checkpoint(ledger_key, merged)
+            if ledger_key
+            else merged.persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    return ranks.select("node", F.col("r").cast("bigint").alias("rank_pico"))
