@@ -812,3 +812,51 @@ def test_g9_personalized_pagerank_twin(spark, sf_oracle_dir):
     )
     res = compare_query(spark, spec, sf_oracle_dir)
     assert res.ok, res.detail
+
+
+def _holt_fn(spark, sf_dir):
+    from x8313_etl_spark.operators.holt import holt_forecast
+
+    ev = load_table(spark, sf_dir, "events")
+    return holt_forecast(
+        ev, series_col="user_id", order_cols=["ts", "event_id"],
+        value_col="value",
+    )
+
+
+_HOLT_SQL = """
+WITH RECURSIVE seq AS MATERIALIZED (
+  SELECT CAST(user_id AS BIGINT) AS series,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS idx,
+         CAST(round(value * 100) AS BIGINT) AS yc,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM events
+),
+r AS (
+  SELECT s0.series, CAST(1 AS BIGINT) AS t,
+         s0.yc AS l, s1.yc - s0.yc AS b, s0.n AS n
+  FROM seq s0 JOIN seq s1 ON s1.series = s0.series AND s1.idx = 1
+  WHERE s0.idx = 0 AND s0.n >= 2
+  UNION ALL
+  SELECT r.series, r.t + 1,
+         (1 * s.yc + 4 * (r.l + r.b)) // 5 AS l,
+         (1 * ((1 * s.yc + 4 * (r.l + r.b)) // 5 - r.l) + 9 * r.b) // 10 AS b,
+         r.n
+  FROM r JOIN seq s ON s.series = r.series AND s.idx = r.t
+)
+SELECT series, n AS n_points, l AS level_cents, b AS trend_cents,
+       l + b AS forecast1_cents
+FROM r WHERE t = n
+"""
+
+
+def test_ts_holt_forecast_twin(spark, sf_oracle_dir):
+    # The recursive CTE replays the exact integer recurrence
+    # (truncating //, cents, alpha=1/5, beta=1/10) step for step.
+    spec = QuerySpec(
+        name="r7:ts_holt_forecast", fn=_holt_fn, oracle=_HOLT_SQL,
+        category="timeseries",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
