@@ -860,3 +860,61 @@ def test_ts_holt_forecast_twin(spark, sf_oracle_dir):
     )
     res = compare_query(spark, spec, sf_oracle_dir)
     assert res.ok, res.detail
+
+
+_NS_K, _NS_OVER, _NS_QMOD = 4, 2, 10
+
+
+def _negsample_fn(spark, sf_dir):
+    from x8313_etl_spark.operators.negsample import negative_samples
+
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    q = orders.filter(F.col("o_orderkey") % _NS_QMOD == 0).select("o_orderkey")
+    pos = li.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_partkey").alias("p_partkey"),
+    )
+    return negative_samples(
+        q, part.select("p_partkey"), pos, _NS_K,
+        q_col="o_orderkey", cand_col="p_partkey",
+        rank_key="negsample.r7test", over_factor=_NS_OVER,
+    )
+
+
+_NS_SQL = f"""
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM part),
+c AS (SELECT p_partkey AS cand_id,
+             row_number() OVER (ORDER BY p_partkey) - 1 AS idx
+      FROM part),
+q AS (SELECT o_orderkey AS qid FROM orders WHERE o_orderkey % {_NS_QMOD} = 0),
+d AS (
+  SELECT qid, i AS draw,
+         (CAST(CONCAT('0x', substr(md5(CAST(qid AS VARCHAR) || ':' ||
+                                        CAST(i AS VARCHAR)), 1, 15))
+               AS BIGINT) % 2147483647) % (SELECT n FROM n) AS idx
+  FROM q, unnest(generate_series(0, {_NS_OVER * _NS_K - 1})) AS t(i)
+),
+j AS (
+  SELECT d.qid, c.cand_id, min(d.draw) AS first_draw
+  FROM d JOIN c USING (idx)
+  WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = d.qid AND l.l_partkey = c.cand_id)
+  GROUP BY d.qid, c.cand_id
+)
+SELECT qid, cand_id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY first_draw)
+            AS BIGINT) AS draw_rank
+FROM j
+QUALIFY draw_rank <= {_NS_K}
+"""
+
+
+def test_negative_samples_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:p_negative_samples", fn=_negsample_fn, oracle=_NS_SQL,
+        category="pipeline",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
