@@ -1,0 +1,65 @@
+"""Plan-shape assertions for the pre-registration operator layer (the
+test_plans.py discipline, applied before these operators ever reach the
+registry): no accidental cartesian products, the single-scan contract
+of the constraint audit, and the broadcast shapes the docstrings claim."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from x8313_etl_spark.operators.constraints import Check, audit
+from x8313_etl_spark.operators.setjoin import similarity_join
+from x8313_etl_spark.operators.substrdedup import duplicated_spans
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_substr_dedup_has_no_cartesian_and_no_all_to_one(spark, sf_dir):
+    plan = _plan(duplicated_spans(_docs(spark, sf_dir), 8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the interval-merge window partitions by doc_id — never a global
+    # single-partition sort
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_setjoin_has_no_cartesian(spark, sf_dir):
+    plan = _plan(similarity_join(_docs(spark, sf_dir), 1, 2, shingle_k=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_constraint_audit_row_checks_share_one_scan(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = audit(
+        o,
+        [
+            Check("nn", "not_null", "o_orderkey"),
+            Check("uq", "unique", "o_orderkey"),
+            Check("mn", "min", "o_totalprice", value=0.0),
+            Check("st", "in_set", "o_orderstatus", values=("O", "F", "P")),
+        ],
+    )
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    # pruning: only the three checked columns are read
+    schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "o_orderdate" not in schema and "o_custkey" not in schema
+
+
+def test_constraint_audit_fk_prunes_to_key_columns(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = audit(o, [Check("fk", "ref", "o_custkey", ref_df=c, ref_col="c_custkey")])
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # column pruning reaches both scans: only the key columns are read
+    for seg in plan.split("ReadSchema:")[1:]:
+        line = seg.splitlines()[0]
+        assert "acctbal" not in line and "o_totalprice" not in line, line
