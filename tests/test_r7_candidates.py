@@ -918,3 +918,52 @@ def test_negative_samples_twin(spark, sf_oracle_dir):
     )
     res = compare_query(spark, spec, sf_oracle_dir)
     assert res.ok, res.detail
+
+
+_CU_SLACK, _CU_H = 50, 500
+
+
+def _cusum_fn(spark, sf_dir):
+    from x8313_etl_spark.operators.cusum import cusum_alarms
+
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_alarms(
+        ev, series_col="user_id", order_cols=["ts", "event_id"],
+        value_col="value", slack_cents=_CU_SLACK, h_cents=_CU_H,
+    )
+
+
+_CUSUM_SQL = f"""
+WITH RECURSIVE seq AS MATERIALIZED (
+  SELECT CAST(user_id AS BIGINT) AS series,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS idx,
+         CAST(round(value * 100) AS BIGINT) AS yc,
+         CAST(sum(CAST(round(value * 100) AS BIGINT))
+              OVER (PARTITION BY user_id) AS BIGINT) AS tot,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM events
+),
+r AS (
+  SELECT series, CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS s_acc,
+         tot // n AS mu
+  FROM seq WHERE idx = 0
+  UNION ALL
+  SELECT r.series, r.t + 1,
+         greatest(CAST(0 AS BIGINT),
+                  r.s_acc + (q.yc - r.mu - {_CU_SLACK})),
+         r.mu
+  FROM r JOIN seq q ON q.series = r.series AND q.idx = r.t
+)
+SELECT series, t - 1 AS idx, s_acc AS s_cents
+FROM r WHERE t >= 1 AND s_acc > {_CU_H}
+"""
+
+
+def test_ts_cusum_alarms_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:ts_cusum_alarms", fn=_cusum_fn, oracle=_CUSUM_SQL,
+        category="timeseries",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
