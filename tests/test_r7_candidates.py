@@ -967,3 +967,224 @@ def test_ts_cusum_alarms_twin(spark, sf_oracle_dir):
     )
     res = compare_query(spark, spec, sf_oracle_dir)
     assert res.ok, res.detail
+
+
+_KM_K, _KM_ROUNDS = 8, 3
+
+
+def _kmeans_fn(spark, sf_dir):
+    from x8313_etl_spark.operators.kmeans import lloyd_kmeans
+
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assign, cents = lloyd_kmeans(
+        vecs, k=_KM_K, rounds=_KM_ROUNDS, ledger_key="sim_kmeans.cand"
+    )
+    mem = assign.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"), F.sum("vec_id").alias("id_sum")
+    )
+    dig = (
+        cents.select("cid", F.explode("cv").alias("q"))
+        .groupBy("cid")
+        .agg(
+            F.sum("q").alias("c_sum"),
+            F.min("q").alias("c_min"),
+            F.max("q").alias("c_max"),
+        )
+    )
+    return dig.join(mem, "cid", "left").select(
+        F.col("cid").cast("bigint").alias("cid"),
+        F.coalesce("n_members", F.lit(0)).cast("bigint").alias("n_members"),
+        F.coalesce("id_sum", F.lit(0)).cast("bigint").alias("id_sum"),
+        F.col("c_sum").cast("bigint").alias("c_sum"),
+        F.col("c_min").cast("bigint").alias("c_min"),
+        F.col("c_max").cast("bigint").alias("c_max"),
+    )
+
+
+def _km_round(r: int) -> str:
+    return f"""
+a{r} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT d.vec_id, d.cid,
+           row_number() OVER (PARTITION BY d.vec_id ORDER BY d.d2, d.cid)
+             AS rn
+    FROM (SELECT q.vec_id, c.cid, SUM((q.q - c.q) * (q.q - c.q)) AS d2
+          FROM q JOIN c{r - 1} c USING (idx)
+          GROUP BY q.vec_id, c.cid) d)
+  WHERE rn = 1),
+c{r} AS MATERIALIZED (
+  SELECT p.cid, p.idx,
+         CASE WHEN s.cnt IS NULL THEN p.q ELSE s.sq // s.cnt END AS q
+  FROM c{r - 1} p LEFT JOIN (
+    SELECT a.cid, q.idx, CAST(SUM(q.q) AS BIGINT) AS sq,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM a{r} a JOIN q USING (vec_id) GROUP BY a.cid, q.idx) s
+  ON p.cid = s.cid AND p.idx = s.idx),
+"""
+
+
+_KMEANS_SQL = (
+    f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS idx,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           AS q
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+seeds AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+           AS cid
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KM_K})),
+c0 AS MATERIALIZED (
+  SELECT s.cid, q.idx, q.q FROM seeds s JOIN q USING (vec_id)),
+"""
+    + "".join(_km_round(r) for r in range(1, _KM_ROUNDS + 1))
+    + f"""
+afin AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT d.vec_id, d.cid,
+           row_number() OVER (PARTITION BY d.vec_id ORDER BY d.d2, d.cid)
+             AS rn
+    FROM (SELECT q.vec_id, c.cid, SUM((q.q - c.q) * (q.q - c.q)) AS d2
+          FROM q JOIN c{_KM_ROUNDS} c USING (idx)
+          GROUP BY q.vec_id, c.cid) d)
+  WHERE rn = 1),
+mem AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(vec_id) AS BIGINT) AS id_sum
+  FROM afin GROUP BY cid),
+dig AS (
+  SELECT cid, CAST(SUM(q) AS BIGINT) AS c_sum,
+         CAST(MIN(q) AS BIGINT) AS c_min, CAST(MAX(q) AS BIGINT) AS c_max
+  FROM c{_KM_ROUNDS} GROUP BY cid)
+SELECT d.cid, COALESCE(m.n_members, 0) AS n_members,
+       COALESCE(m.id_sum, 0) AS id_sum, d.c_sum, d.c_min, d.c_max
+FROM dig d LEFT JOIN mem m ON d.cid = m.cid
+"""
+)
+
+
+def test_sim_kmeans_lloyd_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:sim_kmeans_lloyd", fn=_kmeans_fn, oracle=_KMEANS_SQL,
+        category="similarity",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
+_RRF_SCALE, _RRF_C, _RRF_TOPK = 10**12, 60, 5
+
+
+def _rrf_fn(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from x8313_etl_spark.io import load_table as _lt
+    from x8313_etl_spark.operators.annscan import cosine_probe_topk
+    from x8313_etl_spark.queries.corpus_q import BM25_N_QUERIES, p_bm25_topk
+
+    lex = p_bm25_topk(spark, sf_dir).select(
+        "q_id", "doc_id", F.col("rn").alias("r")
+    )
+    e = _lt(spark, sf_dir, "embeddings")
+    sem = cosine_probe_topk(
+        e, e.filter(F.col("vec_id") < BM25_N_QUERIES), k=_RRF_TOPK
+    ).select(
+        F.col("probe_id").alias("q_id"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("rn").cast("bigint").alias("r"),
+    )
+    contrib = F.expr(f"{_RRF_SCALE} div ({_RRF_C} + r)")
+    u = lex.select("q_id", "doc_id", contrib.alias("c")).unionByName(
+        sem.select("q_id", "doc_id", contrib.alias("c"))
+    )
+    f = u.groupBy("q_id", "doc_id").agg(
+        F.sum("c").cast("bigint").alias("rrf_score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("rrf_score").desc(), "doc_id")
+    return (
+        f.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("fused_rank") <= _RRF_TOPK)
+        .select("q_id", "doc_id", "rrf_score", "n_lists", "fused_rank")
+    )
+
+
+def _rrf_sql():
+    from x8313_etl_spark.functions.vector import sql_cosine
+    from x8313_etl_spark.queries.corpus_q import BM25_N_QUERIES
+    from x8313_etl_spark.registry import registry
+
+    bm25 = registry()["p_bm25_topk"].oracle
+    cos = sql_cosine("p.embedding", "x.embedding")
+    return f"""
+WITH lex AS MATERIALIZED ({bm25}),
+sem AS MATERIALIZED (
+  SELECT q_id, doc_id, r FROM (
+    SELECT p.vec_id AS q_id, x.vec_id AS doc_id,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY {cos} DESC, x.vec_id) AS r
+    FROM embeddings p, embeddings x
+    WHERE p.vec_id < {BM25_N_QUERIES} AND x.vec_id != p.vec_id)
+  WHERE r <= {_RRF_TOPK}),
+u AS (
+  SELECT q_id, doc_id, {_RRF_SCALE} // ({_RRF_C} + rn) AS c FROM lex
+  UNION ALL
+  SELECT q_id, doc_id, {_RRF_SCALE} // ({_RRF_C} + r) AS c FROM sem),
+f AS (
+  SELECT q_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_score,
+         CAST(COUNT(*) AS BIGINT) AS n_lists
+  FROM u GROUP BY q_id, doc_id)
+SELECT q_id, doc_id, rrf_score, n_lists, fused_rank FROM (
+  SELECT f.*, CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS fused_rank
+  FROM f)
+WHERE fused_rank <= {_RRF_TOPK}
+"""
+
+
+def test_sim_hybrid_rrf_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:sim_hybrid_rrf", fn=_rrf_fn, oracle=_rrf_sql(),
+        category="similarity",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
+def _xml_fn(spark, sf_dir):
+    """S19 candidate: XML write -> read via Spark 4's BUILT-IN xml
+    datasource (spark-xml was folded into spark-sql in 4.0 — zero extra
+    jars). Supplier is the interop-shaped table: mixed ints, strings
+    with punctuation, doubles. XML stores everything as elements, so
+    the read-back pins an explicit schema (the s2 discipline) rather
+    than trusting inference, and the doubles round-trip through the
+    XML writer's shortest-repr text form — exact for these fixture
+    values (asserted by the twin's strict compare)."""
+    from x8313_etl_spark.queries.sources_q import _tag, scratch
+
+    path = scratch(f"s19_supplier_xml_{_tag(sf_dir)}")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    s.write.format("xml").option("rootTag", "suppliers").option(
+        "rowTag", "supplier"
+    ).mode("overwrite").save(path)
+    return spark.read.format("xml").option("rowTag", "supplier").schema(
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double"
+    ).load(path)
+
+
+_XML_SQL = """
+SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey,
+       CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier
+"""
+
+
+def test_s19_xml_roundtrip_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:s19_xml_roundtrip", fn=_xml_fn, oracle=_XML_SQL,
+        category="sources",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
