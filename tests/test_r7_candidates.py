@@ -1188,3 +1188,321 @@ def test_s19_xml_roundtrip_twin(spark, sf_oracle_dir):
     )
     res = compare_query(spark, spec, sf_oracle_dir)
     assert res.ok, res.detail
+
+
+_SD_TAU = 0.30  # cluster-scoped prune threshold (non-trivial at both sfs)
+
+
+def _semdedup_fn(spark, sf_dir):
+    """SemDeDup-proper candidate (Abbas et al.): k-means clusters, then
+    WITHIN-cluster pairwise cosine >= tau drops the larger vec_id — the
+    one-step covering prune of the paper, unlike p_semantic_dedup's
+    transitive-closure components. Pair work is sigma cluster-size²,
+    never corpus² (the clustering IS the candidate generator), and the
+    kmeans rounds are the engine-exact integer loop verified by
+    test_sim_kmeans_lloyd_twin — so the full composition is oracled."""
+    import pyspark.sql.functions as F
+
+    from x8313_etl_spark.functions.vector import cosine
+    from x8313_etl_spark.operators.kmeans import lloyd_kmeans
+
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assign, _ = lloyd_kmeans(
+        vecs, k=_KM_K, rounds=_KM_ROUNDS, ledger_key="semdedup.cand"
+    )
+    mem = assign.join(vecs, "vec_id")
+    a = mem.select(
+        F.col("cid"), F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_v")
+    )
+    b = mem.select(
+        F.col("cid"), F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_v")
+    )
+    drops = (
+        a.join(b, "cid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cosine(F.col("a_v"), F.col("b_v")) >= _SD_TAU)
+        .select("cid", F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    flagged = assign.join(
+        drops.withColumn("dropped", F.lit(1)), ["cid", "vec_id"], "left"
+    )
+    return flagged.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum(F.coalesce("dropped", F.lit(0))).cast("bigint").alias("n_dropped"),
+        F.sum(
+            F.when(F.col("dropped").isNull(), F.col("vec_id")).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("kept_id_sum"),
+    ).select(
+        F.col("cid").cast("bigint").alias("cid"),
+        "n_members",
+        "n_dropped",
+        "kept_id_sum",
+    )
+
+
+def _semdedup_sql():
+    from x8313_etl_spark.functions.vector import sql_cosine
+
+    cos = sql_cosine("ea.embedding", "eb.embedding")
+    # reuse the verified kmeans CTE chain verbatim up to `afin`
+    prefix = _KMEANS_SQL.split("mem AS (")[0].rstrip().rstrip(",")
+    return f"""{prefix},
+drops AS MATERIALIZED (
+  SELECT DISTINCT a.cid, b.vec_id
+  FROM afin a JOIN afin b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE {cos} >= {_SD_TAU})
+SELECT f.cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN d.vec_id IS NULL THEN f.vec_id ELSE 0 END) AS BIGINT)
+         AS kept_id_sum
+FROM afin f LEFT JOIN drops d ON d.cid = f.cid AND d.vec_id = f.vec_id
+GROUP BY f.cid
+"""
+
+
+def test_p_semdedup_prune_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:p_semdedup_prune", fn=_semdedup_fn, oracle=_semdedup_sql(),
+        category="pipeline",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
+    # the prune must be non-trivially exercised: some cluster drops rows
+    sdf = _semdedup_fn(spark, sf_oracle_dir).toPandas()
+    assert sdf.n_dropped.sum() > 0, "tau too high: nothing pruned"
+
+
+def _g10_fn(spark, sf_dir):
+    """G10 candidate: GraphSAGE-style neighbor feature aggregation —
+    the sampling-free mean aggregator that turns a graph + node
+    features into GNN training rows (Hamilton et al., public paper).
+    Graph: the shared quantile-thresholded supplier co-supply edges
+    (g3/g5/g7's `_cosupply_edges`). Features: integer supplier
+    signals derived in-plan (acctbal cents, distinct parts supplied).
+    Layer 1 = truncating integer mean of neighbor features; layer 2 =
+    the same aggregator over layer-1 outputs (the stacked-layer form).
+    Scale: per layer ONE edges-to-features equi-shuffle + a map-side-
+    combined mean — linear in |E|, the g1 round discipline without
+    iteration count concerns (2 fixed layers)."""
+    import pyspark.sql.functions as F
+
+    from x8313_etl_spark.queries.graph_q import _cosupply_edges
+
+    e = _cosupply_edges(spark, sf_dir, "g10.edges_r7test")
+    eu = e.select(F.col("s1").alias("src"), F.col("s2").alias("dst")).unionByName(
+        e.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = li.groupBy("l_suppkey").agg(
+        F.count_distinct("l_partkey").alias("n_parts")
+    )
+    feats = (
+        s.join(parts, s.s_suppkey == parts.l_suppkey, "left")
+        .select(
+            F.col("s_suppkey").alias("node"),
+            F.expr("cast(round(s_acctbal * 100) as bigint)").alias("f_bal"),
+            F.coalesce("n_parts", F.lit(0)).cast("bigint").alias("f_parts"),
+        )
+    )
+    h1 = (
+        eu.join(feats, eu.dst == feats.node)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("deg"),
+            F.sum("f_bal").alias("sb"),
+            F.sum("f_parts").alias("sp"),
+        )
+        .select(
+            F.col("src").alias("node"),
+            F.col("deg").cast("bigint").alias("degree"),
+            F.expr("sb div deg").alias("h1_bal"),
+            F.expr("sp div deg").alias("h1_parts"),
+        )
+    )
+    h2 = (
+        eu.join(
+            h1.select("node", "h1_bal", "h1_parts"), eu.dst == F.col("node")
+        )
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("deg"),
+            F.sum("h1_bal").alias("sb"),
+            F.sum("h1_parts").alias("sp"),
+        )
+        .select(
+            F.col("src").alias("node"),
+            F.expr("sb div deg").alias("h2_bal"),
+            F.expr("sp div deg").alias("h2_parts"),
+        )
+    )
+    return (
+        h1.join(h2, "node")
+        .select(
+            F.col("node").cast("bigint").alias("s_suppkey"),
+            "degree",
+            "h1_bal",
+            "h1_parts",
+            "h2_bal",
+            "h2_parts",
+        )
+    )
+
+
+_G10_SQL = """
+WITH pairs AS MATERIALIZED (
+  SELECT s1, s2, count(DISTINCT ok) AS shared FROM (
+    SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, a.l_orderkey AS ok
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  ) GROUP BY s1, s2
+),
+t AS (SELECT CEIL(quantile_cont(shared, 0.8)) AS thr FROM pairs),
+eu AS MATERIALIZED (
+  SELECT s1 AS src, s2 AS dst FROM pairs, t WHERE shared >= thr
+  UNION ALL
+  SELECT s2 AS src, s1 AS dst FROM pairs, t WHERE shared >= thr
+),
+feats AS MATERIALIZED (
+  SELECT s.s_suppkey AS node,
+         CAST(round(s.s_acctbal * 100) AS BIGINT) AS f_bal,
+         CAST(coalesce(p.n_parts, 0) AS BIGINT) AS f_parts
+  FROM supplier s LEFT JOIN (
+    SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_suppkey) p
+  ON p.l_suppkey = s.s_suppkey
+),
+h1 AS MATERIALIZED (
+  SELECT eu.src AS node, CAST(count(*) AS BIGINT) AS degree,
+         CAST(SUM(f.f_bal) AS BIGINT) // CAST(count(*) AS BIGINT) AS h1_bal,
+         CAST(SUM(f.f_parts) AS BIGINT) // CAST(count(*) AS BIGINT) AS h1_parts
+  FROM eu JOIN feats f ON f.node = eu.dst
+  GROUP BY eu.src
+),
+h2 AS (
+  SELECT eu.src AS node,
+         CAST(SUM(h.h1_bal) AS BIGINT) // CAST(count(*) AS BIGINT) AS h2_bal,
+         CAST(SUM(h.h1_parts) AS BIGINT) // CAST(count(*) AS BIGINT) AS h2_parts
+  FROM eu JOIN h1 h ON h.node = eu.dst
+  GROUP BY eu.src
+)
+SELECT CAST(h1.node AS BIGINT) AS s_suppkey, h1.degree,
+       h1.h1_bal, h1.h1_parts, h2.h2_bal, h2.h2_parts
+FROM h1 JOIN h2 ON h2.node = h1.node
+"""
+
+
+def test_g10_neighbor_agg_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:g10_neighbor_agg", fn=_g10_fn, oracle=_G10_SQL,
+        category="graph",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
+_ACF_LAGS = (1, 2, 3)
+
+
+def _acf_fn(spark, sf_dir):
+    """ts_acf candidate: per-series autocorrelation at fixed lags — the
+    seasonality/persistence diagnostic a forecasting pipeline (ts_holt,
+    ts_seasonal_decompose) reads first. Engine-exact by the CUSUM
+    discipline: values quantized to integer cents, the per-series mean
+    is the TRUNCATING division tot div n, and the ACF is returned as
+    exact integer (numerator, denominator) pairs rather than a float
+    ratio — num_l = sum (y_t - mu)(y_{t+l} - mu), den = sum (y_t - mu)²
+    over the (ts, event_id)-ordered stream. One window pass per lag on
+    the same series partitioning (a single shuffle, WindowExec reuses
+    the sort); integer sums are order-free."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("user_id").cast("bigint").alias("series"),
+        "ts",
+        "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("yc"),
+    )
+    stats = base.groupBy("series").agg(
+        F.sum("yc").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    d = base.join(stats, "series").select(
+        "series", "ts", "event_id", "n",
+        (F.col("yc") - F.expr("tot div n")).alias("dev"),
+    )
+    w = Window.partitionBy("series").orderBy("ts", "event_id")
+    lagged = d.select(
+        "series",
+        "n",
+        "dev",
+        *[F.lead("dev", l).over(w).alias(f"dev_{l}") for l in _ACF_LAGS],
+    )
+    rows = []
+    for l in _ACF_LAGS:
+        rows.append(
+            lagged.groupBy("series")
+            .agg(
+                F.first("n").alias("n"),
+                F.sum(F.col("dev") * F.col(f"dev_{l}")).alias("num"),
+                F.sum(F.col("dev") * F.col("dev")).alias("den"),
+            )
+            .select(
+                "series",
+                F.lit(l).cast("bigint").alias("lag"),
+                F.col("n").cast("bigint").alias("n"),
+                F.col("num").cast("bigint").alias("num"),
+                F.col("den").cast("bigint").alias("den"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _acf_sql():
+    lag_selects = []
+    for l in _ACF_LAGS:
+        lag_selects.append(f"""
+  SELECT series, CAST({l} AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+         CAST(SUM(dev * dev_{l}) AS BIGINT) AS num,
+         CAST(SUM(dev * dev) AS BIGINT) AS den
+  FROM lagged GROUP BY series, n""")
+    union = "\n  UNION ALL\n".join(lag_selects)
+    leads = ", ".join(
+        f"lead(dev, {l}) OVER (PARTITION BY series ORDER BY ts, event_id)"
+        f" AS dev_{l}"
+        for l in _ACF_LAGS
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT CAST(user_id AS BIGINT) AS series, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS yc
+  FROM events),
+stats AS (
+  SELECT series, CAST(SUM(yc) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY series),
+d AS (
+  SELECT b.series, b.ts, b.event_id, s.n, b.yc - (s.tot // s.n) AS dev
+  FROM base b JOIN stats s ON s.series = b.series),
+lagged AS MATERIALIZED (
+  SELECT series, n, dev, {leads} FROM d)
+{union}
+"""
+
+
+def test_ts_acf_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:ts_acf", fn=_acf_fn, oracle=_acf_sql(),
+        category="timeseries",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
