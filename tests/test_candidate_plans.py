@@ -63,3 +63,44 @@ def test_constraint_audit_fk_prunes_to_key_columns(spark, sf_dir):
     for seg in plan.split("ReadSchema:")[1:]:
         line = seg.splitlines()[0]
         assert "acctbal" not in line and "o_totalprice" not in line, line
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    from x8313_etl_spark.operators.kmeans import lloyd_kmeans
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    assign, cents = lloyd_kmeans(e, k=4, rounds=1)
+    plan = _plan(assign)
+    # the final assignment's only join is the k-row centroid broadcast
+    # (BroadcastNestedLoopJoin over a checkpointed k-row table is the
+    # documented IVF-style shape); never a shuffled or cartesian join
+    # of the vector table
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan, plan
+    # vector scan prunes to the two used columns
+    seg = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "label" not in seg, seg
+
+
+def test_kmeans_update_is_map_side_combined(spark, sf_dir):
+    from x8313_etl_spark.operators.kmeans import (
+        _assign,
+        _seed_centroids,
+        _update,
+        quantize_vectors,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    qv = quantize_vectors(e)
+    cents = _seed_centroids(qv, 4).localCheckpoint(eager=True)
+    upd = _update(qv, _assign(qv, cents), cents)
+    plan = _plan(upd)
+    # partial_sum before the (cid, idx) exchange: the shuffle carries
+    # k x dim cells, not N x dim rows
+    assert "partial_sum" in plan, plan
+    assert "CartesianProduct" not in plan
