@@ -11,6 +11,7 @@ import math
 
 import pyspark.sql.functions as F
 import pytest
+from hypothesis import given, settings, strategies as st
 
 from x8313_etl_spark.operators.kmeans import (
     lloyd_kmeans,
@@ -141,3 +142,21 @@ def test_fixture_clusters_nontrivial(spark, sf_oracle_dir):
     sizes = [r.n for r in assign.groupBy("cid").agg(F.count("*").alias("n")).collect()]
     assert len(sizes) >= 2, "fixture must split into multiple clusters"
     assert sum(sizes) == vecs.count()
+
+
+_coord = st.integers(min_value=-520000, max_value=460000).map(lambda q: q / 1e6)
+_vec = st.tuples(_coord, _coord, _coord)
+
+
+@given(
+    vecs=st.lists(_vec, min_size=3, max_size=12, unique=True),
+    k=st.integers(min_value=2, max_value=4),
+    rounds=st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=8, deadline=None)
+def test_property_matches_mirror(spark, vecs, k, rounds):
+    rows = [(i + 1, v) for i, v in enumerate(vecs)]
+    assign, cents = lloyd_kmeans(_df(spark, rows), k=min(k, len(rows)), rounds=rounds)
+    ma, mc = _mirror(rows, min(k, len(rows)), rounds, 10**6)
+    assert {r.vec_id: r.cid for r in assign.collect()} == ma
+    assert {r.cid: list(r.cv) for r in cents.collect()} == mc
