@@ -1,0 +1,222 @@
+"""Pre-registration oracle checks — round-7 candidate batch B.
+
+Same protocol as tests/test_r7_candidates.py (which see): each test
+runs the EXACT driver compare (tests/oracle_utils.compare_query,
+tolerance 0) on an UNREGISTERED QuerySpec, so next round's registration
+is a verbatim fn+oracle copy while this round's driver verify window
+keeps its 5-new+45-stalest composition. ROADMAP.md "Candidate surface"
+carries the registration notes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from x8313_etl_spark import audit
+from x8313_etl_spark.io import load_table
+from x8313_etl_spark.registry import QuerySpec
+
+from .oracle_utils import compare_query
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _scrub_ledger_keys():
+    """Forget ledger keys introduced by these unregistered candidate fns
+    (same rationale as test_r7_candidates._scrub_ledger_keys: the
+    materialization gate audits registered queries only)."""
+    before = set(audit.ledger())
+    yield
+    for key in set(audit.ledger()) - before:
+        audit.forget(key)
+
+
+# ---------------------------------------------------------------------------
+# p_incremental_dedup — delta batch vs corpus index (production ingest shape)
+# ---------------------------------------------------------------------------
+
+_DELTA_MOD = 5  # doc_id % 5 == 0 is the arriving batch; the rest is the index
+_INC_TAU = 0.3
+
+
+def _incremental_dedup_fn(spark, sf_dir):
+    from x8313_etl_spark.operators.increment import incremental_near_dups
+
+    d = load_table(spark, sf_dir, "documents")
+    index = d.filter(F.col("doc_id") % _DELTA_MOD != 0)
+    batch = d.filter(F.col("doc_id") % _DELTA_MOD == 0)
+    return incremental_near_dups(index, batch, threshold=_INC_TAU)
+
+
+def _incremental_dedup_sql():
+    from x8313_etl_spark.queries.llm import _SQL_SHINGLE_CTES
+
+    return f"""
+WITH {_SQL_SHINGLE_CTES},
+pairs AS (
+  SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+         CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
+           / len(list_distinct(n.sh || o.sh)) AS jaccard,
+         len(list_filter(generate_series(0, 7), bi ->
+             list_slice(n.sig, bi*4 + 1, bi*4 + 4)
+               = list_slice(o.sig, bi*4 + 1, bi*4 + 4))) AS n_band_hits
+  FROM sig n JOIN sig o
+    ON n.doc_id % {_DELTA_MOD} = 0 AND o.doc_id % {_DELTA_MOD} <> 0
+),
+best AS (
+  SELECT new_id, old_id, jaccard FROM (
+    SELECT new_id, old_id, jaccard,
+           row_number() OVER (
+             PARTITION BY new_id ORDER BY jaccard DESC, old_id
+           ) AS rn
+    FROM pairs WHERE n_band_hits > 0 AND jaccard >= {_INC_TAU}
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       best.old_id IS NOT NULL AS is_dup,
+       best.old_id AS dup_of,
+       best.jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % {_DELTA_MOD} = 0) d
+LEFT JOIN best ON best.new_id = d.doc_id
+"""
+
+
+def test_incremental_dedup_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:p_incremental_dedup",
+        fn=_incremental_dedup_fn,
+        oracle=_incremental_dedup_sql(),
+        category="pipeline",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
+def test_incremental_dedup_nontrivial(spark, sf_oracle_dir):
+    """The fixture corpus must exercise the dup path (some batch doc IS a
+    near-dup of the index) — a verdict that is all-false would verify
+    nothing about the band join."""
+    out = _incremental_dedup_fn(spark, sf_oracle_dir)
+    n_dup = out.filter(F.col("is_dup")).count()
+    assert n_dup > 0
+
+
+# ---------------------------------------------------------------------------
+# p_er_golden_record — survivorship over ER match clusters (MDM golden record)
+# ---------------------------------------------------------------------------
+
+
+def _golden_fn(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from x8313_etl_spark.operators.concomp import connected_components
+    from x8313_etl_spark.queries.pipeline_q import p_er_blocked_match
+
+    part = load_table(spark, sf_dir, "part")
+    m = p_er_blocked_match(spark, sf_dir)
+    edges = m.select(
+        F.col("probe_id").alias("src"), F.col("cand_id").alias("dst")
+    )
+    labels = connected_components(
+        part.select(F.col("p_partkey").alias("node")),
+        edges,
+        ledger_key="r7.p_er_golden.concomp",
+    )
+    mem = part.join(
+        labels, part.p_partkey == labels.node
+    ).drop("node")
+    base = mem.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.max(F.round(F.col("p_retailprice") * 100).cast("bigint")).alias(
+            "retail_cents_max"
+        ),
+        F.min("p_size").alias("size_min"),
+    )
+    gname = part.select(
+        F.col("p_partkey").alias("component"),
+        F.col("p_name").alias("golden_name"),
+    )
+    wb = Window.partitionBy("component").orderBy(
+        F.col("cnt").desc(), F.col("p_brand")
+    )
+    bmode = (
+        mem.groupBy("component", "p_brand")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("p_brand").alias("brand_mode"))
+    )
+    return (
+        base.join(gname, "component")
+        .join(bmode, "component")
+        .select(
+            F.col("component").alias("cluster_id"),
+            "n_members",
+            "golden_name",
+            "brand_mode",
+            "retail_cents_max",
+            "size_min",
+        )
+    )
+
+
+def _golden_sql():
+    from x8313_etl_spark.registry import registry
+
+    er = registry()["p_er_blocked_match"].oracle
+    return f"""
+WITH RECURSIVE m AS MATERIALIZED ({er}),
+e AS (
+  SELECT probe_id AS src, cand_id AS dst FROM m WHERE probe_id <> cand_id
+  UNION
+  SELECT cand_id AS src, probe_id AS dst FROM m WHERE probe_id <> cand_id
+),
+reach AS (
+  SELECT p_partkey AS node, p_partkey AS label FROM part
+  UNION
+  SELECT e.dst AS node, reach.label FROM reach JOIN e ON e.src = reach.node
+),
+lab AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+mem AS (
+  SELECT l.cluster_id, p.* FROM part p JOIN lab l ON l.node = p.p_partkey
+),
+base AS (
+  SELECT cluster_id, count(*) AS n_members,
+         max(CAST(round(p_retailprice * 100) AS BIGINT)) AS retail_cents_max,
+         min(p_size) AS size_min
+  FROM mem GROUP BY cluster_id
+),
+bmode AS (
+  SELECT cluster_id, p_brand AS brand_mode FROM (
+    SELECT cluster_id, p_brand,
+           row_number() OVER (
+             PARTITION BY cluster_id ORDER BY count(*) DESC, p_brand
+           ) AS rn
+    FROM mem GROUP BY cluster_id, p_brand
+  ) WHERE rn = 1
+)
+SELECT b.cluster_id, b.n_members, g.p_name AS golden_name, bm.brand_mode,
+       b.retail_cents_max, b.size_min
+FROM base b
+JOIN part g ON g.p_partkey = b.cluster_id
+JOIN bmode bm ON bm.cluster_id = b.cluster_id
+"""
+
+
+def test_er_golden_record_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:p_er_golden_record",
+        fn=_golden_fn,
+        oracle=_golden_sql(),
+        category="pipeline",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
+def test_er_golden_record_has_multi_member_clusters(spark, sf_oracle_dir):
+    """Survivorship must actually merge something: the matcher's
+    min-partkey representative links same-name probes, so the fixture
+    must produce at least one cluster with > 1 member."""
+    out = _golden_fn(spark, sf_oracle_dir)
+    assert out.filter(F.col("n_members") > 1).count() > 0
