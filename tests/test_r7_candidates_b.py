@@ -214,6 +214,151 @@ def test_er_golden_record_twin(spark, sf_oracle_dir):
     assert res.ok, res.detail
 
 
+# ---------------------------------------------------------------------------
+# sim_mmr_rerank — MMR diversity re-rank of exact-cosine candidates
+# ---------------------------------------------------------------------------
+
+_MMR_N = 10  # candidate budget per probe (the re-rank window)
+_MMR_K = 5  # results selected per probe
+_MMR_PROBE_MOD = 25  # l4's probe convention
+
+
+def _mmr_fn(spark, sf_dir):
+    from x8313_etl_spark.functions.vector import dot, norm
+    from x8313_etl_spark.operators.annscan import cosine_probe_topk
+    from x8313_etl_spark.operators.cachepool import swap_persist
+    from x8313_etl_spark.operators.mmr import mmr_select
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % _MMR_PROBE_MOD == 0)
+    # cand feeds both pairsim sides and every selection round — persist
+    # so the corpus scan runs once
+    cand = swap_persist(
+        "r7.mmr.cand",
+        cosine_probe_topk(e, probes, k=_MMR_N).select(
+            "probe_id", "vec_id", F.col("cos_sim").alias("rel")
+        ),
+    )
+    va = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    vb = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    sim = dot(F.col("ea"), F.col("eb")) / (
+        norm(F.col("ea")) * norm(F.col("eb"))
+    )
+    ps = swap_persist(
+        "r7.mmr.pairsim",
+        cand.select("probe_id", F.col("vec_id").alias("a"))
+        .join(cand.select("probe_id", F.col("vec_id").alias("b")), "probe_id")
+        .filter(F.col("a") != F.col("b"))
+        .join(va, "a")
+        .join(vb, "b")
+        .select("probe_id", "a", "b", sim.alias("sim")),
+    )
+    out = mmr_select(cand, ps, k=_MMR_K)
+    return out.select(
+        "probe_id",
+        F.col("sel_rank").cast("int").alias("sel_rank"),
+        "vec_id",
+        "rel",
+        "score",
+    )
+
+
+def _mmr_sql():
+    from x8313_etl_spark.functions.vector import sql_cosine
+
+    cos_ab = sql_cosine("a.embedding", "b.embedding")
+    cos_pair = sql_cosine("ea.embedding", "eb.embedding")
+    ctes = f"""
+WITH cand AS MATERIALIZED (
+  SELECT probe_id, vec_id, rel FROM (
+    SELECT a.vec_id AS probe_id, b.vec_id AS vec_id, {cos_ab} AS rel,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY {cos_ab} DESC, b.vec_id) AS rn
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id % {_MMR_PROBE_MOD} = 0
+  ) WHERE rn <= {_MMR_N}
+),
+ps AS MATERIALIZED (
+  SELECT x.probe_id, x.vec_id AS a, y.vec_id AS b, {cos_pair} AS sim
+  FROM cand x
+  JOIN cand y ON y.probe_id = x.probe_id AND y.vec_id <> x.vec_id
+  JOIN embeddings ea ON ea.vec_id = x.vec_id
+  JOIN embeddings eb ON eb.vec_id = y.vec_id
+),
+sel1 AS MATERIALIZED (
+  SELECT probe_id, vec_id, rel, rel AS score, 1 AS sel_rank FROM (
+    SELECT probe_id, vec_id, rel,
+           row_number() OVER (PARTITION BY probe_id
+             ORDER BY rel DESC, vec_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)"""
+    for r in range(2, _MMR_K + 1):
+        ctes += f""",
+s{r} AS MATERIALIZED (
+  SELECT probe_id, vec_id, rel, score, {r} AS sel_rank FROM (
+    SELECT c.probe_id, c.vec_id, c.rel, c.rel - m.maxsim AS score,
+           row_number() OVER (PARTITION BY c.probe_id
+             ORDER BY c.rel - m.maxsim DESC, c.vec_id) AS rn
+    FROM cand c
+    JOIN (
+      SELECT ps.probe_id, ps.a, max(ps.sim) AS maxsim
+      FROM ps JOIN sel{r - 1} s
+        ON s.probe_id = ps.probe_id AND s.vec_id = ps.b
+      GROUP BY ps.probe_id, ps.a
+    ) m ON m.probe_id = c.probe_id AND m.a = c.vec_id
+    WHERE NOT EXISTS (
+      SELECT 1 FROM sel{r - 1} s
+      WHERE s.probe_id = c.probe_id AND s.vec_id = c.vec_id
+    )
+  ) WHERE rn = 1
+),
+sel{r} AS MATERIALIZED (
+  SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM s{r}
+)"""
+    return (
+        ctes
+        + f"""
+SELECT probe_id, CAST(sel_rank AS INTEGER) AS sel_rank, vec_id, rel, score
+FROM sel{_MMR_K}
+"""
+    )
+
+
+def test_mmr_rerank_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:sim_mmr_rerank",
+        fn=_mmr_fn,
+        oracle=_mmr_sql(),
+        category="similarity",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
+def test_mmr_rerank_diversifies(spark, sf_oracle_dir):
+    """MMR must actually reorder something vs plain top-k: at least one
+    probe's MMR selection differs from its top-5 by relevance (if the
+    fixture never exercises the diversity term, the twin would verify a
+    no-op)."""
+    out = _mmr_fn(spark, sf_oracle_dir).collect()
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r["probe_id"], {})[r["sel_rank"]] = (
+            r["vec_id"],
+            r["rel"],
+        )
+    diverged = 0
+    for sel in by_probe.values():
+        by_rel = sorted(
+            ((v[1], v[0]) for v in sel.values()), key=lambda t: (-t[0], t[1])
+        )
+        mmr_order = [sel[k][0] for k in sorted(sel)]
+        if mmr_order != [i for _, i in by_rel]:
+            diverged += 1
+    assert diverged > 0
+
+
 def test_er_golden_record_has_multi_member_clusters(spark, sf_oracle_dir):
     """Survivorship must actually merge something: the matcher's
     min-partkey representative links same-name probes, so the fixture
