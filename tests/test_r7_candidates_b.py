@@ -359,6 +359,117 @@ def test_mmr_rerank_diversifies(spark, sf_oracle_dir):
     assert diverged > 0
 
 
+# ---------------------------------------------------------------------------
+# a26_dim_covariance + sim_pca_power — feature covariance matrix and its
+# dominant direction (integer-exact, fixed-round power iteration)
+# ---------------------------------------------------------------------------
+
+_COV_DIM = 64
+_COV_Q = 1_000
+_PCA_ROUNDS = 4
+_PCA_SCALE = 1_000_000
+_PCA_CDIV = 1_000
+
+_COV_CTES = f"""
+q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {_COV_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+ex AS MATERIALIZED (
+  SELECT vec_id, i, q[i] AS qi
+  FROM q, unnest(generate_series(1, {_COV_DIM})) t(i)
+),
+cov AS MATERIALIZED (
+  SELECT CAST(a.i AS INTEGER) AS i, CAST(b.i AS INTEGER) AS j,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) * CAST(sum(a.qi * b.qi) AS BIGINT)
+              - CAST(sum(a.qi) AS BIGINT) * CAST(sum(b.qi) AS BIGINT)
+              AS BIGINT) AS cov_num
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+)"""
+
+
+def _cov_fn(spark, sf_dir):
+    from x8313_etl_spark.operators.covariance import dim_comoment
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dim_comoment(emb, dim=_COV_DIM, qscale=_COV_Q)
+
+
+def test_dim_covariance_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:a26_dim_covariance",
+        fn=_cov_fn,
+        oracle=f"WITH {_COV_CTES}\nSELECT i, j, n, cov_num FROM cov",
+        category="aggregates",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
+def _pca_fn(spark, sf_dir):
+    from x8313_etl_spark.operators.covariance import (
+        dim_comoment,
+        full_matrix,
+        pca_power_topvec,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    com = dim_comoment(emb, dim=_COV_DIM, qscale=_COV_Q)
+    v = pca_power_topvec(
+        full_matrix(com),
+        _COV_DIM,
+        rounds=_PCA_ROUNDS,
+        scale=_PCA_SCALE,
+        cdiv=_PCA_CDIV,
+        ledger_key="r7.pca.power",
+    )
+    return v.select(F.col("i").cast("int").alias("i"), "v")
+
+
+def _pca_sql():
+    ctes = (
+        f"WITH {_COV_CTES},\n"
+        f"""cm AS MATERIALIZED (
+  SELECT i, j, c // {_PCA_CDIV} AS c FROM (
+    SELECT i, j, cov_num AS c FROM cov
+    UNION ALL
+    SELECT j AS i, i AS j, cov_num AS c FROM cov WHERE i <> j
+  )
+),
+v0 AS (
+  SELECT CAST(i AS INTEGER) AS i, CAST({_PCA_SCALE} AS BIGINT) AS v
+  FROM (SELECT unnest(generate_series(1, {_COV_DIM})) AS i)
+)"""
+    )
+    for r in range(1, _PCA_ROUNDS + 1):
+        ctes += f""",
+r{r} AS MATERIALIZED (
+  SELECT c.i, CAST(sum(c.c * v.v) AS BIGINT) AS raw
+  FROM cm c JOIN v{r - 1} v ON v.i = c.j GROUP BY c.i
+),
+v{r} AS MATERIALIZED (
+  SELECT i,
+         raw // ((SELECT max(abs(raw)) FROM r{r}) // {_PCA_SCALE} + 1) AS v
+  FROM r{r}
+)"""
+    return ctes + f"\nSELECT i, CAST(v AS BIGINT) AS v FROM v{_PCA_ROUNDS}"
+
+
+def test_pca_power_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:sim_pca_power",
+        fn=_pca_fn,
+        oracle=_pca_sql(),
+        category="similarity",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
 def test_er_golden_record_has_multi_member_clusters(spark, sf_oracle_dir):
     """Survivorship must actually merge something: the matcher's
     min-partkey representative links same-name probes, so the fixture
