@@ -215,6 +215,125 @@ def test_er_golden_record_twin(spark, sf_oracle_dir):
 
 
 # ---------------------------------------------------------------------------
+# t18_stream_ingest_dedup — arrival-order dedup as a foreachBatch stream
+# ---------------------------------------------------------------------------
+
+
+def _t18_fn(spark, sf_dir):
+    import os
+    import shutil
+    import time as _time
+    import uuid as _uuid
+
+    from x8313_etl_spark.operators.ingestdedup import IngestDedupSink
+    from x8313_etl_spark.queries.sources_q import _tag, scratch
+
+    d = load_table(spark, sf_dir, "documents")
+    index = d.filter(F.col("doc_id") % _DELTA_MOD != 0)
+    batch = d.filter(F.col("doc_id") % _DELTA_MOD == 0).select(
+        "doc_id", "text"
+    )
+
+    family = scratch(f"t18_ingestdedup_{_tag(sf_dir)}")
+    cutoff = _time.time() - 1800
+    for sub in os.listdir(family) if os.path.isdir(family) else []:
+        p = os.path.join(family, sub)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    work = os.path.join(family, _uuid.uuid4().hex[:12])
+    src, ckpt = os.path.join(work, "src"), os.path.join(work, "ckpt")
+    os.makedirs(src)
+
+    # 4 id-RANGE files with increasing mtimes: the file source takes the
+    # oldest first under maxFilesPerTrigger=1, so micro-batch boundaries
+    # respect id order — the sink's "earlier document" feed contract
+    ids = sorted(r["doc_id"] for r in batch.select("doc_id").collect())
+    size = (len(ids) + 3) // 4
+    t0 = _time.time() - 100
+    for i in range(4):
+        chunk = set(ids[i * size : (i + 1) * size])
+        tmp = os.path.join(work, f"w{i}")
+        batch.filter(F.col("doc_id").isin(chunk)).coalesce(1).write.parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and f.startswith("part-")
+        )
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (t0 + 10 * i, t0 + 10 * i))
+
+    sink = IngestDedupSink(os.path.join(work, "state"), threshold=_INC_TAU)
+    sink.init_index(index)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink.apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("t18 ingest-dedup stream did not finish in 180s")
+    return sink.read_verdicts(spark)
+
+
+def _t18_sql():
+    """One-shot SQL over the whole feed: dup iff a band-colliding
+    Jaccard ≥ τ partner exists among the index OR any smaller-id new
+    doc — exactly the arrival-order semantics the sink accumulates."""
+    from x8313_etl_spark.queries.llm import _SQL_SHINGLE_CTES
+
+    return f"""
+WITH {_SQL_SHINGLE_CTES},
+pairs AS (
+  SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+         CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
+           / len(list_distinct(n.sh || o.sh)) AS jaccard,
+         len(list_filter(generate_series(0, 7), bi ->
+             list_slice(n.sig, bi*4 + 1, bi*4 + 4)
+               = list_slice(o.sig, bi*4 + 1, bi*4 + 4))) AS n_band_hits
+  FROM sig n JOIN sig o
+    ON n.doc_id % {_DELTA_MOD} = 0
+   AND (o.doc_id % {_DELTA_MOD} <> 0 OR o.doc_id < n.doc_id)
+),
+best AS (
+  SELECT new_id, old_id, jaccard FROM (
+    SELECT new_id, old_id, jaccard,
+           row_number() OVER (
+             PARTITION BY new_id ORDER BY jaccard DESC, old_id
+           ) AS rn
+    FROM pairs WHERE n_band_hits > 0 AND jaccard >= {_INC_TAU}
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       best.old_id IS NOT NULL AS is_dup,
+       best.old_id AS dup_of,
+       best.jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % {_DELTA_MOD} = 0) d
+LEFT JOIN best ON best.new_id = d.doc_id
+"""
+
+
+def test_stream_ingest_dedup_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:t18_stream_ingest_dedup",
+        fn=_t18_fn,
+        oracle=_t18_sql(),
+        category="streaming",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
+# ---------------------------------------------------------------------------
 # sim_mmr_rerank — MMR diversity re-rank of exact-cosine candidates
 # ---------------------------------------------------------------------------
 
