@@ -104,3 +104,50 @@ def test_kmeans_update_is_map_side_combined(spark, sf_dir):
     # k x dim cells, not N x dim rows
     assert "partial_sum" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_band_join_shapes(spark, sf_dir):
+    from x8313_etl_spark.operators.increment import incremental_near_dups
+
+    d = _docs(spark, sf_dir)
+    out = incremental_near_dups(
+        d.filter(F.col("doc_id") % 5 != 0), d.filter(F.col("doc_id") % 5 == 0)
+    )
+    plan = _plan(out)
+    # batch x index is an equi-join on band keys; the hot-bucket guard
+    # is a broadcast anti-join — never a cartesian or nested loop
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dim_comoment_is_single_scan_map_side_combined(spark, sf_dir):
+    from x8313_etl_spark.operators.covariance import dim_comoment
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(dim_comoment(e, dim=64))
+    # the pair expansion is IN-ROW: one pruned scan, zero joins, and a
+    # partial+final aggregate pair so the shuffle carries only d^2
+    # groups per task
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") == 2, plan
+    seg = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "vec_id" not in seg and "label" not in seg, seg
+
+
+def test_mmr_rounds_have_no_cartesian(spark):
+    from x8313_etl_spark.operators.mmr import mmr_select
+
+    cand = spark.createDataFrame(
+        [(0, i, float(i)) for i in range(6)],
+        "probe_id long, vec_id long, rel double",
+    )
+    ps = spark.createDataFrame(
+        [(0, a, b, 0.1) for a in range(6) for b in range(6) if a != b],
+        "probe_id long, a long, b long, sim double",
+    )
+    plan = _plan(mmr_select(cand, ps, k=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
