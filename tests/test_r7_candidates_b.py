@@ -479,6 +479,88 @@ def test_mmr_rerank_diversifies(spark, sf_oracle_dir):
 
 
 # ---------------------------------------------------------------------------
+# p_rag_context_pack — greedy token-budget packing of ranked retrieval
+# ---------------------------------------------------------------------------
+
+_RAG_BUDGET = 160  # context-window tokens per query (fixture-scaled)
+
+
+def _rag_pack_fn(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from x8313_etl_spark.queries.corpus_q import p_bm25_topk
+
+    ret = p_bm25_topk(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("q_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ret.join(toks, "doc_id")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _RAG_BUDGET)
+        .select("q_id", "rn", "doc_id", "n_tokens", "cum_tokens")
+    )
+
+
+def _rag_pack_sql():
+    from x8313_etl_spark.registry import registry
+
+    bm25 = registry()["p_bm25_topk"].oracle
+    return f"""
+WITH ret AS MATERIALIZED ({bm25}),
+toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT r.q_id, r.rn, r.doc_id, t.n_tokens,
+         sum(t.n_tokens) OVER (
+           PARTITION BY r.q_id ORDER BY r.rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_tokens
+  FROM ret r JOIN toks t ON t.doc_id = r.doc_id
+)
+SELECT q_id, rn, doc_id, n_tokens, cum_tokens
+FROM packed WHERE cum_tokens <= {_RAG_BUDGET}
+"""
+
+
+def test_rag_context_pack_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:p_rag_context_pack",
+        fn=_rag_pack_fn,
+        oracle=_rag_pack_sql(),
+        category="pipeline",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
+def test_rag_context_pack_budget_is_exercised(spark, sf_oracle_dir):
+    """The budget must actually truncate (some query keeps fewer than
+    top-k) AND actually pack (some query keeps more than one doc) —
+    otherwise the window/cumsum logic is untested at this sf."""
+    out = _rag_pack_fn(spark, sf_oracle_dir)
+    per_q = {
+        r["q_id"]: r["kept"]
+        for r in out.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("kept"))
+        .collect()
+    }
+    from x8313_etl_spark.queries.corpus_q import BM25_TOP_K
+
+    assert any(k < BM25_TOP_K for k in per_q.values())
+    assert any(k > 1 for k in per_q.values())
+
+
+# ---------------------------------------------------------------------------
 # a26_dim_covariance + sim_pca_power — feature covariance matrix and its
 # dominant direction (integer-exact, fixed-round power iteration)
 # ---------------------------------------------------------------------------
