@@ -334,6 +334,91 @@ def test_stream_ingest_dedup_twin(spark, sf_oracle_dir):
 
 
 # ---------------------------------------------------------------------------
+# dq4_key_skew_profile — join-key heavy-hitter / skew profiler
+# ---------------------------------------------------------------------------
+
+_DQ4_TOP = 20
+
+
+def _dq4_fn(spark, sf_dir):
+    """The diagnostic behind every salting decision (operators/skew.py,
+    bandjoin's hot-bucket caps): per-key frequencies of a join key,
+    global top-N heavy hitters WITHOUT an all-to-one sort
+    (operators/globalrank.py two-phase rank), and integer skew metrics
+    — share in ppm and ratio-to-mean ×1000, both truncating div so the
+    twin is engine-exact."""
+    from x8313_etl_spark.operators.globalrank import with_global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = per.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    ranked = with_global_rank(
+        per,
+        [F.col("cnt").desc(), F.col("key")],
+        partitions=8,
+        key="r7.dq4.rank",
+    )
+    return (
+        ranked.filter(F.col("rn") < _DQ4_TOP)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "cnt",
+            (F.col("rn") + 1).cast("int").alias("rnk"),
+            F.expr("cnt * 1000000 div total").alias("share_ppm"),
+            F.expr("cnt * 1000 * n_keys div total").alias("skew_x1000"),
+        )
+    )
+
+
+_DQ4_SQL = f"""
+WITH per AS MATERIALIZED (
+  SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY 1
+),
+stats AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM per
+),
+ranked AS (
+  SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rnk FROM per
+)
+SELECT r.key, r.cnt, CAST(r.rnk AS INTEGER) AS rnk,
+       r.cnt * 1000000 // s.total AS share_ppm,
+       r.cnt * 1000 * s.n_keys // s.total AS skew_x1000
+FROM ranked r CROSS JOIN stats s WHERE r.rnk <= {_DQ4_TOP}
+"""
+
+
+def test_key_skew_profile_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:dq4_key_skew_profile",
+        fn=_dq4_fn,
+        oracle=_DQ4_SQL,
+        category="quality",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
+def test_key_skew_profile_no_all_to_one(spark, sf_oracle_dir):
+    plan = (
+        _dq4_fn(spark, sf_oracle_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exactly two bounded single-partition stages are permissible: the
+    # per-partition COUNT table inside with_global_rank (≤ partitions
+    # rows) and the 1-row scalar stats reduce (map-side combined); the
+    # per-key table itself must never funnel through one task
+    assert plan.count("Exchange SinglePartition") <= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
 # sim_mmr_rerank — MMR diversity re-rank of exact-cosine candidates
 # ---------------------------------------------------------------------------
 
