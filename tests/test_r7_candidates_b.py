@@ -334,6 +334,157 @@ def test_stream_ingest_dedup_twin(spark, sf_oracle_dir):
 
 
 # ---------------------------------------------------------------------------
+# w16_funnel_conversion — ordered event funnel with per-step conversion
+# ---------------------------------------------------------------------------
+
+_FUNNEL = ("view", "click", "purchase")
+
+
+def _funnel_fn(spark, sf_dir):
+    """Windowed ordered funnel: step k counts users whose first step-k
+    event lands within W after their first qualifying step-(k-1)
+    event — the product-analytics conversion query. W is DATA-DERIVED
+    (the lower-median view→click gap, ranked without an all-to-one
+    stage via the two-phase global rank), so the window constraint
+    bites non-trivially at every sf (the g3 quantile-threshold
+    discipline: a constant W is either vacuous or empty when the
+    fixture's time density changes). Each stage is one filtered
+    aggregate + equi-join on user_id — shuffle bounded by the user
+    set, never the event stream. conv_ppm is integer truncating div."""
+    from x8313_etl_spark.operators.globalrank import with_global_rank
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    view = (
+        ev.filter(F.col("event_type") == _FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t"))
+    )
+    craw = (
+        ev.filter(F.col("event_type") == _FUNNEL[1])
+        .join(view.select("user_id", F.col("t").alias("tp")), "user_id")
+        .filter(F.col("tus") > F.col("tp"))
+        .groupBy("user_id")
+        .agg((F.min("tus") - F.first("tp")).alias("gap"))
+    )
+    ranked = with_global_rank(
+        craw.select("user_id", "gap"),
+        [F.col("gap"), F.col("user_id")],
+        partitions=8,
+        key="r7.funnel.gaprank",
+        count_col="n_gaps",
+    )
+    wnd = ranked.filter(
+        F.col("rn") == F.expr("(n_gaps - 1) div 2")
+    ).select(F.col("gap").alias("window_us"))
+
+    stage, steps = view, [view]
+    for name in _FUNNEL[1:]:
+        stage = (
+            ev.filter(F.col("event_type") == name)
+            .join(stage.select("user_id", F.col("t").alias("tp")), "user_id")
+            .crossJoin(F.broadcast(wnd))
+            .filter(
+                (F.col("tus") > F.col("tp"))
+                & (F.col("tus") <= F.col("tp") + F.col("window_us"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("tus").alias("t"))
+        )
+        steps.append(stage)
+    counts = None
+    for i, s in enumerate(steps):
+        c = s.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).alias("step"), "n_users"
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    prev = counts.select(
+        (F.col("step") + 1).alias("step"), F.col("n_users").alias("n_prev")
+    )
+    return (
+        counts.join(prev, "step", "left")
+        .crossJoin(F.broadcast(wnd))
+        .select(
+            "step",
+            "n_users",
+            F.when(F.col("step") == 1, F.lit(1_000_000).cast("bigint"))
+            .otherwise(F.expr("n_users * 1000000 div n_prev"))
+            .alias("conv_ppm"),
+            "window_us",
+        )
+    )
+
+
+_FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+),
+v AS (
+  SELECT user_id, min(tus) AS t1 FROM ev
+  WHERE event_type = 'view' GROUP BY 1
+),
+craw AS (
+  SELECT e.user_id, min(e.tus) - any_value(v.t1) AS gap
+  FROM ev e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.tus > v.t1 GROUP BY 1
+),
+wnd AS (
+  SELECT gap AS window_us FROM (
+    SELECT gap,
+           row_number() OVER (ORDER BY gap, user_id) AS rn,
+           count(*) OVER () AS n_gaps
+    FROM craw
+  ) WHERE rn - 1 = (n_gaps - 1) // 2
+),
+c AS (
+  SELECT e.user_id, min(e.tus) AS t2
+  FROM ev e JOIN v ON v.user_id = e.user_id CROSS JOIN wnd w
+  WHERE e.event_type = 'click'
+    AND e.tus > v.t1 AND e.tus <= v.t1 + w.window_us
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.tus) AS t3
+  FROM ev e JOIN c ON c.user_id = e.user_id CROSS JOIN wnd w
+  WHERE e.event_type = 'purchase'
+    AND e.tus > c.t2 AND e.tus <= c.t2 + w.window_us
+  GROUP BY 1
+),
+s AS (
+  SELECT 1 AS step, count(*) AS n_users FROM v
+  UNION ALL SELECT 2, count(*) FROM c
+  UNION ALL SELECT 3, count(*) FROM p
+)
+SELECT CAST(s.step AS INTEGER) AS step, s.n_users,
+       CASE WHEN s.step = 1 THEN CAST(1000000 AS BIGINT)
+            ELSE s.n_users * 1000000 // pr.n_users END AS conv_ppm,
+       w.window_us
+FROM s LEFT JOIN s pr ON pr.step = s.step - 1 CROSS JOIN wnd w
+"""
+
+
+def test_funnel_conversion_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:w16_funnel_conversion",
+        fn=_funnel_fn,
+        oracle=_FUNNEL_SQL,
+        category="windows",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
+def test_funnel_actually_narrows(spark, sf_oracle_dir):
+    rows = {r["step"]: r for r in _funnel_fn(spark, sf_oracle_dir).collect()}
+    assert rows[1]["n_users"] >= rows[2]["n_users"] >= rows[3]["n_users"]
+    assert rows[3]["n_users"] > 0  # every step exercised at this sf
+    assert rows[2]["conv_ppm"] < 1_000_000  # the ordering constraint bites
+
+
+# ---------------------------------------------------------------------------
 # dq4_key_skew_profile — join-key heavy-hitter / skew profiler
 # ---------------------------------------------------------------------------
 
