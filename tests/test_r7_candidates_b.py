@@ -334,6 +334,91 @@ def test_stream_ingest_dedup_twin(spark, sf_oracle_dir):
 
 
 # ---------------------------------------------------------------------------
+# m9_time_travel — snapshot history audit across commit/delete/append
+# ---------------------------------------------------------------------------
+
+_M9_INS_OFFSET = 10_000_000
+
+
+def _m9_fn(spark, sf_dir):
+    """Time travel over the snapshot chain: v0 = base commit (4 files),
+    v1 = merge-on-read DELETE (positional tombstones — v0's files are
+    untouched), v2 = APPEND (delta dir, parent tombstones stay live).
+    The query reads EVERY version via read(version=...) and emits
+    per-version row counts + balance cents — so the twin (which
+    reconstructs each version's content declaratively from the fixture)
+    verifies that history is actually immutable: a delete that rewrote
+    v0, or an append that dropped the tombstones, hash-mismatches."""
+    import shutil
+
+    from x8313_etl_spark.operators.snapshots import SnapshotTable
+    from x8313_etl_spark.queries.sources_q import _tag, scratch
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    path = scratch(f"m9_tt_{_tag(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    tbl = SnapshotTable(path)
+    tbl.commit(base.repartition(4))  # v0
+    tbl.delete_where(spark, F.col("c_acctbal") < 0)  # v1
+    ins = base.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + _M9_INS_OFFSET).alias("c_custkey"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    tbl.commit(ins, mode="append")  # v2
+
+    out = None
+    for v in (0, 1, 2):
+        snap = tbl.read(spark, version=v).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("c_acctbal") * 100).cast("bigint")
+            ).alias("bal_cents"),
+        ).select(F.lit(v).alias("version"), "n_rows", "bal_cents")
+        out = snap if out is None else out.unionByName(snap)
+    return out
+
+
+_M9_SQL = f"""
+WITH v0 AS (SELECT c_custkey, c_acctbal FROM customer),
+v1 AS (SELECT * FROM v0 WHERE NOT (c_acctbal < 0)),
+v2 AS (
+  SELECT * FROM v1
+  UNION ALL
+  SELECT c_custkey + {_M9_INS_OFFSET} AS c_custkey, 0.0 AS c_acctbal
+  FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT 0 AS version, count(*) AS n_rows,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM v0
+UNION ALL
+SELECT 1, count(*),
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) FROM v1
+UNION ALL
+SELECT 2, count(*),
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) FROM v2
+"""
+
+
+def test_time_travel_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:m9_time_travel",
+        fn=_m9_fn,
+        oracle=_M9_SQL,
+        category="etl",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
+def test_time_travel_versions_differ(spark, sf_oracle_dir):
+    rows = {r["version"]: r for r in _m9_fn(spark, sf_oracle_dir).collect()}
+    assert rows[0]["n_rows"] > rows[1]["n_rows"]  # the delete bit
+    assert rows[2]["n_rows"] > rows[1]["n_rows"]  # the append bit
+
+
+# ---------------------------------------------------------------------------
 # w16_funnel_conversion — ordered event funnel with per-step conversion
 # ---------------------------------------------------------------------------
 
