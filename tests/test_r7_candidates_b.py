@@ -334,6 +334,88 @@ def test_stream_ingest_dedup_twin(spark, sf_oracle_dir):
 
 
 # ---------------------------------------------------------------------------
+# w17_last_touch_attribution — revenue attribution to the last touch event
+# ---------------------------------------------------------------------------
+
+
+def _attr_fn(spark, sf_dir):
+    """Last-touch attribution: each purchase's value is credited to the
+    most recent preceding non-purchase event of the same user (ties
+    broken by event_id; no preceding touch → 'direct'), then revenue
+    rolls up per touch channel. One window pass per user stream + one
+    small aggregate — the shuffle is keyed by user, never global.
+    Revenue is summed in integer cents (engine-exact)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.col("value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    purchases = (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(F.col("touch"), F.lit("direct")).alias("channel"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    return purchases.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+
+
+_ATTR_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS tus, value
+  FROM events
+),
+tagged AS (
+  SELECT *,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY tus, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS touch
+  FROM ev
+)
+SELECT coalesce(touch, 'direct') AS channel,
+       count(*) AS n_purchases,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM tagged WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+def test_last_touch_attribution_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:w17_last_touch_attribution",
+        fn=_attr_fn,
+        oracle=_ATTR_SQL,
+        category="windows",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
+def test_attribution_covers_multiple_channels(spark, sf_oracle_dir):
+    rows = {r["channel"]: r["n_purchases"] for r in _attr_fn(spark, sf_oracle_dir).collect()}
+    assert len(rows) >= 3  # several touch channels actually credited
+
+
+# ---------------------------------------------------------------------------
 # m9_time_travel — snapshot history audit across commit/delete/append
 # ---------------------------------------------------------------------------
 
