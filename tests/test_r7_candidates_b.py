@@ -334,6 +334,124 @@ def test_stream_ingest_dedup_twin(spark, sf_oracle_dir):
 
 
 # ---------------------------------------------------------------------------
+# g11_knn_graph — mutual k-NN graph over IVF buckets (every vector a node)
+# ---------------------------------------------------------------------------
+
+_KNN_GRAPH_K = 5
+
+
+def _knn_graph_fn(spark, sf_dir):
+    """k-NN GRAPH construction: every vector (not a probe subset) gets
+    its top-k within-bucket cosine neighbors, plus a mutual flag (dst
+    also lists src) — the adjacency that SemDeDup clustering, GNN
+    message passing (g10), and connectivity analyses consume. Reuses
+    the pooled IVF assignment; the bucket self-join shuffles on
+    cent_id, which has only K distinct keys — at scale the dial is the
+    salted bucket join (operators/bandjoin.py salted_band_self_join /
+    AQE skew join), documented rather than needed at fixture size.
+    Candidate volume is Σ bucket², never corpus²."""
+    from pyspark.sql import Window
+
+    from x8313_etl_spark.functions.vector import dot
+    from x8313_etl_spark.queries.similarity_q import _ivf_assign
+
+    assign = _ivf_assign(spark, sf_dir)
+    left = assign.select(
+        "cent_id",
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("svec"),
+        F.col("vnorm").alias("snorm"),
+    )
+    cos = dot(F.col("svec"), F.col("embedding")) / (
+        F.col("snorm") * F.col("vnorm")
+    )
+    rn = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), F.col("dst")
+    )
+    edges = (
+        assign.join(left, "cent_id")
+        .filter(F.col("vec_id") != F.col("src"))
+        .select("src", F.col("vec_id").alias("dst"), cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") <= _KNN_GRAPH_K)
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).withColumn("m", F.lit(1))
+    return (
+        edges.join(rev, ["src", "dst"], "left")
+        .select(
+            "src",
+            "dst",
+            "cos_sim",
+            F.col("rn").cast("int").alias("rn"),
+            F.coalesce(F.col("m"), F.lit(0)).cast("int").alias("mutual"),
+        )
+    )
+
+
+def _knn_graph_sql():
+    from x8313_etl_spark.functions.vector import sql_cosine
+    from x8313_etl_spark.queries.similarity_q import _K_CENTROIDS
+
+    cos_pc = sql_cosine("p.embedding", "m.embedding")
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+         WHERE vec_id < {_K_CENTROIDS}),
+assign AS MATERIALIZED (
+  SELECT vec_id, cent_id, embedding FROM (
+    SELECT e.vec_id, cent.cent_id, e.embedding,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {sql_cosine('e.embedding', 'cent.cvec')} DESC,
+                      cent.cent_id
+           ) AS crn
+    FROM e CROSS JOIN cent
+  ) WHERE crn = 1
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, cos_sim, rn FROM (
+    SELECT p.vec_id AS src, m.vec_id AS dst, {cos_pc} AS cos_sim,
+           row_number() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY {cos_pc} DESC, m.vec_id
+           ) AS rn
+    FROM assign p JOIN assign m
+      ON p.cent_id = m.cent_id AND m.vec_id != p.vec_id
+  ) WHERE rn <= {_KNN_GRAPH_K}
+)
+SELECT a.src, a.dst, a.cos_sim, CAST(a.rn AS INTEGER) AS rn,
+       CAST(CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS mutual
+FROM edges a
+LEFT JOIN (SELECT DISTINCT src, dst FROM edges) b
+  ON b.src = a.dst AND b.dst = a.src
+"""
+
+
+def test_knn_graph_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r7:g11_knn_graph",
+        fn=_knn_graph_fn,
+        oracle=_knn_graph_sql(),
+        category="graph",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
+def test_knn_graph_shape(spark, sf_oracle_dir):
+    out = _knn_graph_fn(spark, sf_oracle_dir).persist()
+    n_nodes = out.select("src").distinct().count()
+    total = load_table(spark, sf_oracle_dir, "embeddings").count()
+    assert n_nodes == total  # EVERY vector is a node (buckets have > k+1 members)
+    mut = out.filter(F.col("mutual") == 1).count()
+    assert 0 < mut < out.count()  # mutual flag non-trivially split
+    out.unpersist()
+
+
+# ---------------------------------------------------------------------------
 # w17_last_touch_attribution — revenue attribution to the last touch event
 # ---------------------------------------------------------------------------
 
