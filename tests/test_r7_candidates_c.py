@@ -1,0 +1,307 @@
+"""Pre-registration oracle checks — round-7 candidate batch C.
+
+Same protocol as tests/test_r7_candidates.py (which see): each test
+runs the EXACT driver compare (tests/oracle_utils.compare_query,
+tolerance 0) on an UNREGISTERED QuerySpec, so a future round's
+registration is a verbatim fn+oracle copy while this round's driver
+verify window keeps its 5-new+45-stalest composition. ROADMAP.md
+"Candidate surface" carries the registration notes.
+
+Batch C families (gaps in the registered surface as of end round 6):
+sequence analytics (Markov transitions), market-basket mining
+(association rules, item-item CF), corpus statistics (PMI
+co-occurrence), graph (local clustering coefficient), aggregates
+(equi-depth histogram via two-phase rank), data quality
+(distribution-drift audit), time series (VWAP bars).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window
+
+from x8313_etl_spark import audit
+from x8313_etl_spark.io import load_table
+from x8313_etl_spark.registry import QuerySpec
+
+from .oracle_utils import compare_query
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _scrub_ledger_keys():
+    """Forget ledger keys introduced by these unregistered candidate fns
+    (the materialization gate audits registered queries only)."""
+    before = set(audit.ledger())
+    yield
+    for key in set(audit.ledger()) - before:
+        audit.forget(key)
+
+
+# ---------------------------------------------------------------------------
+# p_markov_transitions — per-user event-sequence transition matrix
+# ---------------------------------------------------------------------------
+
+
+def _markov_fn(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (session path analysis / next-event model). The lag
+    window shuffles once on user_id — per-user state is bounded by
+    that user's event count — and the transition aggregate is
+    state-space sized (|event_type|^2 <= 25 here), so the output side
+    is a broadcast-scale table at ANY corpus size. prob_ppm is integer
+    floor division (Spark `div` == DuckDB `//`), so rows are
+    engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    c = tr.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    tot = c.groupBy("prev_type").agg(F.sum("n_transitions").alias("row_total"))
+    return (
+        c.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n_transitions",
+            F.expr("(1000000 * n_transitions) div row_total").alias("prob_ppm"),
+        )
+    )
+
+
+_MARKOV_SQL = """
+WITH tr AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+  FROM tr WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+t AS (SELECT prev_type, sum(n_transitions) AS row_total FROM c GROUP BY prev_type)
+SELECT c.prev_type, c.next_type, c.n_transitions,
+       (1000000 * c.n_transitions) // t.row_total AS prob_ppm
+FROM c JOIN t USING (prev_type)
+"""
+
+MARKOV_SPEC = QuerySpec(
+    name="p_markov_transitions",
+    fn=_markov_fn,
+    oracle=_MARKOV_SQL,
+    category="pipeline",
+)
+
+
+def test_markov_transitions_twin(spark, sf_oracle_dir):
+    res = compare_query(spark, MARKOV_SPEC, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
+def test_markov_transitions_nontrivial(spark, sf_oracle_dir):
+    """The matrix must be a real matrix (every state reached from more
+    than one predecessor) and rows must roughly normalize (sum of
+    floor-divided ppm within |row| of 10^6)."""
+    rows = _markov_fn(spark, sf_oracle_dir).collect()
+    prevs = {r.prev_type for r in rows}
+    nexts = {r.next_type for r in rows}
+    assert len(prevs) >= 3 and len(nexts) >= 3
+    from collections import defaultdict
+
+    sums = defaultdict(int)
+    widths = defaultdict(int)
+    for r in rows:
+        sums[r.prev_type] += r.prob_ppm
+        widths[r.prev_type] += 1
+    for p, s in sums.items():
+        assert 10**6 - widths[p] <= s <= 10**6
+
+
+# ---------------------------------------------------------------------------
+# ts_vwap_bars — weekly volume-weighted average price in exact cents
+# ---------------------------------------------------------------------------
+
+
+def _vwap_fn(spark, sf_dir):
+    """Weekly VWAP bars over lineitem: vwap = sum(price*qty)/sum(qty)
+    in exact integer cents (floor division). Quantities in the TPC-H
+    shape are integral doubles, so the bigint cast is exact; prices
+    quantize via the ROUND(x*100) cents idiom (j15's). One map pass +
+    one week-keyed aggregate — partial aggregation map-side, ~52
+    groups/year at any scale. Int64 headroom: cents*qty <= ~5*10^8 per
+    row, so a week's sum overflows only past ~2*10^10 rows/week; at
+    that scale the sum would move to decimal(38,0) — documented, not
+    needed at fixture sfs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.date_trunc("week", "l_shipdate").cast("date").alias("week"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+        .groupBy("week")
+        .agg(
+            F.sum("qty").alias("total_qty"),
+            F.sum(F.col("cents") * F.col("qty")).alias("notional_cents"),
+        )
+        .select(
+            "week",
+            "total_qty",
+            "notional_cents",
+            F.expr("notional_cents div total_qty").alias("vwap_cents"),
+        )
+    )
+
+
+_VWAP_SQL = """
+WITH x AS (
+  SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+)
+SELECT week, sum(qty) AS total_qty,
+       sum(cents * qty) AS notional_cents,
+       sum(cents * qty) // sum(qty) AS vwap_cents
+FROM x GROUP BY week
+"""
+
+VWAP_SPEC = QuerySpec(
+    name="ts_vwap_bars",
+    fn=_vwap_fn,
+    oracle=_VWAP_SQL,
+    category="timeseries",
+)
+
+
+def test_vwap_bars_twin(spark, sf_oracle_dir):
+    res = compare_query(spark, VWAP_SPEC, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
+def test_vwap_bars_nontrivial(spark, sf_oracle_dir):
+    rows = _vwap_fn(spark, sf_oracle_dir).collect()
+    assert len(rows) >= 10  # multiple weekly bars
+    assert all(r.vwap_cents > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# dq5_distribution_drift — binned rate-delta audit between time halves
+# ---------------------------------------------------------------------------
+
+_DRIFT_BINS = 10
+
+
+def _drift_fn(spark, sf_dir):
+    """Distribution-drift audit (the PSI-style check behind model/data
+    monitoring): split events at the median day (quantile-derived, the
+    g3 ceil discipline — day numbers are small ints, exact in double),
+    bin `value` into 10 equi-width bins whose edges come from the
+    REFERENCE half's min/max cents (standard practice: the reference
+    window owns the binning), clamp the current half into the edge
+    bins, and emit per-bin counts + integer ppm rates + the rate delta.
+    Everything after the two scans is bin-count sized (10 rows); the
+    two scalar thresholds broadcast-cross, never collect. Integer
+    cents/ppm throughout, so the audit is engine-exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    thr = ev.agg(F.ceil(F.expr("percentile(day, 0.5)")).alias("thr_day"))
+    halves = ev.crossJoin(F.broadcast(thr)).withColumn(
+        "is_ref", F.col("day") < F.col("thr_day")
+    )
+    edges = halves.filter("is_ref").agg(
+        F.min("cents").alias("mn"), F.max("cents").alias("mx")
+    )
+    binned = (
+        halves.crossJoin(F.broadcast(edges))
+        .select(
+            "is_ref",
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(_DRIFT_BINS - 1),
+                    F.expr(f"(({_DRIFT_BINS} * (cents - mn)) div (mx - mn + 1))"),
+                ),
+            ).alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_cnt"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("cur_cnt"),
+        )
+    )
+    tot = binned.agg(
+        F.sum("ref_cnt").alias("ref_n"), F.sum("cur_cnt").alias("cur_n")
+    )
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "ref_cnt",
+            "cur_cnt",
+            F.expr("(1000000 * ref_cnt) div ref_n").alias("ref_ppm"),
+            F.expr("(1000000 * cur_cnt) div cur_n").alias("cur_ppm"),
+            (
+                F.expr("(1000000 * cur_cnt) div cur_n")
+                - F.expr("(1000000 * ref_cnt) div ref_n")
+            ).alias("delta_ppm"),
+        )
+    )
+
+
+_DRIFT_SQL = f"""
+WITH ev AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+thr AS (SELECT CEIL(quantile_cont(day, 0.5)) AS thr_day FROM ev),
+halves AS (SELECT cents, day < thr.thr_day AS is_ref FROM ev, thr),
+edges AS (SELECT min(cents) AS mn, max(cents) AS mx FROM halves WHERE is_ref),
+binned AS (
+  SELECT greatest(0, least({_DRIFT_BINS - 1},
+           ({_DRIFT_BINS} * (cents - mn)) // (mx - mn + 1))) AS bin,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ref_cnt,
+         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cur_cnt
+  FROM halves, edges GROUP BY 1
+),
+tot AS (SELECT sum(ref_cnt) AS ref_n, sum(cur_cnt) AS cur_n FROM binned)
+SELECT bin, ref_cnt, cur_cnt,
+       (1000000 * ref_cnt) // ref_n AS ref_ppm,
+       (1000000 * cur_cnt) // cur_n AS cur_ppm,
+       (1000000 * cur_cnt) // cur_n - (1000000 * ref_cnt) // ref_n AS delta_ppm
+FROM binned, tot
+"""
+
+DRIFT_SPEC = QuerySpec(
+    name="dq5_distribution_drift",
+    fn=_drift_fn,
+    oracle=_DRIFT_SQL,
+    category="etl",
+)
+
+
+def test_distribution_drift_twin(spark, sf_oracle_dir):
+    res = compare_query(spark, DRIFT_SPEC, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
+def test_distribution_drift_nontrivial(spark, sf_oracle_dir):
+    rows = _drift_fn(spark, sf_oracle_dir).collect()
+    assert len(rows) >= 5  # several populated bins
+    assert sum(r.ref_cnt for r in rows) > 0
+    assert sum(r.cur_cnt for r in rows) > 0
+    # both halves carry real mass in at least 3 bins each
+    assert sum(1 for r in rows if r.ref_cnt > 0) >= 3
+    assert sum(1 for r in rows if r.cur_cnt > 0) >= 3
