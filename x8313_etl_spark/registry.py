@@ -117,36 +117,37 @@ _DRIVER_GREEN = frozenset(
         "a10_max_by_min_by", "a11_pivot", "a11b_unpivot", "a13_hll_sketch_union",
         "a14_cohort_retention", "a15_histogram", "a16_funnel_conversion", "a17_mergeable_moments",
         "a18_bitmap_distinct", "a19_approx_top_k", "a1_groupby_basic", "a20_listagg",
-        "a21_mode", "a22_weighted_median", "a23_count_min", "a2_global_agg",
-        "a3_count_distinct", "a4_approx_count_distinct", "a5_conditional_agg", "a6_rollup",
-        "a6b_cube", "a6c_grouping_sets", "a7_collect_list_set", "a8_statistical_aggs",
-        "a9_percentiles", "a9b_approx_percentiles", "dq2_anomaly_flags", "dq_profile",
-        "f10_explode", "f11_higher_order", "f12_map_functions", "f13_json",
-        "f14_struct_ops", "f15_variant_extract", "f16_url_parse", "f1_string_basics",
-        "f2_string_regex", "f3_string_distance", "f4_datetime_extract", "f5_datetime_arith",
-        "f6_math", "f7_conditional", "f8_hashing", "f9_array_basics",
-        "g1_pagerank", "g2_bfs_hops", "g3_triangle_count", "g4_label_propagation",
-        "g5_kcore", "g6_path_centrality", "h10_returned_items", "h11_important_stock",
-        "h12_late_shipment_priority", "h13_customer_distribution", "h14_promo_effect", "h15_top_supplier",
-        "h16_supplier_part_count", "h17_small_quantity_revenue", "h18_large_volume_customer", "h19_discounted_revenue",
-        "h20_excess_inventory", "h21_waiting_supplier", "h22_sales_opportunity", "h2_min_cost_supplier",
-        "h3_shipping_priority", "h4_order_priority", "h5_local_supplier_volume", "h6_forecast_revenue",
-        "h7_volume_shipping", "h8_market_share", "h9_product_type_profit", "j10_self_join_lag",
-        "j11_star_join_revenue", "j12_salted_skew_join", "j13_null_aware_anti_join", "j14_interval_overlap_join",
-        "j15_band_join", "j17_bloom_semi_join", "j1_inner_equi_join", "j2_left_outer_join",
-        "j2b_full_outer_join", "j2c_right_outer_join", "j3_broadcast_star_join", "j4_left_semi",
-        "j5_left_anti", "j6_cross_join", "j7_theta_join", "j8_range_join",
-        "j9_asof_join", "l10_knn_classify", "l10_knn_ivf", "l1_exact_dedup",
-        "l2_minhash_signature", "l2_near_dup_pairs", "l2c_ngram_jaccard", "l3_cosine_pairs",
-        "l4_topk_cosine", "l5_token_stats", "l6_tfidf", "l7_quality_filter",
-        "l8_doc_vec_join", "l9_label_centroids", "m1_merge_upsert", "m2_time_travel",
-        "m3_incremental_refresh", "m4_deletion_vectors", "m5_equality_deletes", "m6_schema_evolution_snapshots",
-        "m7_wap_publish", "o1_multikey_sort", "o2_limit_offset", "o3_global_topk",
-        "o4_global_sorted_write", "p1_project_computed", "p2_drop_columns", "p3_cast",
-        "p4_predicates", "p5_in_between", "p6_like_rlike", "p7_null_semantics",
-        "p8_distinct", "p9_drop_duplicates", "p_bigram_lm", "p_bm25_topk",
-        "p_bpe_encode", "p_bpe_train", "p_chunk_text", "p_contamination_overlap_score",
-        "p_corpus_clean", "p_decontaminate", "p_dedup_clusters", "p_domain_mix",
+        "a21_mode", "a22_weighted_median", "a23_count_min", "a24_global_median_twophase",
+        "a2_global_agg", "a3_count_distinct", "a4_approx_count_distinct", "a5_conditional_agg",
+        "a6_rollup", "a6b_cube", "a6c_grouping_sets", "a7_collect_list_set",
+        "a8_statistical_aggs", "a9_percentiles", "a9b_approx_percentiles", "dq2_anomaly_flags",
+        "dq_profile", "f10_explode", "f11_higher_order", "f12_map_functions",
+        "f13_json", "f14_struct_ops", "f15_variant_extract", "f16_url_parse",
+        "f1_string_basics", "f2_string_regex", "f3_string_distance", "f4_datetime_extract",
+        "f5_datetime_arith", "f6_math", "f7_conditional", "f8_hashing",
+        "f9_array_basics", "g1_pagerank", "g2_bfs_hops", "g3_triangle_count",
+        "g4_label_propagation", "g5_kcore", "g6_path_centrality", "g7_weighted_sssp",
+        "h10_returned_items", "h11_important_stock", "h12_late_shipment_priority", "h13_customer_distribution",
+        "h14_promo_effect", "h15_top_supplier", "h16_supplier_part_count", "h17_small_quantity_revenue",
+        "h18_large_volume_customer", "h19_discounted_revenue", "h20_excess_inventory", "h21_waiting_supplier",
+        "h22_sales_opportunity", "h2_min_cost_supplier", "h3_shipping_priority", "h4_order_priority",
+        "h5_local_supplier_volume", "h6_forecast_revenue", "h7_volume_shipping", "h8_market_share",
+        "h9_product_type_profit", "j10_self_join_lag", "j11_star_join_revenue", "j12_salted_skew_join",
+        "j13_null_aware_anti_join", "j14_interval_overlap_join", "j15_band_join", "j17_bloom_semi_join",
+        "j1_inner_equi_join", "j2_left_outer_join", "j2b_full_outer_join", "j2c_right_outer_join",
+        "j3_broadcast_star_join", "j4_left_semi", "j5_left_anti", "j6_cross_join",
+        "j7_theta_join", "j8_range_join", "j9_asof_join", "l10_knn_classify",
+        "l10_knn_ivf", "l1_exact_dedup", "l2_minhash_signature", "l2_near_dup_pairs",
+        "l2c_ngram_jaccard", "l3_cosine_pairs", "l4_topk_cosine", "l5_token_stats",
+        "l6_tfidf", "l7_quality_filter", "l8_doc_vec_join", "l9_label_centroids",
+        "m1_merge_upsert", "m2_time_travel", "m3_incremental_refresh", "m4_deletion_vectors",
+        "m5_equality_deletes", "m6_schema_evolution_snapshots", "m7_wap_publish", "m8_delta_join_view",
+        "o1_multikey_sort", "o2_limit_offset", "o3_global_topk", "o4_global_sorted_write",
+        "p1_project_computed", "p2_drop_columns", "p3_cast", "p4_predicates",
+        "p5_in_between", "p6_like_rlike", "p7_null_semantics", "p8_distinct",
+        "p9_drop_duplicates", "p_bigram_lm", "p_bm25_topk", "p_bpe_encode",
+        "p_bpe_train", "p_chunk_text", "p_contamination_overlap_score", "p_corpus_clean",
+        "p_decontaminate", "p_dedup_clusters", "p_domain_mix", "p_er_blocked_match",
         "p_feature_hash", "p_fingerprint", "p_hash_split", "p_inverted_index",
         "p_lang_id", "p_mix_schedule", "p_ngram_lm_kneser_ney", "p_perplexity_filter",
         "p_pii_redact", "p_quality_score", "p_quantize_embeddings", "p_repetition_filter",
@@ -156,22 +157,22 @@ _DRIVER_GREEN = frozenset(
         "s13_orc_roundtrip", "s14_text_roundtrip", "s15_compaction", "s16_corrupt_records",
         "s17_python_datasource", "s18_csv_malformed_modes", "s1_parquet_scan", "s2_schema_pinned_scan",
         "s3_csv_roundtrip", "s4_jsonl_roundtrip", "s5_partitioned_write", "s6_temp_view_sql",
-        "s9_bucketed_join", "sim_ivf_topk", "sim_lsh_neardup", "sim_neardup_exact",
-        "sim_pq_topk", "sim_rerank_two_stage", "t10_stream_stream_join", "t11_session_window",
-        "t12_outer_stream_join", "t13_full_outer_stream_join", "t14_dedup_within_watermark", "t15_foreach_batch_upsert",
-        "t16_stateful_timeout", "t1_tumbling_window", "t2_sliding_window", "t3_session_window",
-        "t4_watermark_append", "t5_stream_dedup", "t6_stream_static_join", "t7_stateful_counter",
-        "t7b_stateful_apws", "t8_update_mode_counts", "t9_stream_parquet_sink", "ts_ewma",
-        "ts_gap_fill", "ts_interpolate", "ts_lttb", "ts_ohlc_bars",
-        "ts_seasonal_decompose", "ts_sliding_dau", "u1_union_all", "u2_union_by_name",
-        "u3_union_distinct", "u4_intersect_all", "u5_except_all", "w10_rolling_median",
-        "w11_cumulative_distinct", "w12_rolling_corr", "w13_match_recognize", "w14_pattern_quantifiers",
-        "w15_gaps_and_islands_dates", "w1_ranking", "w2_distribution", "w3_lag_lead",
-        "w4_running_sum", "w5_sliding_range_sum", "w6_first_last_nth", "w7_topk_per_group",
-        "w8_sessionize", "w9_scd2_intervals", "x10_map_in_arrow", "x12_polymorphic_udtf",
-        "x1_scalar_udf", "x2_pandas_udf", "x3_grouped_agg_udf", "x4_apply_in_pandas",
-        "x5_map_in_pandas", "x6_udtf", "x7_multimodal_decode", "x8_multimodal_frames",
-        "x9_resize_plan",
+        "s9_bucketed_join", "sim_ivf_multiprobe", "sim_ivf_topk", "sim_lsh_neardup",
+        "sim_neardup_exact", "sim_pq_topk", "sim_rerank_two_stage", "t10_stream_stream_join",
+        "t11_session_window", "t12_outer_stream_join", "t13_full_outer_stream_join", "t14_dedup_within_watermark",
+        "t15_foreach_batch_upsert", "t16_stateful_timeout", "t1_tumbling_window", "t2_sliding_window",
+        "t3_session_window", "t4_watermark_append", "t5_stream_dedup", "t6_stream_static_join",
+        "t7_stateful_counter", "t7b_stateful_apws", "t8_update_mode_counts", "t9_stream_parquet_sink",
+        "ts_ewma", "ts_gap_fill", "ts_interpolate", "ts_lttb",
+        "ts_ohlc_bars", "ts_seasonal_decompose", "ts_sliding_dau", "u1_union_all",
+        "u2_union_by_name", "u3_union_distinct", "u4_intersect_all", "u5_except_all",
+        "w10_rolling_median", "w11_cumulative_distinct", "w12_rolling_corr", "w13_match_recognize",
+        "w14_pattern_quantifiers", "w15_gaps_and_islands_dates", "w1_ranking", "w2_distribution",
+        "w3_lag_lead", "w4_running_sum", "w5_sliding_range_sum", "w6_first_last_nth",
+        "w7_topk_per_group", "w8_sessionize", "w9_scd2_intervals", "x10_map_in_arrow",
+        "x12_polymorphic_udtf", "x1_scalar_udf", "x2_pandas_udf", "x3_grouped_agg_udf",
+        "x4_apply_in_pandas", "x5_map_in_pandas", "x6_udtf", "x7_multimodal_decode",
+        "x8_multimodal_frames", "x9_resize_plan",
     }
 )
 
@@ -184,39 +185,40 @@ _DRIVER_GREEN = frozenset(
 #: driver stamp instead of resting on a round-1 row forever (r5 verdict
 #: next-round item 1).
 _DRIVER_STAMP: dict[str, int] = {
-    "a10_max_by_min_by": 1, "a11_pivot": 1, "a11b_unpivot": 3, "a13_hll_sketch_union": 3,
+    "a10_max_by_min_by": 6, "a11_pivot": 6, "a11b_unpivot": 3, "a13_hll_sketch_union": 3,
     "a14_cohort_retention": 3, "a15_histogram": 3, "a16_funnel_conversion": 3, "a17_mergeable_moments": 4,
-    "a18_bitmap_distinct": 3, "a19_approx_top_k": 3, "a1_groupby_basic": 1, "a20_listagg": 3,
-    "a21_mode": 4, "a22_weighted_median": 5, "a23_count_min": 5, "a2_global_agg": 1,
-    "a3_count_distinct": 1, "a4_approx_count_distinct": 1, "a5_conditional_agg": 1, "a6_rollup": 1,
-    "a6b_cube": 1, "a6c_grouping_sets": 1, "a7_collect_list_set": 2, "a8_statistical_aggs": 1,
-    "a9_percentiles": 1, "a9b_approx_percentiles": 2, "dq2_anomaly_flags": 5, "dq_profile": 3,
-    "f10_explode": 2, "f11_higher_order": 2, "f12_map_functions": 2, "f13_json": 2,
-    "f14_struct_ops": 2, "f15_variant_extract": 3, "f16_url_parse": 3, "f1_string_basics": 2,
-    "f2_string_regex": 2, "f3_string_distance": 2, "f4_datetime_extract": 3, "f5_datetime_arith": 2,
-    "f6_math": 2, "f7_conditional": 2, "f8_hashing": 2, "f9_array_basics": 2,
-    "g1_pagerank": 3, "g2_bfs_hops": 4, "g3_triangle_count": 5, "g4_label_propagation": 5,
-    "g5_kcore": 5, "g6_path_centrality": 5, "h10_returned_items": 4, "h11_important_stock": 4,
-    "h12_late_shipment_priority": 4, "h13_customer_distribution": 4, "h14_promo_effect": 4, "h15_top_supplier": 4,
-    "h16_supplier_part_count": 4, "h17_small_quantity_revenue": 4, "h18_large_volume_customer": 4, "h19_discounted_revenue": 4,
-    "h20_excess_inventory": 5, "h21_waiting_supplier": 5, "h22_sales_opportunity": 4, "h2_min_cost_supplier": 5,
-    "h3_shipping_priority": 4, "h4_order_priority": 4, "h5_local_supplier_volume": 4, "h6_forecast_revenue": 4,
-    "h7_volume_shipping": 4, "h8_market_share": 4, "h9_product_type_profit": 4, "j10_self_join_lag": 1,
-    "j11_star_join_revenue": 1, "j12_salted_skew_join": 1, "j13_null_aware_anti_join": 3, "j14_interval_overlap_join": 4,
-    "j15_band_join": 5, "j17_bloom_semi_join": 5, "j1_inner_equi_join": 1, "j2_left_outer_join": 1,
-    "j2b_full_outer_join": 1, "j2c_right_outer_join": 1, "j3_broadcast_star_join": 1, "j4_left_semi": 1,
-    "j5_left_anti": 1, "j6_cross_join": 1, "j7_theta_join": 1, "j8_range_join": 1,
-    "j9_asof_join": 1, "l10_knn_classify": 4, "l10_knn_ivf": 5, "l1_exact_dedup": 2,
-    "l2_minhash_signature": 2, "l2_near_dup_pairs": 2, "l2c_ngram_jaccard": 3, "l3_cosine_pairs": 2,
-    "l4_topk_cosine": 2, "l5_token_stats": 2, "l6_tfidf": 2, "l7_quality_filter": 2,
-    "l8_doc_vec_join": 2, "l9_label_centroids": 2, "m1_merge_upsert": 3, "m2_time_travel": 4,
-    "m3_incremental_refresh": 5, "m4_deletion_vectors": 5, "m5_equality_deletes": 5, "m6_schema_evolution_snapshots": 5,
-    "m7_wap_publish": 5, "o1_multikey_sort": 1, "o2_limit_offset": 1, "o3_global_topk": 1,
-    "o4_global_sorted_write": 4, "p1_project_computed": 1, "p2_drop_columns": 1, "p3_cast": 1,
-    "p4_predicates": 1, "p5_in_between": 1, "p6_like_rlike": 1, "p7_null_semantics": 1,
-    "p8_distinct": 1, "p9_drop_duplicates": 1, "p_bigram_lm": 4, "p_bm25_topk": 4,
-    "p_bpe_encode": 5, "p_bpe_train": 5, "p_chunk_text": 3, "p_contamination_overlap_score": 5,
-    "p_corpus_clean": 3, "p_decontaminate": 3, "p_dedup_clusters": 3, "p_domain_mix": 4,
+    "a18_bitmap_distinct": 3, "a19_approx_top_k": 3, "a1_groupby_basic": 6, "a20_listagg": 3,
+    "a21_mode": 4, "a22_weighted_median": 5, "a23_count_min": 5, "a24_global_median_twophase": 6,
+    "a2_global_agg": 6, "a3_count_distinct": 6, "a4_approx_count_distinct": 6, "a5_conditional_agg": 6,
+    "a6_rollup": 6, "a6b_cube": 6, "a6c_grouping_sets": 6, "a7_collect_list_set": 6,
+    "a8_statistical_aggs": 6, "a9_percentiles": 6, "a9b_approx_percentiles": 6, "dq2_anomaly_flags": 5,
+    "dq_profile": 3, "f10_explode": 2, "f11_higher_order": 2, "f12_map_functions": 2,
+    "f13_json": 2, "f14_struct_ops": 2, "f15_variant_extract": 3, "f16_url_parse": 3,
+    "f1_string_basics": 2, "f2_string_regex": 2, "f3_string_distance": 2, "f4_datetime_extract": 3,
+    "f5_datetime_arith": 2, "f6_math": 2, "f7_conditional": 2, "f8_hashing": 2,
+    "f9_array_basics": 2, "g1_pagerank": 3, "g2_bfs_hops": 4, "g3_triangle_count": 5,
+    "g4_label_propagation": 5, "g5_kcore": 5, "g6_path_centrality": 5, "g7_weighted_sssp": 6,
+    "h10_returned_items": 4, "h11_important_stock": 4, "h12_late_shipment_priority": 4, "h13_customer_distribution": 4,
+    "h14_promo_effect": 4, "h15_top_supplier": 4, "h16_supplier_part_count": 4, "h17_small_quantity_revenue": 4,
+    "h18_large_volume_customer": 4, "h19_discounted_revenue": 4, "h20_excess_inventory": 5, "h21_waiting_supplier": 5,
+    "h22_sales_opportunity": 4, "h2_min_cost_supplier": 5, "h3_shipping_priority": 4, "h4_order_priority": 4,
+    "h5_local_supplier_volume": 4, "h6_forecast_revenue": 4, "h7_volume_shipping": 4, "h8_market_share": 4,
+    "h9_product_type_profit": 4, "j10_self_join_lag": 6, "j11_star_join_revenue": 6, "j12_salted_skew_join": 6,
+    "j13_null_aware_anti_join": 3, "j14_interval_overlap_join": 4, "j15_band_join": 5, "j17_bloom_semi_join": 5,
+    "j1_inner_equi_join": 6, "j2_left_outer_join": 6, "j2b_full_outer_join": 6, "j2c_right_outer_join": 6,
+    "j3_broadcast_star_join": 6, "j4_left_semi": 6, "j5_left_anti": 6, "j6_cross_join": 6,
+    "j7_theta_join": 6, "j8_range_join": 6, "j9_asof_join": 6, "l10_knn_classify": 4,
+    "l10_knn_ivf": 5, "l1_exact_dedup": 2, "l2_minhash_signature": 2, "l2_near_dup_pairs": 2,
+    "l2c_ngram_jaccard": 3, "l3_cosine_pairs": 2, "l4_topk_cosine": 2, "l5_token_stats": 2,
+    "l6_tfidf": 2, "l7_quality_filter": 2, "l8_doc_vec_join": 2, "l9_label_centroids": 2,
+    "m1_merge_upsert": 3, "m2_time_travel": 4, "m3_incremental_refresh": 5, "m4_deletion_vectors": 5,
+    "m5_equality_deletes": 5, "m6_schema_evolution_snapshots": 5, "m7_wap_publish": 5, "m8_delta_join_view": 6,
+    "o1_multikey_sort": 6, "o2_limit_offset": 6, "o3_global_topk": 6, "o4_global_sorted_write": 4,
+    "p1_project_computed": 6, "p2_drop_columns": 6, "p3_cast": 6, "p4_predicates": 6,
+    "p5_in_between": 6, "p6_like_rlike": 6, "p7_null_semantics": 6, "p8_distinct": 6,
+    "p9_drop_duplicates": 6, "p_bigram_lm": 4, "p_bm25_topk": 4, "p_bpe_encode": 5,
+    "p_bpe_train": 5, "p_chunk_text": 3, "p_contamination_overlap_score": 5, "p_corpus_clean": 3,
+    "p_decontaminate": 3, "p_dedup_clusters": 3, "p_domain_mix": 4, "p_er_blocked_match": 6,
     "p_feature_hash": 4, "p_fingerprint": 2, "p_hash_split": 3, "p_inverted_index": 3,
     "p_lang_id": 2, "p_mix_schedule": 5, "p_ngram_lm_kneser_ney": 5, "p_perplexity_filter": 5,
     "p_pii_redact": 3, "p_quality_score": 2, "p_quantize_embeddings": 3, "p_repetition_filter": 3,
@@ -226,22 +228,22 @@ _DRIVER_STAMP: dict[str, int] = {
     "s13_orc_roundtrip": 5, "s14_text_roundtrip": 5, "s15_compaction": 5, "s16_corrupt_records": 5,
     "s17_python_datasource": 5, "s18_csv_malformed_modes": 5, "s1_parquet_scan": 5, "s2_schema_pinned_scan": 5,
     "s3_csv_roundtrip": 5, "s4_jsonl_roundtrip": 5, "s5_partitioned_write": 5, "s6_temp_view_sql": 5,
-    "s9_bucketed_join": 5, "sim_ivf_topk": 2, "sim_lsh_neardup": 2, "sim_neardup_exact": 2,
-    "sim_pq_topk": 5, "sim_rerank_two_stage": 5, "t10_stream_stream_join": 4, "t11_session_window": 4,
-    "t12_outer_stream_join": 4, "t13_full_outer_stream_join": 4, "t14_dedup_within_watermark": 4, "t15_foreach_batch_upsert": 4,
-    "t16_stateful_timeout": 5, "t1_tumbling_window": 3, "t2_sliding_window": 4, "t3_session_window": 3,
-    "t4_watermark_append": 4, "t5_stream_dedup": 4, "t6_stream_static_join": 4, "t7_stateful_counter": 2,
-    "t7b_stateful_apws": 4, "t8_update_mode_counts": 4, "t9_stream_parquet_sink": 4, "ts_ewma": 5,
-    "ts_gap_fill": 4, "ts_interpolate": 4, "ts_lttb": 5, "ts_ohlc_bars": 4,
-    "ts_seasonal_decompose": 5, "ts_sliding_dau": 4, "u1_union_all": 3, "u2_union_by_name": 3,
-    "u3_union_distinct": 3, "u4_intersect_all": 3, "u5_except_all": 3, "w10_rolling_median": 3,
-    "w11_cumulative_distinct": 3, "w12_rolling_corr": 3, "w13_match_recognize": 5, "w14_pattern_quantifiers": 5,
-    "w15_gaps_and_islands_dates": 5, "w1_ranking": 1, "w2_distribution": 1, "w3_lag_lead": 1,
-    "w4_running_sum": 1, "w5_sliding_range_sum": 3, "w6_first_last_nth": 2, "w7_topk_per_group": 2,
-    "w8_sessionize": 3, "w9_scd2_intervals": 3, "x10_map_in_arrow": 4, "x12_polymorphic_udtf": 5,
-    "x1_scalar_udf": 2, "x2_pandas_udf": 2, "x3_grouped_agg_udf": 2, "x4_apply_in_pandas": 2,
-    "x5_map_in_pandas": 2, "x6_udtf": 2, "x7_multimodal_decode": 2, "x8_multimodal_frames": 2,
-    "x9_resize_plan": 2,
+    "s9_bucketed_join": 5, "sim_ivf_multiprobe": 6, "sim_ivf_topk": 2, "sim_lsh_neardup": 2,
+    "sim_neardup_exact": 2, "sim_pq_topk": 5, "sim_rerank_two_stage": 5, "t10_stream_stream_join": 4,
+    "t11_session_window": 4, "t12_outer_stream_join": 4, "t13_full_outer_stream_join": 4, "t14_dedup_within_watermark": 4,
+    "t15_foreach_batch_upsert": 4, "t16_stateful_timeout": 5, "t1_tumbling_window": 3, "t2_sliding_window": 4,
+    "t3_session_window": 3, "t4_watermark_append": 4, "t5_stream_dedup": 4, "t6_stream_static_join": 4,
+    "t7_stateful_counter": 2, "t7b_stateful_apws": 4, "t8_update_mode_counts": 4, "t9_stream_parquet_sink": 4,
+    "ts_ewma": 5, "ts_gap_fill": 4, "ts_interpolate": 4, "ts_lttb": 5,
+    "ts_ohlc_bars": 4, "ts_seasonal_decompose": 5, "ts_sliding_dau": 4, "u1_union_all": 3,
+    "u2_union_by_name": 3, "u3_union_distinct": 3, "u4_intersect_all": 3, "u5_except_all": 3,
+    "w10_rolling_median": 3, "w11_cumulative_distinct": 3, "w12_rolling_corr": 3, "w13_match_recognize": 5,
+    "w14_pattern_quantifiers": 5, "w15_gaps_and_islands_dates": 5, "w1_ranking": 6, "w2_distribution": 6,
+    "w3_lag_lead": 6, "w4_running_sum": 6, "w5_sliding_range_sum": 3, "w6_first_last_nth": 6,
+    "w7_topk_per_group": 2, "w8_sessionize": 3, "w9_scd2_intervals": 3, "x10_map_in_arrow": 4,
+    "x12_polymorphic_udtf": 5, "x1_scalar_udf": 2, "x2_pandas_udf": 2, "x3_grouped_agg_udf": 2,
+    "x4_apply_in_pandas": 2, "x5_map_in_pandas": 2, "x6_udtf": 2, "x7_multimodal_decode": 2,
+    "x8_multimodal_frames": 2, "x9_resize_plan": 2,
 }
 
 
@@ -271,10 +273,15 @@ def _priority(
     isn't starved by them. Within the GREEN block, queries whose last
     driver stamp is oldest sort first — the spare window slots rotate
     onto the stalest greens so a round-1 row is eventually re-earned
-    against today's code, not trusted forever. Ties break on the
-    import-order-independent (module, within-module) registration key,
-    keeping the ordering deterministic regardless of which module a
-    caller imported first."""
+    against today's code, not trusted forever. The four designed
+    rows-only sketches (oracle=None: engine-specific sketch bytes whose
+    correctness contract is their exact-error-bound unit tests) sort
+    AFTER every hash-checkable green regardless of stamp — a window
+    slot spent re-running a rows-only check re-proves nothing the unit
+    tests don't already pin (r6 verdict "what's wrong" #3). Ties break
+    on the import-order-independent (module, within-module)
+    registration key, keeping the ordering deterministic regardless of
+    which module a caller imported first."""
     name, spec = item
     group = 1 if name in _DRIVER_GREEN else 0
     repaired_rank = (
@@ -286,6 +293,7 @@ def _priority(
         group,
         repaired_rank,
         int(spec.category == "streaming"),
+        int(group == 1 and spec.oracle is None),
         _DRIVER_STAMP.get(name, 0) if group else 0,
         _ORDER[name],
     )
