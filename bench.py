@@ -10,6 +10,16 @@ executes the full plan and consumes every row on the executors
 (count of a 1-column projection is NOT used — we force full
 materialization via ``df.write.format("noop")`` so column pruning can't
 fake the numbers).
+
+Timed runs are INTERLEAVED across the whole query set (run the full
+set, then repeat xRUNS) rather than back-to-back per query, so a
+transient host-load spike lands on at most one sample of MANY queries
+instead of all samples of one — r6 measured a 3x intra-run swing on an
+unchanged q1 plan because its 3 consecutive samples caught a load
+burst (r6 verdict "what's wrong" #2). Per-query relative spread
+((max-min)/median) and os.getloadavg() at start/end ship in the JSON
+so a noisy sample is visible instead of masquerading as a plan
+regression.
 """
 
 from __future__ import annotations
@@ -91,15 +101,32 @@ def main() -> None:
     spark = get_spark("x8313-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    timings: dict[str, float] = {}
-    for name, spec in sorted(bench_queries().items()):
-        _run(spec.fn(spark, sf_dir))  # warm-up: JIT, code cache, fs cache
-        samples = []
-        for _ in range(runs):
+    try:
+        load_start = os.getloadavg()[0]
+    except OSError:
+        load_start = None
+
+    specs = dict(sorted(bench_queries().items()))
+    for spec in specs.values():  # warm-up: JIT, code cache, fs cache
+        _run(spec.fn(spark, sf_dir))
+    samples: dict[str, list[float]] = {n: [] for n in specs}
+    # interleaved rounds: the whole set per round, repeated xRUNS (see
+    # module docstring — isolates transient host load to single samples)
+    for _ in range(runs):
+        for name, spec in specs.items():
             t0 = time.perf_counter()
             _run(spec.fn(spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 4)
+            samples[name].append(time.perf_counter() - t0)
+    timings = {n: round(statistics.median(s), 4) for n, s in samples.items()}
+    spread = {
+        n: round((max(s) - min(s)) / statistics.median(s), 3)
+        for n, s in samples.items()
+    }
+
+    try:
+        load_end = os.getloadavg()[0]
+    except OSError:
+        load_end = None
 
     total = round(sum(timings.values()), 4)
     print(
@@ -109,6 +136,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "loadavg_1m": {"start": load_start, "end": load_end},
                 "sf": sf,
                 "cpus": cpus,
                 "runs_per_query": runs,
