@@ -71,9 +71,16 @@ def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
+    from x8313_etl_spark.operators.kmeans import _assign, quantize_vectors
+
     assign, cents = lloyd_kmeans(e, k=4, rounds=1)
-    plan = _plan(assign)
-    # the final assignment's only join is the k-row centroid broadcast
+    # the returned assignment is MATERIALIZED (checkpoint truncates its
+    # lineage — the r6 ADVICE cache-lifetime fix), so the join shape is
+    # asserted on the assignment pass rebuilt against the returned
+    # centroids — the exact plan lloyd_kmeans ran internally
+    assert "Scan ExistingRDD" in _plan(assign)
+    plan = _plan(_assign(quantize_vectors(e), cents))
+    # the assignment's only join is the k-row centroid broadcast
     # (BroadcastNestedLoopJoin over a checkpointed k-row table is the
     # documented IVF-style shape); never a shuffled or cartesian join
     # of the vector table

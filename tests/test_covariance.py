@@ -104,3 +104,33 @@ def test_integer_rounds_track_float_power_iteration(spark, sf_dir):
     vi = np.array([float(x) for x in _ref_power(ref_com)])
     cos = abs(vi @ vf) / (np.linalg.norm(vi) * np.linalg.norm(vf))
     assert cos > 0.999, cos
+
+
+def test_comoment_int64_guard_raises_on_overflow_risk(spark):
+    """cov_num = n·Σqq − Σqi·Σqj grows ~n²·(max|q|)² (ADVICE r6): past
+    the documented 2·n²·max|qi|·max|qj| ≤ 2⁶² headroom the operator
+    must RAISE in-plan, never wrap silently."""
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 1.0]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    out = dim_comoment(emb, dim=2, qscale=10**9)
+    with pytest.raises(Exception, match="overflow"):
+        out.collect()
+
+
+def test_comoment_guard_passes_within_headroom(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["i"], r["j"]): (r["n"], r["cov_num"])
+        for r in dim_comoment(emb, dim=2, qscale=1000).collect()
+    }
+    # exact mirror: q = [[1000,2000],[3000,4000]]
+    assert got[(1, 1)] == (2, 2 * (1000 * 1000 + 3000 * 3000) - 4000 * 4000)
+    assert got[(1, 2)] == (2, 2 * (1000 * 2000 + 3000 * 4000) - 4000 * 6000)
+    assert got[(2, 2)] == (2, 2 * (2000 * 2000 + 4000 * 4000) - 6000 * 6000)

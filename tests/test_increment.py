@@ -69,3 +69,39 @@ def test_hot_bucket_guard_drops_all_when_cap_zero(spark, sf_dir):
     index, batch = _split(spark, sf_dir)
     out = incremental_near_dups(index, batch, max_bucket_size=0).collect()
     assert out and all(not r["is_dup"] for r in out)
+
+
+def test_precomputed_index_tables_match_recompute(spark, sf_dir):
+    """The production contract (ADVICE r6): pass the persisted standing
+    index via index_sig/index_sh and the verdicts must be identical to
+    the recompute path — the index side is consumed as-is."""
+    from x8313_etl_spark.operators.minhash import shingle_table, signature_table
+
+    index, batch = _split(spark, sf_dir)
+    base = incremental_near_dups(index, batch, threshold=_TAU).collect()
+    sig = signature_table(index, "doc_id", "text", 3)
+    sh = shingle_table(index, "doc_id", "text", 3)
+    pre = incremental_near_dups(
+        None, batch, threshold=_TAU, index_sig=sig, index_sh=sh
+    ).collect()
+
+    def key(rows):
+        return sorted(
+            (r["doc_id"], r["is_dup"], r["dup_of"], r["jaccard"]) for r in rows
+        )
+
+    assert key(pre) == key(base)
+    assert any(r["is_dup"] for r in pre)
+
+
+def test_index_tables_must_come_together(spark, sf_dir):
+    import pytest
+
+    from x8313_etl_spark.operators.minhash import signature_table
+
+    index, batch = _split(spark, sf_dir)
+    sig = signature_table(index, "doc_id", "text", 3)
+    with pytest.raises(ValueError, match="together"):
+        incremental_near_dups(index, batch, index_sig=sig)
+    with pytest.raises(ValueError, match="index_docs or index_sig"):
+        incremental_near_dups(None, batch)

@@ -98,3 +98,30 @@ def test_within_batch_earlier_id_wins(spark, state_dir):
     v = _verdicts(sink, spark)
     assert v[10][0] is False
     assert v[20] == (True, 10, 1.0)
+
+
+def test_within_batch_hot_bucket_cap_bounds_self_join(spark, state_dir):
+    """The hot-bucket cap applies to the WITHIN-batch self-join too
+    (ADVICE r6): a band key shared by >cap docs inside one micro-batch
+    must not pair quadratically — the candidate-supplying side drops
+    the bucket, same posture as the accumulated-index guard."""
+    batch = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in (1, 2, 3)],
+        "doc_id long, text string",
+    )
+    index = spark.createDataFrame(
+        [(0, "totally unrelated index document text here")],
+        "doc_id long, text string",
+    )
+    capped = IngestDedupSink(state_dir + "_cap", max_bucket_size=1)
+    capped.init_index(index)
+    capped.apply_batch(batch, 0)
+    v = _verdicts(capped, spark)
+    assert all(not is_dup for is_dup, _, _ in v.values()), v
+
+    # contrast: the default cap leaves exact within-batch dups intact
+    free = IngestDedupSink(state_dir + "_free")
+    free.init_index(index)
+    free.apply_batch(batch, 0)
+    v2 = _verdicts(free, spark)
+    assert v2[1][0] is False and v2[2] == (True, 1, 1.0) and v2[3] == (True, 1, 1.0)

@@ -85,3 +85,18 @@ def test_mmr_prefers_diverse_over_redundant(spark):
     cand, ps = _build(spark, {0: (rels, sims)})
     rows = {r["sel_rank"]: r["vec_id"] for r in mmr_select(cand, ps, k=2).collect()}
     assert rows == {1: 1, 2: 3}
+
+
+def test_mmr_deep_k_stays_bounded(spark):
+    """Per-round checkpointing (ADVICE r6): without it the unrolled
+    loop's plan grows ~3^k and k=12 would already be intractable —
+    this must finish quickly and return exactly k rows per group."""
+    rng = random.Random(1234)
+    groups = {0: _random_group(rng, 14)}
+    cand, ps = _build(spark, groups)
+    rows = mmr_select(cand, ps, k=12).collect()
+    assert sorted(r["sel_rank"] for r in rows) == list(range(1, 13))
+    rels, sims = groups[0]
+    ref = {rank: (i, rel, score) for i, rel, score, rank in _ref_mmr(rels, sims, 12)}
+    got = {r["sel_rank"]: (r["vec_id"], r["rel"], r["score"]) for r in rows}
+    assert got == ref

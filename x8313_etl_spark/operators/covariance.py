@@ -14,6 +14,14 @@ Exactness discipline (the house integer rules):
 - The covariance is reported as the INTEGER NUMERATOR
   ``n·Σ(qi·qj) − Σqi·Σqj`` plus ``n`` — no division, so cross-engine
   exact and mergeable across shards (the a17 moment-partial idea).
+  That numerator grows ~n²·(max|q|)², so int64 headroom is a REAL
+  bound: at qscale=1000 with unit-range embeddings it wraps around
+  n ≈ 3·10⁶ rows. ``dim_comoment`` therefore fails fast (in-plan
+  ``assert_true``, checked per (i,j) cell against the observed
+  max|q|) instead of silently wrapping; past that bound, keep the
+  per-shard PARTIAL moments (n, Σqi, Σqj, Σqiqj — each only
+  ~n·max|q|²) and form the numerator after a guarded merge, or lower
+  qscale.
 - Power iteration runs a FIXED number of rounds with truncating
   integer division (Spark ``div`` ≡ DuckDB ``//``, both
   truncate-toward-zero on BIGINT) and L∞ normalization, so the whole
@@ -56,7 +64,15 @@ def dim_comoment(
     """(i, j, n, cov_num) for 1 ≤ i ≤ j ≤ dim, with
     ``cov_num = n·Σ(qi·qj) − Σqi·Σqj`` in quantized integer units
     (divide by n·(n−1)·qscale² for the sample covariance — left to the
-    caller precisely so the table stays integer-exact and mergeable)."""
+    caller precisely so the table stays integer-exact and mergeable).
+
+    Overflow guard: |cov_num| ≤ 2·n²·max|qi|·max|qj|, and every
+    intermediate (n·Σqq, Σqi·Σqj) is bounded by half that — so each
+    cell asserts ``2·n²·max|qi|·max|qj| ≤ 2⁶²`` (double arithmetic, a
+    2× safety margin under int64) and RAISES on violation rather than
+    silently wrapping (module docstring). The guard uses the OBSERVED
+    per-cell maxima, not the worst case, so well-scaled data keeps the
+    full documented headroom."""
     q = quantized_vec(F.col(vec_col), qscale)
     idx = F.sequence(F.lit(1), F.lit(dim))
     pairs = F.flatten(
@@ -82,10 +98,37 @@ def dim_comoment(
         .select(F.explode(pairs).alias("p"))
         .select("p.i", "p.j", "p.qq", "p.qi", "p.qj")
     )
-    return ex.groupBy("i", "j").agg(
+    agg = ex.groupBy("i", "j").agg(
         F.count(F.lit(1)).alias("n"),
-        (
-            F.count(F.lit(1)) * F.sum("qq") - F.sum("qi") * F.sum("qj")
+        F.sum("qq").alias("sqq"),
+        F.sum("qi").alias("sqi"),
+        F.sum("qj").alias("sqj"),
+        F.max(F.abs(F.col("qi"))).alias("mqi"),
+        F.max(F.abs(F.col("qj"))).alias("mqj"),
+    )
+    n_d = F.col("n").cast("double")
+    headroom_ok = (
+        F.lit(2.0) * n_d * n_d * F.col("mqi").cast("double")
+        * F.col("mqj").cast("double")
+    ) <= F.lit(float(2**62))
+    guard = F.assert_true(
+        headroom_ok,
+        F.concat(
+            F.lit("dim_comoment int64 overflow: 2*n^2*max|qi|*max|qj| > 2^62 "
+                  "at cell ("),
+            F.col("i").cast("string"), F.lit(","), F.col("j").cast("string"),
+            F.lit(") with n="), F.col("n").cast("string"),
+            F.lit(" — lower qscale or merge per-shard partial moments "
+                  "(see module docstring)"),
+        ),
+    )
+    return agg.select(
+        "i",
+        "j",
+        "n",
+        F.when(
+            guard.isNull(),
+            F.col("n") * F.col("sqq") - F.col("sqi") * F.col("sqj"),
         ).alias("cov_num"),
     )
 

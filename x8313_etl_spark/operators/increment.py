@@ -57,7 +57,7 @@ def _banded(sig: DataFrame, out_id: str) -> DataFrame:
 
 
 def incremental_near_dups(
-    index_docs: DataFrame,
+    index_docs: DataFrame | None,
     batch_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -65,6 +65,8 @@ def incremental_near_dups(
     k: int = _SHINGLE_K,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     cache: bool = True,
+    index_sig: DataFrame | None = None,
+    index_sh: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, is_dup, dup_of, jaccard): one row per batch doc.
 
@@ -75,23 +77,41 @@ def incremental_near_dups(
     never dups under this metric (same contract as
     ``minhash.near_dup_pairs``).
 
+    ``index_sig``/``index_sh``: the PERSISTED standing-corpus
+    signature and shingle tables ((doc_id, sig) / (doc_id, sh), the
+    ``signature_table``/``shingle_table`` schemas). When both are
+    given, ``index_docs`` may be None: the index side is consumed
+    as-is — no re-sketching, no repartition (a parquet index
+    pre-bucketed by band key keeps its layout), no re-persist — which
+    is what makes per-ingest work independent of corpus size. When
+    omitted, both are derived from ``index_docs`` (fixture
+    convenience, not the production contract).
+
     Determinism: constants are shared with operators/minhash.py, so
     the same corpus gives the same verdicts on any cluster size and
     the DuckDB twin regenerates identical signatures.
     """
     sp = batch_docs.sparkSession.sparkContext.defaultParallelism
     batch_docs = batch_docs.repartition(sp)
-    index_docs = index_docs.repartition(sp)
 
     sig_new = signature_table(batch_docs, id_col, text_col, k)
-    sig_old = signature_table(index_docs, id_col, text_col, k)
     sh_new = shingle_table(batch_docs, id_col, text_col, k)
-    sh_old = shingle_table(index_docs, id_col, text_col, k)
-    if cache:
-        # the index tables feed the guard pass AND the joins; in
-        # production they are parquet reads, which amortize the same way
-        sig_old = sig_old.persist(StorageLevel.MEMORY_AND_DISK)
-        sh_old = sh_old.persist(StorageLevel.MEMORY_AND_DISK)
+    if (index_sig is None) != (index_sh is None):
+        raise ValueError("pass index_sig and index_sh together")
+    if index_sig is not None:
+        sig_old, sh_old = index_sig, index_sh
+    else:
+        if index_docs is None:
+            raise ValueError("need index_docs or index_sig+index_sh")
+        index_docs = index_docs.repartition(sp)
+        sig_old = signature_table(index_docs, id_col, text_col, k)
+        sh_old = shingle_table(index_docs, id_col, text_col, k)
+        if cache:
+            # the recomputed index tables feed the guard pass AND the
+            # joins; precomputed ones are parquet reads, which amortize
+            # the same way without a persist
+            sig_old = sig_old.persist(StorageLevel.MEMORY_AND_DISK)
+            sh_old = sh_old.persist(StorageLevel.MEMORY_AND_DISK)
 
     b_new = _banded(sig_new, "new_id")
     b_old = _banded(sig_old, "old_id")

@@ -29,6 +29,16 @@ compaction (the snapshots.py shapes) — the sink's join topology
 (batch × state band join, never state × state) is what survives 100 TB,
 because per-epoch work is |batch| sketching plus band-bucket-bounded
 candidate verification, independent of accumulated corpus size.
+
+Hot-bucket cap caveat: ``max_bucket_size`` drops over-cap band buckets
+on BOTH candidate-supplying sides — the accumulated index AND the
+within-batch self-join (one hot key inside a single micro-batch pairs
+quadratically just like one in the index). The cap is epoch-relative
+(a bucket crosses it at some arrival point, earlier epochs saw it
+smaller), so the exact equivalence to the one-shot SQL twin holds only
+while no bucket ever exceeds the cap — the default cap needs a
+5000-strong near-identical cluster to fire, and the t18 twin corpus
+never approaches it.
 """
 
 from __future__ import annotations
@@ -116,14 +126,27 @@ class IngestDedupSink(VersionedStateDir):
         cross = banded_new.join(banded_seen, ["band", "key"]).select(
             "new_id", "old_id"
         )
+        banded_new_rhs = banded_new.select(
+            F.col("new_id").alias("old_id"), "band", "key"
+        )
+        if self.max_bucket_size is not None:
+            # the same drop posture as the index side: one hot band key
+            # INSIDE a micro-batch pairs quadratically too (a crawl
+            # burst of boilerplate arriving in one batch) — cap the
+            # candidate-supplying side so within-batch pair work stays
+            # ≤ cap·|bucket|, mirroring the accumulated-index guard
+            hot_new = (
+                banded_new.groupBy("band", "key")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > self.max_bucket_size)
+                .select("band", "key")
+            )
+            banded_new_rhs = banded_new_rhs.join(
+                F.broadcast(hot_new), ["band", "key"], "left_anti"
+            )
         within = (
             banded_new.alias("a")
-            .join(
-                banded_new.select(
-                    F.col("new_id").alias("old_id"), "band", "key"
-                ).alias("b"),
-                ["band", "key"],
-            )
+            .join(banded_new_rhs.alias("b"), ["band", "key"])
             .filter(F.col("old_id") < F.col("new_id"))
             .select("new_id", "old_id")
         )

@@ -132,7 +132,12 @@ def lloyd_kmeans(
     ``vectors``: (vec_id, embedding array<float|double>). The returned
     assignment is computed against the post-round centroids (one extra
     assignment pass), so callers see a consistent (centroids,
-    membership) pair."""
+    membership) pair.
+
+    Cache lifetime: the quantized-vector cache is internal — the final
+    assignment is materialized (checkpointed) and the cache UNPERSISTED
+    before returning, so repeated calls (parameter sweeps, IVF training
+    loops) don't accumulate executor storage until eviction."""
     from pyspark import StorageLevel
 
     from ..audit import audited_checkpoint
@@ -155,4 +160,10 @@ def lloyd_kmeans(
             else cents.localCheckpoint(eager=True)
         )
     final_assign = _assign(qvecs, cents)
+    final_assign = (
+        audited_checkpoint(f"{ledger_key}.final", final_assign)
+        if ledger_key
+        else final_assign.localCheckpoint(eager=True)
+    )
+    qvecs.unpersist()
     return final_assign, cents

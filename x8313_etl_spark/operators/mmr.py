@@ -39,6 +39,7 @@ def mmr_select(
     group_col: str = "probe_id",
     id_col: str = "vec_id",
     rel_col: str = "rel",
+    ledger_key: str | None = None,
 ) -> DataFrame:
     """Greedy MMR over per-group candidates.
 
@@ -49,7 +50,21 @@ def mmr_select(
     score is ``rel`` and later rounds' is ``rel − max(sim to
     selected)``. Groups with fewer than k candidates return all of
     them in MMR order.
+
+    Each round checkpoints the selection set (``ledger_key`` routes it
+    through the audited ledger; None → plain ``localCheckpoint``) —
+    the kmeans per-round discipline. Without it the unrolled loop
+    references ``out`` three times per round (anti-join, maxsim join,
+    union), so the logical plan grows ~3^k and every round re-executes
+    the whole prior selection chain — fatal for the documented k≈100
+    re-rank windows.
     """
+    from ..audit import audited_checkpoint
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if ledger_key:
+            return audited_checkpoint(f"{ledger_key}.round", df)
+        return df.localCheckpoint(eager=True)
     w1 = Window.partitionBy(group_col).orderBy(
         F.col(rel_col).desc(), F.col(id_col)
     )
@@ -64,7 +79,7 @@ def mmr_select(
             F.lit(1).alias("sel_rank"),
         )
     )
-    out = sel
+    out = _pin(sel)
     for r in range(2, k + 1):
         rem = cand.join(
             out.select(group_col, id_col), [group_col, id_col], "left_anti"
@@ -89,5 +104,5 @@ def mmr_select(
                 group_col, id_col, rel_col, "score", F.lit(r).alias("sel_rank")
             )
         )
-        out = out.unionByName(pick)
+        out = _pin(out.unionByName(pick))
     return out.select(group_col, "sel_rank", id_col, rel_col, "score")
