@@ -1,11 +1,12 @@
-"""Pre-registration oracle checks for the round-7 candidate queries.
+"""Pre-registration oracle checks for the REMAINING candidate queries.
 
-These run the EXACT compare the registry queries get (tests/
-oracle_utils.compare_query, tolerance 0) on ad-hoc QuerySpecs that are
-NOT registered — the r6 driver verify window must keep its 5-new+45-
-stalest composition (the r5 verdict criterion), so these twins are
-verified here and registered next round by copying fn + oracle into the
-query modules. See ROADMAP.md "Candidate surface for the r7 window".
+Round 7 registered fifteen of this module's nineteen candidates
+(fn + oracle copied verbatim into the query modules; their compares now
+run in tests/test_oracle.py like every registered query, and the
+fixture-nontriviality guards moved to tests/test_registered_guards.py).
+The four below stay pre-verified for the r8 window: each runs the EXACT
+compare the registry queries get (tests/oracle_utils.compare_query,
+tolerance 0) on an ad-hoc UNREGISTERED QuerySpec. See ROADMAP.md.
 """
 
 from __future__ import annotations
@@ -35,831 +36,6 @@ def _scrub_ledger_keys():
     for key in set(audit.ledger()) - before:
         audit.forget(key)
 
-K = 8
-BENCH_MOD = 7  # the p_decontaminate benchmark-slice convention
-
-
-def _spans_fn(spark, sf_dir):
-    from x8313_etl_spark.operators.substrdedup import duplicated_spans
-
-    docs = load_table(spark, sf_dir, "documents")
-    s = duplicated_spans(docs, K)
-    return s.select(
-        "doc_id",
-        F.col("span_start").cast("bigint").alias("span_start"),
-        F.col("span_end").cast("bigint").alias("span_end"),
-        "n_dup_grams",
-    )
-
-
-_SPANS_SQL = f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-g AS (SELECT doc_id, i - 1 AS pos,
-             list_reduce(w[i:i + {K - 1}], (a, b) -> a || ' ' || b) AS gram
-      FROM w, unnest(generate_series(1, len(w) - {K - 1})) AS t(i)),
-d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
-m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM d)),
-i AS (SELECT doc_id, pos,
-             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                       > {K} THEN 1 ELSE 0 END AS brk
-      FROM m),
-s AS (SELECT doc_id, pos,
-             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-      FROM i)
-SELECT doc_id,
-       CAST(min(pos) AS BIGINT) AS span_start,
-       CAST(max(pos) + {K} AS BIGINT) AS span_end,
-       count(*) AS n_dup_grams
-FROM s GROUP BY doc_id, island
-"""
-
-
-def test_substr_dedup_spans_twin(spark, sf_oracle_dir):
-    spec = QuerySpec(
-        name="r7:p_substr_dedup_spans", fn=_spans_fn, oracle=_SPANS_SQL,
-        category="pipeline",
-    )
-    res = compare_query(spark, spec, sf_oracle_dir)
-    assert res.ok, res.detail
-
-
-def _contam_fn(spark, sf_dir):
-    from x8313_etl_spark.operators.substrdedup import contaminated_spans
-
-    d = load_table(spark, sf_dir, "documents")
-    corpus = d.filter(F.col("doc_id") % BENCH_MOD != 0)
-    bench = d.filter(F.col("doc_id") % BENCH_MOD == 0)
-    s = contaminated_spans(corpus, bench, K)
-    return s.select(
-        "doc_id",
-        F.col("span_start").cast("bigint").alias("span_start"),
-        F.col("span_end").cast("bigint").alias("span_end"),
-        "n_dup_grams",
-    )
-
-
-_CONTAM_SQL = f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-g AS (SELECT doc_id, i - 1 AS pos,
-             list_reduce(w[i:i + {K - 1}], (a, b) -> a || ' ' || b) AS gram
-      FROM w, unnest(generate_series(1, len(w) - {K - 1})) AS t(i)),
-b AS (SELECT DISTINCT gram FROM g WHERE doc_id % {BENCH_MOD} = 0),
-m AS (SELECT doc_id, pos FROM g
-      WHERE doc_id % {BENCH_MOD} <> 0 AND gram IN (SELECT gram FROM b)),
-i AS (SELECT doc_id, pos,
-             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                       > {K} THEN 1 ELSE 0 END AS brk
-      FROM m),
-s AS (SELECT doc_id, pos,
-             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-      FROM i)
-SELECT doc_id,
-       CAST(min(pos) AS BIGINT) AS span_start,
-       CAST(max(pos) + {K} AS BIGINT) AS span_end,
-       count(*) AS n_dup_grams
-FROM s GROUP BY doc_id, island
-"""
-
-
-def test_contamination_spans_twin(spark, sf_oracle_dir):
-    spec = QuerySpec(
-        name="r7:p_contamination_spans", fn=_contam_fn, oracle=_CONTAM_SQL,
-        category="pipeline",
-    )
-    res = compare_query(spark, spec, sf_oracle_dir)
-    assert res.ok, res.detail
-
-
-def _dq3_fn(spark, sf_dir):
-    from x8313_etl_spark.operators.constraints import Check, audit
-
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    return audit(
-        o,
-        [
-            Check("orderkey_not_null", "not_null", "o_orderkey"),
-            Check("orderkey_unique", "unique", "o_orderkey"),
-            Check("totalprice_min", "min", "o_totalprice", value=0.0),
-            Check("status_domain", "in_set", "o_orderstatus", values=("O", "F", "P")),
-            Check(
-                "priority_format",
-                "matches",
-                "o_orderpriority",
-                pattern="^[1-5]-[A-Z ]+$",
-            ),
-            Check(
-                "urgent_is_open_or_final",
-                "expr",
-                predicate="o_orderpriority <> '1-URGENT' OR o_orderstatus IN ('O','F','P')",
-            ),
-            Check("custkey_fk", "ref", "o_custkey", ref_df=c, ref_col="c_custkey"),
-        ],
-    ).select(
-        "check", "kind", F.col("column").alias("col"), "violations", "total", "passed"
-    )
-
-
-_DQ3_SQL = """
-WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM orders),
-v AS (
-  SELECT 'orderkey_not_null' AS "check", 'not_null' AS kind,
-         'o_orderkey' AS col,
-         CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT)
-           AS violations
-  FROM orders
-  UNION ALL
-  SELECT 'orderkey_unique', 'unique', 'o_orderkey',
-         CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
-  FROM orders
-  UNION ALL
-  SELECT 'totalprice_min', 'min', 'o_totalprice',
-         CAST(count(CASE WHEN o_totalprice < 0.0 THEN 1 END) AS BIGINT)
-  FROM orders
-  UNION ALL
-  SELECT 'status_domain', 'in_set', 'o_orderstatus',
-         CAST(count(CASE WHEN o_orderstatus IS NOT NULL
-                          AND o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END)
-              AS BIGINT)
-  FROM orders
-  UNION ALL
-  SELECT 'priority_format', 'matches', 'o_orderpriority',
-         CAST(count(CASE WHEN o_orderpriority IS NOT NULL
-                          AND NOT regexp_full_match(o_orderpriority,
-                                                    '^[1-5]-[A-Z ]+$')
-                         THEN 1 END) AS BIGINT)
-  FROM orders
-  UNION ALL
-  SELECT 'urgent_is_open_or_final', 'expr', '',
-         CAST(count(CASE WHEN NOT coalesce(
-                        o_orderpriority <> '1-URGENT'
-                        OR o_orderstatus IN ('O', 'F', 'P'), FALSE)
-                         THEN 1 END) AS BIGINT)
-  FROM orders
-  UNION ALL
-  SELECT 'custkey_fk', 'ref', 'o_custkey',
-         CAST((SELECT count(*) FROM orders o
-               WHERE o.o_custkey IS NOT NULL
-                 AND o.o_custkey NOT IN (SELECT c_custkey FROM customer))
-              AS BIGINT)
-)
-SELECT v."check", v.kind, v.col, v.violations, t.total,
-       v.violations = 0 AS passed
-FROM v, t
-"""
-
-
-def test_dq3_constraint_audit_twin(spark, sf_oracle_dir):
-    spec = QuerySpec(
-        name="r7:dq3_constraint_audit", fn=_dq3_fn, oracle=_DQ3_SQL,
-        category="etl",
-    )
-    res = compare_query(spark, spec, sf_oracle_dir)
-    assert res.ok, res.detail
-
-
-_QS = (("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10))
-
-
-def _a25_fn(spark, sf_dir):
-    from x8313_etl_spark.queries.aggregates import two_phase_global_quantiles
-
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
-    )
-    return two_phase_global_quantiles(
-        li,
-        "l_extendedprice",
-        [F.col("l_orderkey"), F.col("l_linenumber")],
-        list(_QS),
-        key="aggregates.a25_rank_r7test",
-    )
-
-
-def _a25_sql():
-    # The a24 twin generalized: one rank CTE, 2·|qs| bracket positions,
-    # cent-integer interpolation per quantile.
-    lo = {n: f"(({num} * (n - 1)) // {den})" for n, num, den in _QS}
-    hi = {n: f"((({num} * (n - 1)) + {den} - 1) // {den})" for n, num, den in _QS}
-    inner = {n: f"(({num} * (n - 1)) % {den})" for n, num, den in _QS}
-    picked = " OR ".join(f"rn = {lo[n]} OR rn = {hi[n]}" for n, _, _ in _QS)
-    cols = ["CAST(MAX(n) AS BIGINT) AS n_rows"]
-    for n, _, den in _QS:
-        lo_v = f"MIN(CASE WHEN rn = {lo[n]} THEN v END)"
-        hi_v = f"MIN(CASE WHEN rn = {hi[n]} THEN v END)"
-        cols += [
-            f"{lo_v} AS {n}_lo",
-            f"{hi_v} AS {n}_hi",
-            f"(CAST(ROUND({lo_v} * 100) AS BIGINT) * ({den} - MAX({inner[n]}))"
-            f" + CAST(ROUND({hi_v} * 100) AS BIGINT) * MAX({inner[n]}))"
-            f" / {float(100 * den)} AS {n}",
-        ]
-    return f"""
-WITH r AS (
-  SELECT l_extendedprice AS v,
-         ROW_NUMBER() OVER (
-           ORDER BY l_extendedprice, l_orderkey, l_linenumber
-         ) - 1 AS rn,
-         COUNT(*) OVER () AS n
-  FROM lineitem
-),
-picked AS (SELECT * FROM r WHERE {picked})
-SELECT {", ".join(cols)} FROM picked
-"""
-
-
-def test_a25_global_quantile_vector_twin(spark, sf_oracle_dir):
-    spec = QuerySpec(
-        name="r7:a25_global_quantiles", fn=_a25_fn, oracle=_a25_sql(),
-        category="aggregates",
-    )
-    res = compare_query(spark, spec, sf_oracle_dir)
-    assert res.ok, res.detail
-
-
-def _er_multikey_fn(spark, sf_dir):
-    from x8313_etl_spark.operators.blocking import (
-        band_block_pairs,
-        best_match,
-        multikey_candidates,
-        qgram_block_pairs,
-    )
-
-    part = load_table(spark, sf_dir, "part")
-    dirty = part.filter(F.col("p_partkey") % 10 == 0).select(
-        F.col("p_partkey").alias("probe_id"),
-        F.expr(
-            "substr(p_name, 1, length(p_name) - "
-            "(CASE WHEN p_partkey % 20 = 0 THEN 1 ELSE 2 END))"
-        ).alias("dirty_name"),
-    )
-    dnames = dirty.select("dirty_name").distinct()
-    cnames = part.groupBy("p_name").agg(F.min("p_partkey").alias("cand_id"))
-    pairs = multikey_candidates(
-        band_block_pairs(dnames, cnames), qgram_block_pairs(dnames, cnames)
-    )
-    best = best_match(pairs, max_score=3)
-    return dirty.join(best, "dirty_name").select(
-        "probe_id", "cand_id", "dirty_name", "matched_name", "score"
-    )
-
-
-_ER_MULTIKEY_SQL = """
-WITH dirty AS (
-  SELECT p_partkey AS probe_id,
-         substr(p_name, 1, length(p_name)
-                - CASE WHEN p_partkey % 20 = 0 THEN 1 ELSE 2 END) AS dirty_name
-  FROM part WHERE p_partkey % 10 = 0
-),
-dn AS (SELECT DISTINCT dirty_name FROM dirty),
-cand AS (SELECT p_name, min(p_partkey) AS cand_id FROM part GROUP BY p_name),
-dg AS (
-  SELECT dirty_name,
-         split_part(dirty_name, ' ', 1) AS b1,
-         length(split_part(dirty_name, ' ', 2)) AS b2,
-         list_distinct(list_transform(
-           generate_series(1, length('##' || dirty_name || '##') - 2),
-           i -> substr('##' || dirty_name || '##', i, 3))) AS grams
-  FROM dn
-),
-cg AS (
-  SELECT p_name, cand_id,
-         split_part(p_name, ' ', 1) AS cb1,
-         length(split_part(p_name, ' ', 2)) AS cb2,
-         list_distinct(list_transform(
-           generate_series(1, length('##' || p_name || '##') - 2),
-           i -> substr('##' || p_name || '##', i, 3))) AS grams
-  FROM cand
-),
-best AS (
-  SELECT d.dirty_name, c.cand_id, c.p_name AS matched_name,
-         levenshtein(d.dirty_name, c.p_name) AS score,
-         row_number() OVER (
-           PARTITION BY d.dirty_name
-           ORDER BY levenshtein(d.dirty_name, c.p_name), c.cand_id
-         ) AS rn
-  FROM dg d JOIN cg c
-    ON (d.b1 = c.cb1 AND c.cb2 = d.b2 + 1) OR list_has_any(d.grams, c.grams)
-  WHERE levenshtein(d.dirty_name, c.p_name) <= 3
-)
-SELECT probe_id, cand_id, dirty_name, matched_name,
-       CAST(score AS INTEGER) AS score
-FROM dirty JOIN best USING (dirty_name)
-WHERE rn = 1
-"""
-
-
-def test_er_multikey_twin(spark, sf_oracle_dir):
-    spec = QuerySpec(
-        name="r7:p_er_blocked_multikey", fn=_er_multikey_fn,
-        oracle=_ER_MULTIKEY_SQL, category="pipeline",
-    )
-    res = compare_query(spark, spec, sf_oracle_dir)
-    assert res.ok, res.detail
-
-
-_G8_BUCKETS = 3
-_G8_LIGHT_ROUNDS = 2
-
-
-def _g8_edges(spark, sf_dir, key):
-    from x8313_etl_spark.queries.graph_q import _cosupply_edges
-
-    e = _cosupply_edges(spark, sf_dir, key, with_weight=True)
-    return e.select(
-        F.col("s1").alias("src"), F.col("s2").alias("dst"),
-        F.col("shared").cast("bigint").alias("w"),
-    ).unionAll(
-        e.select(
-            F.col("s2").alias("src"), F.col("s1").alias("dst"),
-            F.col("shared").cast("bigint").alias("w"),
-        )
-    )
-
-
-def _g8_fn(spark, sf_dir):
-    from x8313_etl_spark.operators.sssp import delta_stepping
-    from x8313_etl_spark.queries.graph_q import _SSSP_SEED_MOD
-
-    eu = _g8_edges(spark, sf_dir, "g8.edges_r7test").persist()
-    # Δ = ceil of the MEDIAN edge weight (quantile-derived, the g3
-    # rule: light and heavy edge classes are both non-empty at every
-    # sf by construction). One-row driver scalar — the t16
-    # sentinel pattern; an r7 registration would thread it as a
-    # broadcast column instead.
-    delta = int(
-        eu.agg(F.ceil(F.expr("percentile(w, 0.5)")).alias("d")).first()["d"]
-    )
-    seeds = (
-        eu.select(F.col("src").alias("node"))
-        .distinct()
-        .filter(F.col("node") % _SSSP_SEED_MOD == 0)
-    )
-    settled = delta_stepping(
-        eu, seeds, delta, _G8_BUCKETS, light_rounds=_G8_LIGHT_ROUNDS
-    )
-    out = settled.select(
-        F.col("node").cast("bigint").alias("s_suppkey"),
-        F.col("dist").cast("bigint").alias("dist"),
-    )
-    eu.unpersist()
-    return out
-
-
-def _g8_sql():
-    from x8313_etl_spark.queries.graph_q import (
-        _SSSP_SEED_MOD,
-        _TRI_QUANTILE,
-    )
-
-    d = "(SELECT delta FROM dd)"
-    ctes = [
-        """pairs AS MATERIALIZED (
-  SELECT s1, s2, count(DISTINCT ok) AS shared FROM (
-    SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, a.l_orderkey AS ok
-    FROM lineitem a JOIN lineitem b
-      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-  ) GROUP BY s1, s2
-)""",
-        f"t AS (SELECT CEIL(quantile_cont(shared, {_TRI_QUANTILE})) AS thr FROM pairs)",
-        """eu AS MATERIALIZED (
-  SELECT s1 AS src, s2 AS dst, CAST(shared AS BIGINT) AS w
-  FROM pairs, t WHERE shared >= thr
-  UNION ALL
-  SELECT s2 AS src, s1 AS dst, CAST(shared AS BIGINT) AS w
-  FROM pairs, t WHERE shared >= thr
-)""",
-        "dd AS (SELECT CAST(CEIL(quantile_cont(w, 0.5)) AS BIGINT) AS delta FROM eu)",
-        f"""t0 AS MATERIALIZED (
-  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist FROM eu
-  WHERE src % {_SSSP_SEED_MOD} = 0
-)""",
-    ]
-    prev = "t0"
-    dones = []
-    for b in range(_G8_BUCKETS):
-        in_b = f"dist >= {b} * {d} AND dist < {b + 1} * {d}"
-        for r in range(1, _G8_LIGHT_ROUNDS + 1):
-            cur = f"t{b}_{r}"
-            ctes.append(
-                f"""{cur} AS MATERIALIZED (
-  SELECT node, MIN(dist) AS dist FROM (
-    SELECT node, dist FROM {prev}
-    UNION ALL
-    SELECT eu.dst AS node, p.dist + eu.w AS dist
-    FROM eu JOIN (SELECT * FROM {prev} WHERE {in_b}) p ON eu.src = p.node
-    WHERE eu.w <= {d}
-  ) GROUP BY node
-)"""
-            )
-            prev = cur
-        done = f"done{b}"
-        ctes.append(
-            f"{done} AS MATERIALIZED (SELECT node, dist FROM {prev} WHERE {in_b})"
-        )
-        dones.append(done)
-        nxt = f"t{b + 1}"
-        ctes.append(
-            f"""{nxt} AS MATERIALIZED (
-  SELECT node, MIN(dist) AS dist FROM (
-    SELECT node, dist FROM {prev}
-    UNION ALL
-    SELECT eu.dst AS node, p.dist + eu.w AS dist
-    FROM eu JOIN {done} p ON eu.src = p.node
-    WHERE eu.w > {d}
-  ) GROUP BY node
-)"""
-        )
-        prev = nxt
-    union = "\nUNION ALL\n".join(f"SELECT node, dist FROM {x}" for x in dones)
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"""
-SELECT CAST(node AS BIGINT) AS s_suppkey, CAST(dist AS BIGINT) AS dist
-FROM ({union})"""
-    )
-
-
-def test_g8_delta_stepping_twin(spark, sf_oracle_dir):
-    spec = QuerySpec(
-        name="r7:g8_delta_stepping", fn=_g8_fn, oracle=_g8_sql(),
-        category="graph",
-    )
-    res = compare_query(spark, spec, sf_oracle_dir)
-    assert res.ok, res.detail
-
-
-def test_g8_light_round_cap_suffices_on_fixtures(spark, sf_dir, sf_oracle_dir):
-    # The fixed cap=2 must reach the same settled set as the full Δ
-    # fixpoint schedule at every fixture sf (the cap-sufficiency
-    # verification the operator docstring demands).
-    from x8313_etl_spark.operators.sssp import delta_stepping
-    from x8313_etl_spark.queries.graph_q import _SSSP_SEED_MOD
-
-    for d in (sf_dir, sf_oracle_dir):
-        eu = _g8_edges(spark, d, f"g8.capcheck.{d}").persist()
-        delta = int(
-            eu.agg(F.ceil(F.expr("percentile(w, 0.5)")).alias("d")).first()["d"]
-        )
-        seeds = (
-            eu.select(F.col("src").alias("node"))
-            .distinct()
-            .filter(F.col("node") % _SSSP_SEED_MOD == 0)
-        )
-        capped = sorted(
-            map(tuple, delta_stepping(
-                eu, seeds, delta, _G8_BUCKETS, light_rounds=_G8_LIGHT_ROUNDS
-            ).collect())
-        )
-        full = sorted(
-            map(tuple, delta_stepping(eu, seeds, delta, _G8_BUCKETS).collect())
-        )
-        assert capped == full, d
-        eu.unpersist()
-
-
-_PQD = (
-    "list_reduce(list_transform(list_zip({a}, {b}), "
-    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
-    "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
-)
-_KC, _M, _SUB, _KB, _NPROBE, _TOPK, _PMOD = 16, 8, 8, 16, 4, 5, 25
-
-
-def _ivfpq_fn(spark, sf_dir):
-    from x8313_etl_spark.operators.ivfpq import ivfpq_index, ivfpq_search
-
-    e = load_table(spark, sf_dir, "embeddings")
-    probes = e.filter(F.col("vec_id") % _PMOD == 0).select(
-        F.col("vec_id").alias("probe_id"), "embedding"
-    )
-    idx = ivfpq_index(e, k_coarse=_KC, m=_M, sub=_SUB, k_code=_KB)
-    out = ivfpq_search(
-        idx, probes, nprobe=_NPROBE, topk=_TOPK, exclude_self=True
-    )
-    return out.select(
-        "probe_id", "vec_id", "adc_d2", F.col("rn").cast("int").alias("rn")
-    )
-
-
-_IVFPQ_SQL = f"""
-WITH mm AS (SELECT unnest(generate_series(0, {_M - 1})) AS m),
-cents AS MATERIALIZED (
-  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
-  WHERE vec_id < {_KC}
-),
-ad AS MATERIALIZED (
-  SELECT e.vec_id, c.cent_id,
-         {_PQD.format(a="e.embedding", b="c.cvec")} AS d2,
-         list_transform(list_zip(e.embedding, c.cvec),
-           p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS resid
-  FROM embeddings e, cents c
-),
-assign AS MATERIALIZED (
-  SELECT vec_id, cent_id, resid FROM (
-    SELECT vec_id, cent_id, resid,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
-    FROM ad
-  ) WHERE rn = 1
-),
-rb AS MATERIALIZED (
-  SELECT a.vec_id, a.cent_id, mm.m,
-         a.resid[(1 + {_SUB} * mm.m):({_SUB} + {_SUB} * mm.m)] AS rvec
-  FROM assign a, mm
-),
-books AS MATERIALIZED (
-  SELECT m, vec_id - {_KC} AS code, rvec AS bvec FROM rb
-  WHERE vec_id >= {_KC} AND vec_id < {_KC + _KB}
-),
-cd AS MATERIALIZED (
-  SELECT r.vec_id, r.cent_id, r.m, b.code,
-         {_PQD.format(a="r.rvec", b="b.bvec")} AS d2
-  FROM rb r JOIN books b ON r.m = b.m
-),
-codes AS MATERIALIZED (
-  SELECT vec_id, cent_id, m, code FROM (
-    SELECT vec_id, cent_id, m, code,
-           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
-    FROM cd
-  ) WHERE rn = 1
-),
-passign AS MATERIALIZED (
-  SELECT vec_id AS probe_id, cent_id, resid FROM (
-    SELECT vec_id, cent_id, resid,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
-    FROM ad WHERE vec_id % {_PMOD} = 0
-  ) WHERE rn <= {_NPROBE}
-),
-dtab AS MATERIALIZED (
-  SELECT p.probe_id, p.cent_id, b.m, b.code,
-         {_PQD.format(
-             a=f"p.resid[(1 + {_SUB} * b.m):({_SUB} + {_SUB} * b.m)]",
-             b="b.bvec",
-         )} AS d2m
-  FROM passign p JOIN books b ON TRUE
-),
-adc AS (
-  SELECT t.probe_id, c.vec_id,
-         list_reduce(list(t.d2m ORDER BY t.m), (a, b) -> a + b) AS adc_d2
-  FROM codes c
-  JOIN dtab t ON t.cent_id = c.cent_id AND t.m = c.m AND t.code = c.code
-  WHERE c.vec_id != t.probe_id
-  GROUP BY t.probe_id, c.vec_id
-)
-SELECT probe_id, vec_id, adc_d2, CAST(rn AS INTEGER) AS rn FROM (
-  SELECT *, row_number() OVER (PARTITION BY probe_id
-                               ORDER BY adc_d2, vec_id) AS rn
-  FROM adc
-) WHERE rn <= {_TOPK}
-"""
-
-
-def test_ivfpq_topk_twin(spark, sf_oracle_dir):
-    spec = QuerySpec(
-        name="r7:sim_ivfpq_topk", fn=_ivfpq_fn, oracle=_IVFPQ_SQL,
-        category="similarity",
-    )
-    res = compare_query(spark, spec, sf_oracle_dir)
-    assert res.ok, res.detail
-
-
-def _t17_fn(spark, sf_dir):
-    import os
-    import shutil
-    import time as _time
-    import uuid as _uuid
-
-    from x8313_etl_spark.operators.viewmaint import JoinViewSink
-    from x8313_etl_spark.queries.etl_q import m8_customer_zset, m8_orders_zset
-    from x8313_etl_spark.queries.sources_q import _tag, scratch
-
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    a0 = customer.select(
-        "c_custkey", "c_nationkey", F.col("c_acctbal").alias("bal")
-    )
-    b0 = orders.select(
-        "o_orderkey", "o_custkey", F.col("o_totalprice").alias("price")
-    )
-    da = m8_customer_zset(customer).select(
-        F.lit("A").alias("side"), "c_custkey", "c_nationkey", "bal",
-        F.col("am").alias("m"),
-    )
-    db = m8_orders_zset(orders).select(
-        F.lit("B").alias("side"), "o_orderkey", "o_custkey", "price",
-        F.col("bm").alias("m"),
-    )
-    feed = da.unionByName(db, allowMissingColumns=True).select(
-        "side", "c_custkey", "c_nationkey", "bal",
-        "o_orderkey", "o_custkey", "price", "m",
-    )
-    family = scratch(f"t17_deltajoin_{_tag(sf_dir)}")
-    cutoff = _time.time() - 1800
-    for d in os.listdir(family) if os.path.isdir(family) else []:
-        p = os.path.join(family, d)
-        try:
-            if os.path.getmtime(p) < cutoff:
-                shutil.rmtree(p, ignore_errors=True)
-        except OSError:
-            pass
-    work = os.path.join(family, _uuid.uuid4().hex[:12])
-    src, ckpt = os.path.join(work, "src"), os.path.join(work, "ckpt")
-    # 4 part-files -> 4 real micro-batches under maxFilesPerTrigger=1
-    feed.repartition(4).write.parquet(src)
-    sink = JoinViewSink(os.path.join(work, "state"))
-    sink.init_bases(a0, b0)
-    stream = (
-        spark.readStream.schema(feed.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
-    q = (
-        stream.writeStream.foreachBatch(sink.apply_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(180):
-        q.stop()
-        raise TimeoutError("t17 delta-join stream did not finish in 180s")
-    return sink.read_view(spark)
-
-
-def test_t17_stream_delta_join_twin(spark, sf_oracle_dir):
-    # The streamed epochs must land on exactly the full post-CDC
-    # recompute — m8's own registered oracle IS the gold standard, so
-    # the twin is shared verbatim.
-    from x8313_etl_spark.registry import registry
-
-    spec = QuerySpec(
-        name="r7:t17_stream_delta_join", fn=_t17_fn,
-        oracle=registry()["m8_delta_join_view"].oracle,
-        category="streaming",
-    )
-    res = compare_query(spark, spec, sf_oracle_dir)
-    assert res.ok, res.detail
-
-
-_SJ_INTER = "len(list_intersect(a.toks, b.toks))"
-_SJ_UNI = f"(len(a.toks) + len(b.toks) - {_SJ_INTER})"
-
-
-def _setjoin_fn(spark, sf_dir):
-    from x8313_etl_spark.operators.setjoin import similarity_join
-
-    docs = load_table(spark, sf_dir, "documents")
-    return similarity_join(docs, 1, 2, shingle_k=3)
-
-
-_SETJOIN_SQL = f"""
-WITH s AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           generate_series(1, greatest(len(w) - 2, 0)),
-           i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS toks
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST({_SJ_INTER} AS BIGINT) AS inter,
-       CAST({_SJ_UNI} AS BIGINT) AS uni,
-       CAST({_SJ_INTER} AS DOUBLE) / {_SJ_UNI} AS jaccard
-FROM s a JOIN s b ON a.doc_id < b.doc_id
-WHERE {_SJ_UNI} > 0 AND {_SJ_INTER} * 2 >= 1 * {_SJ_UNI}
-"""
-
-
-def test_setjoin_exact_twin(spark, sf_oracle_dir):
-    # The twin is DELIBERATELY the brute-force all-pairs form (the
-    # sim_neardup_exact precedent): prefix filtering must be invisible
-    # in the answer, so the naive join IS the oracle.
-    spec = QuerySpec(
-        name="r7:l11_setjoin_exact", fn=_setjoin_fn, oracle=_SETJOIN_SQL,
-        category="llm",
-    )
-    res = compare_query(spark, spec, sf_oracle_dir)
-    assert res.ok, res.detail
-
-
-_G9_ROUNDS = 5
-_G9_SEEDS = ("S0", "S1", "S2", "S3", "S4")
-
-
-def _g9_fn(spark, sf_dir):
-    from x8313_etl_spark.operators.ppr import personalized_pagerank
-
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    e = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
-        )
-        .distinct()
-    )
-    ed = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    seeds = spark.createDataFrame([(s,) for s in _G9_SEEDS], "node string")
-    return personalized_pagerank(ed, seeds, _G9_ROUNDS)
-
-
-def _g9_sql():
-    from x8313_etl_spark.queries.graph_q import DAMP_DEN, DAMP_NUM, SCALE
-
-    ns = len(_G9_SEEDS)
-    inlist = ", ".join(f"'{s}'" for s in _G9_SEEDS)
-    base = (
-        f"CASE WHEN deg.src IN ({inlist}) "
-        f"THEN ({SCALE} * {DAMP_DEN - DAMP_NUM}) // ({DAMP_DEN} * {ns}) "
-        f"ELSE 0 END"
-    )
-    ctes = [
-        """e AS (
-  SELECT DISTINCT 'S' || CAST(l.l_suppkey AS VARCHAR) AS src,
-                  'C' || CAST(o.o_custkey AS VARCHAR) AS dst
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-)""",
-        "ed AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)",
-        "deg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY src)",
-        f"""r0 AS (SELECT deg.src AS node,
-  CASE WHEN deg.src IN ({inlist}) THEN {SCALE} // {ns} ELSE 0 END AS r
-  FROM deg)""",
-    ]
-    for i in range(1, _G9_ROUNDS + 1):
-        ctes.append(
-            f"""s{i} AS MATERIALIZED (
-  SELECT ed.dst AS node, SUM(p.r // deg.outdeg) AS msum
-  FROM ed JOIN r{i - 1} p ON ed.src = p.node JOIN deg ON deg.src = ed.src
-  GROUP BY ed.dst
-),
-r{i} AS MATERIALIZED (
-  SELECT deg.src AS node,
-         {base} + ({DAMP_NUM} * coalesce(s.msum, 0)) // {DAMP_DEN} AS r
-  FROM deg LEFT JOIN s{i} s ON s.node = deg.src
-)"""
-        )
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"\nSELECT node, CAST(r AS BIGINT) AS rank_pico FROM r{_G9_ROUNDS}"
-    )
-
-
-def test_g9_personalized_pagerank_twin(spark, sf_oracle_dir):
-    spec = QuerySpec(
-        name="r7:g9_personalized_pagerank", fn=_g9_fn, oracle=_g9_sql(),
-        category="graph",
-    )
-    res = compare_query(spark, spec, sf_oracle_dir)
-    assert res.ok, res.detail
-
-
-def _holt_fn(spark, sf_dir):
-    from x8313_etl_spark.operators.holt import holt_forecast
-
-    ev = load_table(spark, sf_dir, "events")
-    return holt_forecast(
-        ev, series_col="user_id", order_cols=["ts", "event_id"],
-        value_col="value",
-    )
-
-
-_HOLT_SQL = """
-WITH RECURSIVE seq AS MATERIALIZED (
-  SELECT CAST(user_id AS BIGINT) AS series,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
-           AS idx,
-         CAST(round(value * 100) AS BIGINT) AS yc,
-         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
-  FROM events
-),
-r AS (
-  SELECT s0.series, CAST(1 AS BIGINT) AS t,
-         s0.yc AS l, s1.yc - s0.yc AS b, s0.n AS n
-  FROM seq s0 JOIN seq s1 ON s1.series = s0.series AND s1.idx = 1
-  WHERE s0.idx = 0 AND s0.n >= 2
-  UNION ALL
-  SELECT r.series, r.t + 1,
-         (1 * s.yc + 4 * (r.l + r.b)) // 5 AS l,
-         (1 * ((1 * s.yc + 4 * (r.l + r.b)) // 5 - r.l) + 9 * r.b) // 10 AS b,
-         r.n
-  FROM r JOIN seq s ON s.series = r.series AND s.idx = r.t
-)
-SELECT series, n AS n_points, l AS level_cents, b AS trend_cents,
-       l + b AS forecast1_cents
-FROM r WHERE t = n
-"""
-
-
-def test_ts_holt_forecast_twin(spark, sf_oracle_dir):
-    # The recursive CTE replays the exact integer recurrence
-    # (truncating //, cents, alpha=1/5, beta=1/10) step for step.
-    spec = QuerySpec(
-        name="r7:ts_holt_forecast", fn=_holt_fn, oracle=_HOLT_SQL,
-        category="timeseries",
-    )
-    res = compare_query(spark, spec, sf_oracle_dir)
-    assert res.ok, res.detail
 
 
 _NS_K, _NS_OVER, _NS_QMOD = 4, 2, 10
@@ -919,157 +95,6 @@ def test_negative_samples_twin(spark, sf_oracle_dir):
     res = compare_query(spark, spec, sf_oracle_dir)
     assert res.ok, res.detail
 
-
-_CU_SLACK, _CU_H = 50, 500
-
-
-def _cusum_fn(spark, sf_dir):
-    from x8313_etl_spark.operators.cusum import cusum_alarms
-
-    ev = load_table(spark, sf_dir, "events")
-    return cusum_alarms(
-        ev, series_col="user_id", order_cols=["ts", "event_id"],
-        value_col="value", slack_cents=_CU_SLACK, h_cents=_CU_H,
-    )
-
-
-_CUSUM_SQL = f"""
-WITH RECURSIVE seq AS MATERIALIZED (
-  SELECT CAST(user_id AS BIGINT) AS series,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
-           AS idx,
-         CAST(round(value * 100) AS BIGINT) AS yc,
-         CAST(sum(CAST(round(value * 100) AS BIGINT))
-              OVER (PARTITION BY user_id) AS BIGINT) AS tot,
-         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
-  FROM events
-),
-r AS (
-  SELECT series, CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS s_acc,
-         tot // n AS mu
-  FROM seq WHERE idx = 0
-  UNION ALL
-  SELECT r.series, r.t + 1,
-         greatest(CAST(0 AS BIGINT),
-                  r.s_acc + (q.yc - r.mu - {_CU_SLACK})),
-         r.mu
-  FROM r JOIN seq q ON q.series = r.series AND q.idx = r.t
-)
-SELECT series, t - 1 AS idx, s_acc AS s_cents
-FROM r WHERE t >= 1 AND s_acc > {_CU_H}
-"""
-
-
-def test_ts_cusum_alarms_twin(spark, sf_oracle_dir):
-    spec = QuerySpec(
-        name="r7:ts_cusum_alarms", fn=_cusum_fn, oracle=_CUSUM_SQL,
-        category="timeseries",
-    )
-    res = compare_query(spark, spec, sf_oracle_dir)
-    assert res.ok, res.detail
-
-
-_KM_K, _KM_ROUNDS = 8, 3
-
-
-def _kmeans_fn(spark, sf_dir):
-    from x8313_etl_spark.operators.kmeans import lloyd_kmeans
-
-    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    assign, cents = lloyd_kmeans(
-        vecs, k=_KM_K, rounds=_KM_ROUNDS, ledger_key="sim_kmeans.cand"
-    )
-    mem = assign.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n_members"), F.sum("vec_id").alias("id_sum")
-    )
-    dig = (
-        cents.select("cid", F.explode("cv").alias("q"))
-        .groupBy("cid")
-        .agg(
-            F.sum("q").alias("c_sum"),
-            F.min("q").alias("c_min"),
-            F.max("q").alias("c_max"),
-        )
-    )
-    return dig.join(mem, "cid", "left").select(
-        F.col("cid").cast("bigint").alias("cid"),
-        F.coalesce("n_members", F.lit(0)).cast("bigint").alias("n_members"),
-        F.coalesce("id_sum", F.lit(0)).cast("bigint").alias("id_sum"),
-        F.col("c_sum").cast("bigint").alias("c_sum"),
-        F.col("c_min").cast("bigint").alias("c_min"),
-        F.col("c_max").cast("bigint").alias("c_max"),
-    )
-
-
-def _km_round(r: int) -> str:
-    return f"""
-a{r} AS MATERIALIZED (
-  SELECT vec_id, cid FROM (
-    SELECT d.vec_id, d.cid,
-           row_number() OVER (PARTITION BY d.vec_id ORDER BY d.d2, d.cid)
-             AS rn
-    FROM (SELECT q.vec_id, c.cid, SUM((q.q - c.q) * (q.q - c.q)) AS d2
-          FROM q JOIN c{r - 1} c USING (idx)
-          GROUP BY q.vec_id, c.cid) d)
-  WHERE rn = 1),
-c{r} AS MATERIALIZED (
-  SELECT p.cid, p.idx,
-         CASE WHEN s.cnt IS NULL THEN p.q ELSE s.sq // s.cnt END AS q
-  FROM c{r - 1} p LEFT JOIN (
-    SELECT a.cid, q.idx, CAST(SUM(q.q) AS BIGINT) AS sq,
-           CAST(COUNT(*) AS BIGINT) AS cnt
-    FROM a{r} a JOIN q USING (vec_id) GROUP BY a.cid, q.idx) s
-  ON p.cid = s.cid AND p.idx = s.idx),
-"""
-
-
-_KMEANS_SQL = (
-    f"""
-WITH q AS MATERIALIZED (
-  SELECT vec_id, i - 1 AS idx,
-         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
-           AS q
-  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
-seeds AS (
-  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
-           AS cid
-  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KM_K})),
-c0 AS MATERIALIZED (
-  SELECT s.cid, q.idx, q.q FROM seeds s JOIN q USING (vec_id)),
-"""
-    + "".join(_km_round(r) for r in range(1, _KM_ROUNDS + 1))
-    + f"""
-afin AS MATERIALIZED (
-  SELECT vec_id, cid FROM (
-    SELECT d.vec_id, d.cid,
-           row_number() OVER (PARTITION BY d.vec_id ORDER BY d.d2, d.cid)
-             AS rn
-    FROM (SELECT q.vec_id, c.cid, SUM((q.q - c.q) * (q.q - c.q)) AS d2
-          FROM q JOIN c{_KM_ROUNDS} c USING (idx)
-          GROUP BY q.vec_id, c.cid) d)
-  WHERE rn = 1),
-mem AS (
-  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
-         CAST(SUM(vec_id) AS BIGINT) AS id_sum
-  FROM afin GROUP BY cid),
-dig AS (
-  SELECT cid, CAST(SUM(q) AS BIGINT) AS c_sum,
-         CAST(MIN(q) AS BIGINT) AS c_min, CAST(MAX(q) AS BIGINT) AS c_max
-  FROM c{_KM_ROUNDS} GROUP BY cid)
-SELECT d.cid, COALESCE(m.n_members, 0) AS n_members,
-       COALESCE(m.id_sum, 0) AS id_sum, d.c_sum, d.c_min, d.c_max
-FROM dig d LEFT JOIN mem m ON d.cid = m.cid
-"""
-)
-
-
-def test_sim_kmeans_lloyd_twin(spark, sf_oracle_dir):
-    spec = QuerySpec(
-        name="r7:sim_kmeans_lloyd", fn=_kmeans_fn, oracle=_KMEANS_SQL,
-        category="similarity",
-    )
-    res = compare_query(spark, spec, sf_oracle_dir)
-    assert res.ok, res.detail
 
 
 _RRF_SCALE, _RRF_C, _RRF_TOPK = 10**12, 60, 5
@@ -1150,131 +175,6 @@ def test_sim_hybrid_rrf_twin(spark, sf_oracle_dir):
     res = compare_query(spark, spec, sf_oracle_dir)
     assert res.ok, res.detail
 
-
-def _xml_fn(spark, sf_dir):
-    """S19 candidate: XML write -> read via Spark 4's BUILT-IN xml
-    datasource (spark-xml was folded into spark-sql in 4.0 — zero extra
-    jars). Supplier is the interop-shaped table: mixed ints, strings
-    with punctuation, doubles. XML stores everything as elements, so
-    the read-back pins an explicit schema (the s2 discipline) rather
-    than trusting inference, and the doubles round-trip through the
-    XML writer's shortest-repr text form — exact for these fixture
-    values (asserted by the twin's strict compare)."""
-    from x8313_etl_spark.queries.sources_q import _tag, scratch
-
-    path = scratch(f"s19_supplier_xml_{_tag(sf_dir)}")
-    s = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
-    )
-    s.write.format("xml").option("rootTag", "suppliers").option(
-        "rowTag", "supplier"
-    ).mode("overwrite").save(path)
-    return spark.read.format("xml").option("rowTag", "supplier").schema(
-        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double"
-    ).load(path)
-
-
-_XML_SQL = """
-SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey,
-       CAST(s_acctbal AS DOUBLE) AS s_acctbal
-FROM supplier
-"""
-
-
-def test_s19_xml_roundtrip_twin(spark, sf_oracle_dir):
-    spec = QuerySpec(
-        name="r7:s19_xml_roundtrip", fn=_xml_fn, oracle=_XML_SQL,
-        category="sources",
-    )
-    res = compare_query(spark, spec, sf_oracle_dir)
-    assert res.ok, res.detail
-
-
-_SD_TAU = 0.30  # cluster-scoped prune threshold (non-trivial at both sfs)
-
-
-def _semdedup_fn(spark, sf_dir):
-    """SemDeDup-proper candidate (Abbas et al.): k-means clusters, then
-    WITHIN-cluster pairwise cosine >= tau drops the larger vec_id — the
-    one-step covering prune of the paper, unlike p_semantic_dedup's
-    transitive-closure components. Pair work is sigma cluster-size²,
-    never corpus² (the clustering IS the candidate generator), and the
-    kmeans rounds are the engine-exact integer loop verified by
-    test_sim_kmeans_lloyd_twin — so the full composition is oracled."""
-    import pyspark.sql.functions as F
-
-    from x8313_etl_spark.functions.vector import cosine
-    from x8313_etl_spark.operators.kmeans import lloyd_kmeans
-
-    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    assign, _ = lloyd_kmeans(
-        vecs, k=_KM_K, rounds=_KM_ROUNDS, ledger_key="semdedup.cand"
-    )
-    mem = assign.join(vecs, "vec_id")
-    a = mem.select(
-        F.col("cid"), F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_v")
-    )
-    b = mem.select(
-        F.col("cid"), F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_v")
-    )
-    drops = (
-        a.join(b, "cid")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(cosine(F.col("a_v"), F.col("b_v")) >= _SD_TAU)
-        .select("cid", F.col("b_id").alias("vec_id"))
-        .distinct()
-    )
-    flagged = assign.join(
-        drops.withColumn("dropped", F.lit(1)), ["cid", "vec_id"], "left"
-    )
-    return flagged.groupBy("cid").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_members"),
-        F.sum(F.coalesce("dropped", F.lit(0))).cast("bigint").alias("n_dropped"),
-        F.sum(
-            F.when(F.col("dropped").isNull(), F.col("vec_id")).otherwise(F.lit(0))
-        )
-        .cast("bigint")
-        .alias("kept_id_sum"),
-    ).select(
-        F.col("cid").cast("bigint").alias("cid"),
-        "n_members",
-        "n_dropped",
-        "kept_id_sum",
-    )
-
-
-def _semdedup_sql():
-    from x8313_etl_spark.functions.vector import sql_cosine
-
-    cos = sql_cosine("ea.embedding", "eb.embedding")
-    # reuse the verified kmeans CTE chain verbatim up to `afin`
-    prefix = _KMEANS_SQL.split("mem AS (")[0].rstrip().rstrip(",")
-    return f"""{prefix},
-drops AS MATERIALIZED (
-  SELECT DISTINCT a.cid, b.vec_id
-  FROM afin a JOIN afin b ON a.cid = b.cid AND a.vec_id < b.vec_id
-  JOIN embeddings ea ON ea.vec_id = a.vec_id
-  JOIN embeddings eb ON eb.vec_id = b.vec_id
-  WHERE {cos} >= {_SD_TAU})
-SELECT f.cid, CAST(COUNT(*) AS BIGINT) AS n_members,
-       CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
-       CAST(SUM(CASE WHEN d.vec_id IS NULL THEN f.vec_id ELSE 0 END) AS BIGINT)
-         AS kept_id_sum
-FROM afin f LEFT JOIN drops d ON d.cid = f.cid AND d.vec_id = f.vec_id
-GROUP BY f.cid
-"""
-
-
-def test_p_semdedup_prune_twin(spark, sf_oracle_dir):
-    spec = QuerySpec(
-        name="r7:p_semdedup_prune", fn=_semdedup_fn, oracle=_semdedup_sql(),
-        category="pipeline",
-    )
-    res = compare_query(spark, spec, sf_oracle_dir)
-    assert res.ok, res.detail
-    # the prune must be non-trivially exercised: some cluster drops rows
-    sdf = _semdedup_fn(spark, sf_oracle_dir).toPandas()
-    assert sdf.n_dropped.sum() > 0, "tau too high: nothing pruned"
 
 
 def _g10_fn(spark, sf_dir):
@@ -1404,6 +304,7 @@ def test_g10_neighbor_agg_twin(spark, sf_oracle_dir):
     )
     res = compare_query(spark, spec, sf_oracle_dir)
     assert res.ok, res.detail
+
 
 
 _ACF_LAGS = (1, 2, 3)

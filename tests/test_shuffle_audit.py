@@ -57,6 +57,26 @@ ALLOWED: dict[str, tuple[dict[str, int], str]] = {
         "+ the final global agg over exactly the TWO median-bracketing "
         "rows — data-sized work stays range-partitioned",
     ),
+    "a25_global_quantiles": (
+        {"Exchange SinglePartition": 2},
+        "a24's exact two single-partition stages, shared by the whole "
+        "quantile VECTOR: the bounded per-partition count window "
+        "(globalrank core) + the final agg over <= 2*|qs| bracket rows",
+    ),
+    "dq3_constraint_audit": (
+        {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 3},
+        "the audit output IS check-count rows: single-row conditional "
+        "aggregates per check family (three global merges of fixed-size "
+        "cells, rows never cross) + the FK check's broadcast anti-join "
+        "over the distinct reference keys (dq_profile's entry)",
+    ),
+    "sim_ivfpq_topk": (
+        {"BroadcastNestedLoopJoin": 4},
+        "every NLJ side is a bounded CONSTANT: K=16 coarse seeds crossed "
+        "into assignment (sim_ivf_topk's entry), the M*16-row codebook "
+        "seed cross, and the probe x 128-row-codebook ADC table fan-out "
+        "— map-only over the corpus, never rows x rows",
+    ),
     "dq_profile": (
         {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 2},
         "global metric rows (single-row aggs) + the broadcast RI anti-join check",
@@ -225,6 +245,40 @@ ALLOWED_LEDGER: dict[str, tuple[dict[str, int], str]] = {
         "K=16 centroid seeds broadcast-crossed into the assignment scan — "
         "bounded side, map-only over the corpus (shared by sim_ivf_topk "
         "and l10_knn_ivf)",
+    ),
+    "g8.edges": (
+        {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
+        "same quantile-threshold scalar broadcast as g3.edges (shared "
+        "_cosupply_edges construction, weight-keeping variant, g8's own "
+        "checkpoint — g7.edges' entry)",
+    ),
+    "g9.round": (
+        {"BroadcastNestedLoopJoin": 2, "Exchange SinglePartition": 2},
+        "per-round single-ROW seed-count scalar crossed into the "
+        "personalized base/teleport vector (g1's per-iteration idiom); "
+        "the plan string re-expands the persisted seeded frame once per "
+        "reference (base + prior-rank)",
+    ),
+    "sim_kmeans.round": (
+        {"BroadcastNestedLoopJoin": 1},
+        "Lloyd assignment IS a broadcast NLJ over N x k with k=8 "
+        "constant centroids (MLlib's shape) — no shuffle touches the "
+        "vector table; recorded per round via the audited checkpoint",
+    ),
+    "sim_kmeans.final": (
+        {"BroadcastNestedLoopJoin": 1},
+        "the final consistent-assignment pass: same bounded k=8 "
+        "centroid broadcast cross as sim_kmeans.round",
+    ),
+    "semdedup.round": (
+        {"BroadcastNestedLoopJoin": 1},
+        "p_semdedup_prune's own kmeans rounds — same bounded k=8 "
+        "centroid broadcast as sim_kmeans.round (operator shared, keys "
+        "per query so first-build plans stay separately audited)",
+    ),
+    "semdedup.final": (
+        {"BroadcastNestedLoopJoin": 1},
+        "same as sim_kmeans.final under p_semdedup_prune's key",
     ),
 }
 

@@ -75,6 +75,7 @@ def delta_stepping(
     delta: int,
     max_buckets: int,
     light_rounds: int | None = None,
+    ledger_key: str | None = None,
 ) -> DataFrame:
     """Delta-stepping SSSP (Meyer & Sanders) — the bucketed-priority
     upgrade of ``bounded_sssp``, processing tentative distances in
@@ -110,10 +111,10 @@ def delta_stepping(
     way seed-nonemptiness is verified (tests/test_r7_candidates.py
     pins cap=2 ≡ cap=Δ on every fixture sf).
 
-    Registration plan: r7's g8 candidate (ROADMAP.md) — the query twin
-    is a chained-CTE replay of the same bucket schedule; until then
-    this operator is exercised by tests/test_properties.py against a
-    driver-side Dijkstra on random graphs.
+    ``ledger_key``: routes every per-merge checkpoint through
+    audited_checkpoint (the registered-query invariant — the shuffle
+    audit must see each round's truncated plan); None keeps the plain
+    localCheckpoint for library use.
     """
     if delta < 1:
         raise ValueError("delta must be >= 1")
@@ -134,15 +135,19 @@ def delta_stepping(
         # later plan re-embed all earlier ones — analysis time grows
         # quadratically (measured: the property test went from stuck to
         # seconds). Checkpointing truncates lineage per merge, the
-        # standard iterative-on-Spark discipline (g1/g5); an r7 query
-        # registration would route this through audited_checkpoint so
-        # the shuffle-audit ledger sees each round's plan.
-        return (
+        # standard iterative-on-Spark discipline (g1/g5); a registered
+        # query passes ledger_key so the shuffle-audit ledger sees each
+        # round's plan.
+        merged = (
             a.unionByName(b)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
         )
+        if ledger_key:
+            from ..audit import audited_checkpoint
+
+            return audited_checkpoint(f"{ledger_key}.round", merged)
+        return merged.localCheckpoint(eager=True)
 
     for b in range(max_buckets):
         lo, hi = b * delta, (b + 1) * delta

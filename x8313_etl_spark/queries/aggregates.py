@@ -1039,3 +1039,75 @@ def two_phase_global_quantiles(
             ).alias(name),
         ]
     return picked.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# A25: exact global quantile VECTOR (registered round 7; twin
+# pre-verified in tests/test_r7_candidates.py before registration).
+# ---------------------------------------------------------------------------
+
+_A25_QS = (("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10))
+
+
+def _a25_sql() -> str:
+    # the a24 twin generalized: one rank CTE, 2·|qs| bracket positions,
+    # cent-integer interpolation per quantile
+    lo = {n: f"(({num} * (n - 1)) // {den})" for n, num, den in _A25_QS}
+    hi = {n: f"((({num} * (n - 1)) + {den} - 1) // {den})" for n, num, den in _A25_QS}
+    inner = {n: f"(({num} * (n - 1)) % {den})" for n, num, den in _A25_QS}
+    picked = " OR ".join(f"rn = {lo[n]} OR rn = {hi[n]}" for n, _, _ in _A25_QS)
+    cols = ["CAST(MAX(n) AS BIGINT) AS n_rows"]
+    for n, _, den in _A25_QS:
+        lo_v = f"MIN(CASE WHEN rn = {lo[n]} THEN v END)"
+        hi_v = f"MIN(CASE WHEN rn = {hi[n]} THEN v END)"
+        cols += [
+            f"{lo_v} AS {n}_lo",
+            f"{hi_v} AS {n}_hi",
+            f"(CAST(ROUND({lo_v} * 100) AS BIGINT) * ({den} - MAX({inner[n]}))"
+            f" + CAST(ROUND({hi_v} * 100) AS BIGINT) * MAX({inner[n]}))"
+            f" / {float(100 * den)} AS {n}",
+        ]
+    return f"""
+WITH r AS (
+  SELECT l_extendedprice AS v,
+         ROW_NUMBER() OVER (
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+         ) - 1 AS rn,
+         COUNT(*) OVER () AS n
+  FROM lineitem
+),
+picked AS (SELECT * FROM r WHERE {picked})
+SELECT {", ".join(cols)} FROM picked
+"""
+
+
+@register(
+    "a25_global_quantiles",
+    category="aggregates",
+    oracle=_a25_sql(),
+)
+def a25_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A25: EXACT global quantile VECTOR (p25/p50/p75/p90) in ONE rank
+    pass — a24's two-phase selection generalized: each quantile_cont
+    position h = q·(n−1) is bracketed by ranks ⌊h⌋/⌈h⌉ and interpolated
+    EXACTLY in integer cent arithmetic (lo·(den−inner) + hi·inner over
+    100·den, inner = num·(n−1) mod den) — one correctly-rounded double
+    division of exact integers per quantile, so no fp divergence
+    (functions/numeric policy; the a24 midpoint discipline for
+    arbitrary rational fractions).
+
+    Scale: identical to a24 — the range-exchange rank pass is shared by
+    EVERY quantile (this is the point: a quantile vector costs one
+    selection pass, not |qs| passes); the only single-partition stages
+    are the bounded per-partition count window (globalrank core, o1's
+    entry) and the final global agg over ≤ 2·|qs| bracketing rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return two_phase_global_quantiles(
+        li,
+        "l_extendedprice",
+        [F.col("l_orderkey"), F.col("l_linenumber")],
+        list(_A25_QS),
+        key="aggregates.a25_rank",
+    )

@@ -852,3 +852,241 @@ def g7_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("s_suppkey"),
         F.coalesce(F.col("dist"), F.lit(-1)).cast("bigint").alias("dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G8: delta-stepping SSSP (registered round 7; twin pre-verified in
+# tests/test_r7_candidates.py before registration — ROADMAP r7).
+# ---------------------------------------------------------------------------
+
+_G8_BUCKETS = 3
+_G8_LIGHT_ROUNDS = 2
+
+
+def _g8_edges(spark: SparkSession, sf_dir: str, key: str) -> DataFrame:
+    """Symmetrized weighted co-supply edges (src, dst, w) — g7's edge
+    family behind a g8-owned checkpoint key."""
+    e = _cosupply_edges(spark, sf_dir, key, with_weight=True)
+    return e.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst"),
+        F.col("shared").cast("bigint").alias("w"),
+    ).unionAll(
+        e.select(
+            F.col("s2").alias("src"), F.col("s1").alias("dst"),
+            F.col("shared").cast("bigint").alias("w"),
+        )
+    )
+
+
+def _g8_sql() -> str:
+    d = "(SELECT delta FROM dd)"
+    ctes = [
+        """pairs AS MATERIALIZED (
+  SELECT s1, s2, count(DISTINCT ok) AS shared FROM (
+    SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, a.l_orderkey AS ok
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  ) GROUP BY s1, s2
+)""",
+        f"t AS (SELECT CEIL(quantile_cont(shared, {_TRI_QUANTILE})) AS thr FROM pairs)",
+        """eu AS MATERIALIZED (
+  SELECT s1 AS src, s2 AS dst, CAST(shared AS BIGINT) AS w
+  FROM pairs, t WHERE shared >= thr
+  UNION ALL
+  SELECT s2 AS src, s1 AS dst, CAST(shared AS BIGINT) AS w
+  FROM pairs, t WHERE shared >= thr
+)""",
+        "dd AS (SELECT CAST(CEIL(quantile_cont(w, 0.5)) AS BIGINT) AS delta FROM eu)",
+        f"""t0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist FROM eu
+  WHERE src % {_SSSP_SEED_MOD} = 0
+)""",
+    ]
+    prev = "t0"
+    dones = []
+    for b in range(_G8_BUCKETS):
+        in_b = f"dist >= {b} * {d} AND dist < {b + 1} * {d}"
+        for r in range(1, _G8_LIGHT_ROUNDS + 1):
+            cur = f"t{b}_{r}"
+            ctes.append(
+                f"""{cur} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT eu.dst AS node, p.dist + eu.w AS dist
+    FROM eu JOIN (SELECT * FROM {prev} WHERE {in_b}) p ON eu.src = p.node
+    WHERE eu.w <= {d}
+  ) GROUP BY node
+)"""
+            )
+            prev = cur
+        done = f"done{b}"
+        ctes.append(
+            f"{done} AS MATERIALIZED (SELECT node, dist FROM {prev} WHERE {in_b})"
+        )
+        dones.append(done)
+        nxt = f"t{b + 1}"
+        ctes.append(
+            f"""{nxt} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT eu.dst AS node, p.dist + eu.w AS dist
+    FROM eu JOIN {done} p ON eu.src = p.node
+    WHERE eu.w > {d}
+  ) GROUP BY node
+)"""
+        )
+        prev = nxt
+    union = "\nUNION ALL\n".join(f"SELECT node, dist FROM {x}" for x in dones)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(node AS BIGINT) AS s_suppkey, CAST(dist AS BIGINT) AS dist
+FROM ({union})"""
+    )
+
+
+@register(
+    "g8_delta_stepping",
+    category="graph",
+    oracle=_g8_sql(),
+)
+def g8_delta_stepping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8: delta-stepping SSSP (Meyer & Sanders, public paper) — the
+    bucketed-priority upgrade of g7's Bellman-Ford: tentative distances
+    are processed in buckets of width Δ; LIGHT edges (w ≤ Δ) relax to a
+    capped fixpoint inside the bucket, the bucket SETTLES, HEAVY edges
+    relax once from the settled set. Returns every node settled within
+    3 buckets (true distance < 3Δ) — the exact settled-set contract of
+    operators/sssp.py delta_stepping, property-tested against a
+    driver-side Dijkstra and here replayed bucket-for-bucket by the
+    chained MATERIALIZED-CTE twin.
+
+    Δ is the CEIL MEDIAN edge weight (quantile-derived, never a
+    constant — the g3 rule, so light and heavy edge classes are both
+    non-empty at every sf); it is fetched as a one-row scalar (the t16
+    sentinel pattern: a single-row agg ``first()``, bounded by
+    construction — never a row collect). The light-round cap is FIXED
+    at 2 so the twin unrolls a Δ-independent schedule; cap=2 ≡ full
+    fixpoint is pinned on every fixture sf by
+    tests/test_registered_guards.py.
+
+    Scale: vs g7, round count is bounded by path WEIGHT/Δ rather than
+    edge count — the dial between Dijkstra (Δ=1) and Bellman-Ford
+    (Δ=∞). Per-round shape is unchanged (ONE edge⋈frontier equi-shuffle
+    keyed on src + a map-side-combined MIN); every merge goes through
+    audited_checkpoint (key g8.round) so the shuffle audit sees each
+    round's truncated plan."""
+    from pyspark import StorageLevel
+
+    from ..operators.sssp import delta_stepping
+
+    eu = _g8_edges(spark, sf_dir, "g8.edges").persist(StorageLevel.MEMORY_AND_DISK)
+    delta = int(
+        eu.agg(F.ceil(F.expr("percentile(w, 0.5)")).alias("d")).first()["d"]
+    )
+    seeds = (
+        eu.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") % _SSSP_SEED_MOD == 0)
+    )
+    settled = delta_stepping(
+        eu, seeds, delta, _G8_BUCKETS, light_rounds=_G8_LIGHT_ROUNDS,
+        ledger_key="g8",
+    )
+    out = settled.select(
+        F.col("node").cast("bigint").alias("s_suppkey"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )
+    eu.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# G9: personalized PageRank (registered round 7; twin pre-verified in
+# tests/test_r7_candidates.py before registration — ROADMAP r7).
+# ---------------------------------------------------------------------------
+
+_G9_ROUNDS = 5
+_G9_SEEDS = ("S0", "S1", "S2", "S3", "S4")
+
+
+def _g9_sql() -> str:
+    ns = len(_G9_SEEDS)
+    inlist = ", ".join(f"'{s}'" for s in _G9_SEEDS)
+    base = (
+        f"CASE WHEN deg.src IN ({inlist}) "
+        f"THEN ({SCALE} * {DAMP_DEN - DAMP_NUM}) // ({DAMP_DEN} * {ns}) "
+        f"ELSE 0 END"
+    )
+    ctes = [
+        """e AS (
+  SELECT DISTINCT 'S' || CAST(l.l_suppkey AS VARCHAR) AS src,
+                  'C' || CAST(o.o_custkey AS VARCHAR) AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)""",
+        "ed AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY src)",
+        f"""r0 AS (SELECT deg.src AS node,
+  CASE WHEN deg.src IN ({inlist}) THEN {SCALE} // {ns} ELSE 0 END AS r
+  FROM deg)""",
+    ]
+    for i in range(1, _G9_ROUNDS + 1):
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT ed.dst AS node, SUM(p.r // deg.outdeg) AS msum
+  FROM ed JOIN r{i - 1} p ON ed.src = p.node JOIN deg ON deg.src = ed.src
+  GROUP BY ed.dst
+),
+r{i} AS MATERIALIZED (
+  SELECT deg.src AS node,
+         {base} + ({DAMP_NUM} * coalesce(s.msum, 0)) // {DAMP_DEN} AS r
+  FROM deg LEFT JOIN s{i} s ON s.node = deg.src
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(r AS BIGINT) AS rank_pico FROM r{_G9_ROUNDS}"
+    )
+
+
+@register(
+    "g9_personalized_pagerank",
+    category="graph",
+    oracle=_g9_sql(),
+)
+def g9_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9: personalized PageRank — g1's integer pico-rank power
+    iteration with the teleport vector RESTRICTED to a seed set (the
+    'random walk with restart' form behind related-item feeds,
+    node-similarity features, and local community scores; Page et al. /
+    Jeh & Widom's personalization are the public sources). Base mass
+    (1−d)·SCALE is split over the 5 seed suppliers only, so rank mass
+    localizes around the seeds (pinned by a two-component localization
+    unit test on the operator, tests/test_ppr.py).
+
+    Exactness: identical discipline to g1 — all mass in integer
+    pico-rank units, truncating div everywhere, FIXED 5 rounds; the
+    twin replays the rounds as chained MATERIALIZED CTEs with a
+    seed-cased base vector. Scale: per round ONE edge⋈rank equi-shuffle
+    (same key every round) + a map-side-combined SUM; the bipartite
+    supplier↔customer graph and degree table are g1's shapes; rounds
+    checkpoint through the audited ledger (key g9.round)."""
+    from ..operators.ppr import personalized_pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    ed = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = spark.createDataFrame([(s,) for s in _G9_SEEDS], "node string")
+    return personalized_pagerank(ed, seeds, _G9_ROUNDS, ledger_key="g9.round")

@@ -1017,3 +1017,228 @@ def p_er_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_id", "cand_id", "dirty_name", "matched_name",
         F.col("score").cast("int").alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# p_substr_dedup_spans + p_contamination_spans: exact substring-span
+# dedup / decontamination (registered round 7; twins pre-verified in
+# tests/test_r7_candidates.py before registration).
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8
+_SPAN_BENCH_MOD = 7  # the p_decontaminate benchmark-slice convention
+
+_SPANS_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, i - 1 AS pos,
+             list_reduce(w[i:i + {_SPAN_K - 1}], (a, b) -> a || ' ' || b) AS gram
+      FROM w, unnest(generate_series(1, len(w) - {_SPAN_K - 1})) AS t(i)),
+d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM d)),
+i AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       > {_SPAN_K} THEN 1 ELSE 0 END AS brk
+      FROM m),
+s AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM i)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_SPAN_K} AS BIGINT) AS span_end,
+       count(*) AS n_dup_grams
+FROM s GROUP BY doc_id, island
+"""
+
+
+@register(
+    "p_substr_dedup_spans",
+    category="pipeline",
+    oracle=_SPANS_SQL,
+)
+def p_substr_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup — the Lee et al. 2022 ExactSubstr
+    operator (public: 'Deduplicating Training Data Makes Language
+    Models Better') re-expressed Spark-first: instead of a suffix
+    array, a duplicated k-gram (k=8 words) is a gram whose global
+    count ≥ 2; per doc, overlapping/adjacent duplicated-gram positions
+    merge into maximal SPANS (gaps > k break islands — the
+    gaps-and-islands window). Emits (doc_id, span_start, span_end,
+    n_dup_grams) word offsets — the character-level clip is
+    operators/substrdedup.clip_spans. Completes the dedup ladder:
+    exact(l1) → MinHash(l2) → SimHash → semantic → SUBSTRING-SPAN
+    (removes verbatim boilerplate INSIDE otherwise-unique docs, which
+    whole-doc dedup can't).
+
+    Scale: gram table is corpus-linear (one pos-explode); duplicated
+    grams come from ONE map-side-combined count; the island merge is a
+    per-doc window (one shuffle keyed by doc). 10× sweep SUB-LINEAR in
+    the worst all-duplicated regime (6.0s → 12.0s,
+    scripts/scale10x_substr.py). k=8 measured non-trivial at every
+    fixture sf (~10% of positions duplicated). Operator:
+    operators/substrdedup.py (property-tested against a brute-force
+    suffix scan)."""
+    from ..operators.substrdedup import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = duplicated_spans(docs, _SPAN_K)
+    return s.select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        "n_dup_grams",
+    )
+
+
+_CONTAM_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, i - 1 AS pos,
+             list_reduce(w[i:i + {_SPAN_K - 1}], (a, b) -> a || ' ' || b) AS gram
+      FROM w, unnest(generate_series(1, len(w) - {_SPAN_K - 1})) AS t(i)),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_SPAN_BENCH_MOD} = 0),
+m AS (SELECT doc_id, pos FROM g
+      WHERE doc_id % {_SPAN_BENCH_MOD} <> 0 AND gram IN (SELECT gram FROM b)),
+i AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       > {_SPAN_K} THEN 1 ELSE 0 END AS brk
+      FROM m),
+s AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM i)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_SPAN_K} AS BIGINT) AS span_end,
+       count(*) AS n_dup_grams
+FROM s GROUP BY doc_id, island
+"""
+
+
+@register(
+    "p_contamination_spans",
+    category="pipeline",
+    oracle=_CONTAM_SQL,
+)
+def p_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination — the substring-span machinery with
+    the duplicated-gram set replaced by the BENCHMARK's gram set (the
+    doc_id % 7 slice, p_decontaminate's convention): emits the exact
+    corpus spans that verbatim-overlap evaluation data, the
+    surgical-redaction upgrade of p_decontaminate's whole-doc boolean
+    (clip the span, keep the doc — the GPT-3 appendix-C recipe's
+    span form).
+
+    Scale: the benchmark gram set is eval-sized → BROADCAST into the
+    corpus gram stream (a map-only semi-join); the corpus side never
+    shuffles for matching, only the per-doc island window. Operator:
+    operators/substrdedup.py contaminated_spans."""
+    from ..operators.substrdedup import contaminated_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % _SPAN_BENCH_MOD != 0)
+    bench = d.filter(F.col("doc_id") % _SPAN_BENCH_MOD == 0)
+    s = contaminated_spans(corpus, bench, _SPAN_K)
+    return s.select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        "n_dup_grams",
+    )
+
+
+# ---------------------------------------------------------------------------
+# p_er_blocked_multikey: multi-blocking-key entity resolution
+# (registered round 7; twin pre-verified in tests/test_r7_candidates.py
+# before registration).
+# ---------------------------------------------------------------------------
+
+_ER_MULTIKEY_SQL = """
+WITH dirty AS (
+  SELECT p_partkey AS probe_id,
+         substr(p_name, 1, length(p_name)
+                - CASE WHEN p_partkey % 20 = 0 THEN 1 ELSE 2 END) AS dirty_name
+  FROM part WHERE p_partkey % 10 = 0
+),
+dn AS (SELECT DISTINCT dirty_name FROM dirty),
+cand AS (SELECT p_name, min(p_partkey) AS cand_id FROM part GROUP BY p_name),
+dg AS (
+  SELECT dirty_name,
+         split_part(dirty_name, ' ', 1) AS b1,
+         length(split_part(dirty_name, ' ', 2)) AS b2,
+         list_distinct(list_transform(
+           generate_series(1, length('##' || dirty_name || '##') - 2),
+           i -> substr('##' || dirty_name || '##', i, 3))) AS grams
+  FROM dn
+),
+cg AS (
+  SELECT p_name, cand_id,
+         split_part(p_name, ' ', 1) AS cb1,
+         length(split_part(p_name, ' ', 2)) AS cb2,
+         list_distinct(list_transform(
+           generate_series(1, length('##' || p_name || '##') - 2),
+           i -> substr('##' || p_name || '##', i, 3))) AS grams
+  FROM cand
+),
+best AS (
+  SELECT d.dirty_name, c.cand_id, c.p_name AS matched_name,
+         levenshtein(d.dirty_name, c.p_name) AS score,
+         row_number() OVER (
+           PARTITION BY d.dirty_name
+           ORDER BY levenshtein(d.dirty_name, c.p_name), c.cand_id
+         ) AS rn
+  FROM dg d JOIN cg c
+    ON (d.b1 = c.cb1 AND c.cb2 = d.b2 + 1) OR list_has_any(d.grams, c.grams)
+  WHERE levenshtein(d.dirty_name, c.p_name) <= 3
+)
+SELECT probe_id, cand_id, dirty_name, matched_name,
+       CAST(score AS INTEGER) AS score
+FROM dirty JOIN best USING (dirty_name)
+WHERE rn = 1
+"""
+
+
+@register(
+    "p_er_blocked_multikey",
+    category="pipeline",
+    oracle=_ER_MULTIKEY_SQL,
+)
+def p_er_blocked_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-blocking-key entity resolution — the standard recall
+    upgrade of p_er_blocked_match (Papadakis et al. blocking surveys,
+    public): a single blocking key misses matches whose corruption
+    breaks THAT key, so candidates are the UNION of (a) a structural
+    band key (first word + second-word length±1 — survives suffix
+    truncation) and (b) padded 3-gram blocks (survives interior edits);
+    dedup on the pair, then verify with Levenshtein ≤ 3 and keep the
+    best match per dirty name ((score, cand_id) tie-break). The feed
+    mixes 1-char and 2-char truncations (p_partkey%20 cases), so
+    NEITHER key alone finds every match — pinned by
+    tests/test_blocking.py.
+
+    Scale: both blockers are NAME-INTERNED (the r6 p_er lesson — the
+    row-level form measured 388s where the interned form took 1.5s at
+    10×): distinct names block/verify once, probe rows join back by
+    equi-key. Pair work is Σ block² over the union of block families,
+    never names². Operators: operators/blocking.py."""
+    from ..operators.blocking import (
+        band_block_pairs,
+        best_match,
+        multikey_candidates,
+        qgram_block_pairs,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    dirty = part.filter(F.col("p_partkey") % 10 == 0).select(
+        F.col("p_partkey").alias("probe_id"),
+        F.expr(
+            "substr(p_name, 1, length(p_name) - "
+            "(CASE WHEN p_partkey % 20 = 0 THEN 1 ELSE 2 END))"
+        ).alias("dirty_name"),
+    )
+    dnames = dirty.select("dirty_name").distinct()
+    cnames = part.groupBy("p_name").agg(F.min("p_partkey").alias("cand_id"))
+    pairs = multikey_candidates(
+        band_block_pairs(dnames, cnames), qgram_block_pairs(dnames, cnames)
+    )
+    best = best_match(pairs, max_score=3)
+    return dirty.join(best, "dirty_name").select(
+        "probe_id", "cand_id", "dirty_name", "matched_name", "score"
+    )

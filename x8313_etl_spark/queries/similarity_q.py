@@ -1122,3 +1122,346 @@ def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rn"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_ivfpq_topk: IVF-PQ composed ANN (registered round 7; twin
+# pre-verified in tests/test_r7_candidates.py before registration).
+# ---------------------------------------------------------------------------
+
+_PQD = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+    "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
+)
+_IVFPQ_KC, _IVFPQ_M, _IVFPQ_SUB, _IVFPQ_KB = 16, 8, 8, 16
+_IVFPQ_NPROBE, _IVFPQ_TOPK, _IVFPQ_PMOD = 4, 5, 25
+
+_IVFPQ_SQL = f"""
+WITH mm AS (SELECT unnest(generate_series(0, {_IVFPQ_M - 1})) AS m),
+cents AS MATERIALIZED (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+  WHERE vec_id < {_IVFPQ_KC}
+),
+ad AS MATERIALIZED (
+  SELECT e.vec_id, c.cent_id,
+         {_PQD.format(a="e.embedding", b="c.cvec")} AS d2,
+         list_transform(list_zip(e.embedding, c.cvec),
+           p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS resid
+  FROM embeddings e, cents c
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, cent_id, resid FROM (
+    SELECT vec_id, cent_id, resid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+    FROM ad
+  ) WHERE rn = 1
+),
+rb AS MATERIALIZED (
+  SELECT a.vec_id, a.cent_id, mm.m,
+         a.resid[(1 + {_IVFPQ_SUB} * mm.m):({_IVFPQ_SUB} + {_IVFPQ_SUB} * mm.m)] AS rvec
+  FROM assign a, mm
+),
+books AS MATERIALIZED (
+  SELECT m, vec_id - {_IVFPQ_KC} AS code, rvec AS bvec FROM rb
+  WHERE vec_id >= {_IVFPQ_KC} AND vec_id < {_IVFPQ_KC + _IVFPQ_KB}
+),
+cd AS MATERIALIZED (
+  SELECT r.vec_id, r.cent_id, r.m, b.code,
+         {_PQD.format(a="r.rvec", b="b.bvec")} AS d2
+  FROM rb r JOIN books b ON r.m = b.m
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, cent_id, m, code FROM (
+    SELECT vec_id, cent_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+    FROM cd
+  ) WHERE rn = 1
+),
+passign AS MATERIALIZED (
+  SELECT vec_id AS probe_id, cent_id, resid FROM (
+    SELECT vec_id, cent_id, resid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+    FROM ad WHERE vec_id % {_IVFPQ_PMOD} = 0
+  ) WHERE rn <= {_IVFPQ_NPROBE}
+),
+dtab AS MATERIALIZED (
+  SELECT p.probe_id, p.cent_id, b.m, b.code,
+         {_PQD.format(
+             a=f"p.resid[(1 + {_IVFPQ_SUB} * b.m):({_IVFPQ_SUB} + {_IVFPQ_SUB} * b.m)]",
+             b="b.bvec",
+         )} AS d2m
+  FROM passign p JOIN books b ON TRUE
+),
+adc AS (
+  SELECT t.probe_id, c.vec_id,
+         list_reduce(list(t.d2m ORDER BY t.m), (a, b) -> a + b) AS adc_d2
+  FROM codes c
+  JOIN dtab t ON t.cent_id = c.cent_id AND t.m = c.m AND t.code = c.code
+  WHERE c.vec_id != t.probe_id
+  GROUP BY t.probe_id, c.vec_id
+)
+SELECT probe_id, vec_id, adc_d2, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY adc_d2, vec_id) AS rn
+  FROM adc
+) WHERE rn <= {_IVFPQ_TOPK}
+"""
+
+
+@register(
+    "sim_ivfpq_topk",
+    category="similarity",
+    oracle=_IVFPQ_SQL,
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (Jégou et al. 2011, public — the FAISS
+    IVFPQ layout): coarse IVF quantizer (16 deterministic centroids)
+    partitions the corpus; each vector stores an M=8-subvector PQ CODE
+    of its RESIDUAL (vector − coarse centroid); a probe visits
+    nprobe=4 coarse cells and scores candidates by ADC — per-(m, code)
+    distance table lookups summed in the twin's m-ORDERED fold (the
+    sim_pq discipline, so the double-add order is pinned cross-engine).
+
+    This composes the two registered index families: sim_ivf_* (cell
+    pruning, no compression) × sim_pq_topk (compression, no pruning) —
+    the production ANN shape: candidate volume capped by nprobe·cell,
+    memory traffic cut ~32× by 8-byte codes vs 256-byte vectors.
+
+    Scale (measured, scripts/scale10x_ivfpq.py): build 1.3×, capped
+    search 3.0× at 10× corpus — sub-linear; probe budgets are CAPPED
+    constants (the r5 probes-grow-with-corpus lesson). Recall is
+    monotone in nprobe on the fixture (0.06→0.12 @ 1→4, gated by a
+    bit-exact NumPy mirror in tests/test_ivfpq.py). Operator:
+    operators/ivfpq.py."""
+    from ..operators.ivfpq import ivfpq_index, ivfpq_search
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % _IVFPQ_PMOD == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    idx = ivfpq_index(e, k_coarse=_IVFPQ_KC, m=_IVFPQ_M, sub=_IVFPQ_SUB,
+                      k_code=_IVFPQ_KB)
+    out = ivfpq_search(
+        idx, probes, nprobe=_IVFPQ_NPROBE, topk=_IVFPQ_TOPK, exclude_self=True
+    )
+    return out.select(
+        "probe_id", "vec_id", "adc_d2", F.col("rn").cast("int").alias("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_kmeans_lloyd: fixed-round integer Lloyd (registered round 7; twin
+# pre-verified in tests/test_r7_candidates.py before registration).
+# ---------------------------------------------------------------------------
+
+_KM_K, _KM_ROUNDS = 8, 3
+
+
+def _km_round_sql(r: int) -> str:
+    return f"""
+a{r} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT d.vec_id, d.cid,
+           row_number() OVER (PARTITION BY d.vec_id ORDER BY d.d2, d.cid)
+             AS rn
+    FROM (SELECT q.vec_id, c.cid, SUM((q.q - c.q) * (q.q - c.q)) AS d2
+          FROM q JOIN c{r - 1} c USING (idx)
+          GROUP BY q.vec_id, c.cid) d)
+  WHERE rn = 1),
+c{r} AS MATERIALIZED (
+  SELECT p.cid, p.idx,
+         CASE WHEN s.cnt IS NULL THEN p.q ELSE s.sq // s.cnt END AS q
+  FROM c{r - 1} p LEFT JOIN (
+    SELECT a.cid, q.idx, CAST(SUM(q.q) AS BIGINT) AS sq,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM a{r} a JOIN q USING (vec_id) GROUP BY a.cid, q.idx) s
+  ON p.cid = s.cid AND p.idx = s.idx),
+"""
+
+
+_KMEANS_SQL = (
+    f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS idx,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           AS q
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+seeds AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+           AS cid
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KM_K})),
+c0 AS MATERIALIZED (
+  SELECT s.cid, q.idx, q.q FROM seeds s JOIN q USING (vec_id)),
+"""
+    + "".join(_km_round_sql(r) for r in range(1, _KM_ROUNDS + 1))
+    + f"""
+afin AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT d.vec_id, d.cid,
+           row_number() OVER (PARTITION BY d.vec_id ORDER BY d.d2, d.cid)
+             AS rn
+    FROM (SELECT q.vec_id, c.cid, SUM((q.q - c.q) * (q.q - c.q)) AS d2
+          FROM q JOIN c{_KM_ROUNDS} c USING (idx)
+          GROUP BY q.vec_id, c.cid) d)
+  WHERE rn = 1),
+mem AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(vec_id) AS BIGINT) AS id_sum
+  FROM afin GROUP BY cid),
+dig AS (
+  SELECT cid, CAST(SUM(q) AS BIGINT) AS c_sum,
+         CAST(MIN(q) AS BIGINT) AS c_min, CAST(MAX(q) AS BIGINT) AS c_max
+  FROM c{_KM_ROUNDS} GROUP BY cid)
+SELECT d.cid, COALESCE(m.n_members, 0) AS n_members,
+       COALESCE(m.id_sum, 0) AS id_sum, d.c_sum, d.c_min, d.c_max
+FROM dig d LEFT JOIN mem m ON d.cid = m.cid
+"""
+)
+
+
+@register(
+    "sim_kmeans_lloyd",
+    category="similarity",
+    oracle=_KMEANS_SQL,
+)
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round Lloyd k-means (Lloyd 1982, public) — the clustering
+    primitive LLM curation builds on (SemDeDup's cluster-then-prune,
+    IVF coarse training). ENGINE-EXACT by construction: fixed-grid
+    floor quantization to integer units, smallest-id seeding, (d², cid)
+    argmin tie-break via min(struct), TRUNCATING integer means, empty
+    clusters carry the previous centroid — so the twin replays every
+    round in chained MATERIALIZED CTEs bit-for-bit (iterated floats
+    cannot be oracled; iterated integers can — the g1 lesson applied to
+    clustering). Output digests centroids (sum/min/max per cid) +
+    membership (count, id_sum) so the compare covers both halves
+    without emitting 64-wide vectors.
+
+    Scale: per round, assignment is a broadcast NLJ over N×k (k=8
+    constant — MLlib's shape; no shuffle of the vectors) and the update
+    is a groupBy(cid, idx) whose map-side combine collapses to k×dim
+    cells before the exchange; rounds are a fixed constant; per-round
+    audited checkpoints (keys sim_kmeans.*) keep lineage shallow. 10×
+    sweep: 14.6s→8.4s — scheduling floor dominates, linear law holds
+    (scripts/scale10x_kmeans.py). Operator: operators/kmeans.py (pinned
+    by a pure-Python mirror + plan-shape guards)."""
+    from ..operators.kmeans import lloyd_kmeans
+
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assign, cents = lloyd_kmeans(
+        vecs, k=_KM_K, rounds=_KM_ROUNDS, ledger_key="sim_kmeans"
+    )
+    mem = assign.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"), F.sum("vec_id").alias("id_sum")
+    )
+    dig = (
+        cents.select("cid", F.explode("cv").alias("q"))
+        .groupBy("cid")
+        .agg(
+            F.sum("q").alias("c_sum"),
+            F.min("q").alias("c_min"),
+            F.max("q").alias("c_max"),
+        )
+    )
+    return dig.join(mem, "cid", "left").select(
+        F.col("cid").cast("bigint").alias("cid"),
+        F.coalesce("n_members", F.lit(0)).cast("bigint").alias("n_members"),
+        F.coalesce("id_sum", F.lit(0)).cast("bigint").alias("id_sum"),
+        F.col("c_sum").cast("bigint").alias("c_sum"),
+        F.col("c_min").cast("bigint").alias("c_min"),
+        F.col("c_max").cast("bigint").alias("c_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# p_semdedup_prune: SemDeDup cluster-scoped prune (registered round 7;
+# twin pre-verified in tests/test_r7_candidates.py before
+# registration). Lives next to sim_kmeans_lloyd because its oracle
+# embeds the verified kmeans CTE chain verbatim.
+# ---------------------------------------------------------------------------
+
+_SD_TAU = 0.30  # cluster-scoped prune threshold (non-trivial at both sfs)
+
+
+def _semdedup_sql() -> str:
+    from ..functions.vector import sql_cosine as _sc
+
+    cos = _sc("ea.embedding", "eb.embedding")
+    # reuse the verified kmeans CTE chain verbatim up to `afin`
+    prefix = _KMEANS_SQL.split("mem AS (")[0].rstrip().rstrip(",")
+    return f"""{prefix},
+drops AS MATERIALIZED (
+  SELECT DISTINCT a.cid, b.vec_id
+  FROM afin a JOIN afin b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE {cos} >= {_SD_TAU})
+SELECT f.cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN d.vec_id IS NULL THEN f.vec_id ELSE 0 END) AS BIGINT)
+         AS kept_id_sum
+FROM afin f LEFT JOIN drops d ON d.cid = f.cid AND d.vec_id = f.vec_id
+GROUP BY f.cid
+"""
+
+
+@register(
+    "p_semdedup_prune",
+    category="pipeline",
+    oracle=_semdedup_sql(),
+)
+def p_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-proper (Abbas et al. 2023, public): k-means clusters,
+    then WITHIN-cluster pairwise cosine ≥ τ drops the larger vec_id —
+    the paper's one-step covering prune, unlike p_semantic_dedup's
+    transitive-closure components. Emits per-cluster (n_members,
+    n_dropped, kept_id_sum) so the compare covers membership AND the
+    exact kept set.
+
+    Scale: the CLUSTERING IS the candidate generator — pair work is
+    Σ cluster-size², never corpus² (k dials the tradeoff; the paper
+    runs k ~ √N); the kmeans rounds are the engine-exact integer loop
+    of sim_kmeans_lloyd (its oracle chain is embedded verbatim up to
+    the assignment CTE, so the FULL composition is oracled). The
+    within-cluster join is an equi-join on cid. τ=0.30 prunes
+    non-trivially at every fixture sf (guarded in
+    tests/test_registered_guards.py)."""
+    from ..functions.vector import cosine
+    from ..operators.kmeans import lloyd_kmeans
+
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assign, _ = lloyd_kmeans(
+        vecs, k=_KM_K, rounds=_KM_ROUNDS, ledger_key="semdedup"
+    )
+    mem = assign.join(vecs, "vec_id")
+    a = mem.select(
+        F.col("cid"), F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_v")
+    )
+    b = mem.select(
+        F.col("cid"), F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_v")
+    )
+    drops = (
+        a.join(b, "cid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cosine(F.col("a_v"), F.col("b_v")) >= _SD_TAU)
+        .select("cid", F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    flagged = assign.join(
+        drops.withColumn("dropped", F.lit(1)), ["cid", "vec_id"], "left"
+    )
+    return flagged.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum(F.coalesce("dropped", F.lit(0))).cast("bigint").alias("n_dropped"),
+        F.sum(
+            F.when(F.col("dropped").isNull(), F.col("vec_id")).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("kept_id_sum"),
+    ).select(
+        F.col("cid").cast("bigint").alias("cid"),
+        "n_members",
+        "n_dropped",
+        "kept_id_sum",
+    )

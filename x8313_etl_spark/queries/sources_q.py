@@ -562,3 +562,45 @@ def s18_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("failfast_raises", failfast_raised),
     ]
     return spark.createDataFrame(rows, "measure string, n long")
+
+
+# ---------------------------------------------------------------------------
+# S19: XML round-trip (registered round 7; twin pre-verified in
+# tests/test_r7_candidates.py before registration).
+# ---------------------------------------------------------------------------
+
+_S19_SQL = """
+SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey,
+       CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier
+"""
+
+
+@register(
+    "s19_xml_roundtrip",
+    category="sources",
+    oracle=_S19_SQL,
+)
+def s19_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19: XML write → read via Spark 4's BUILT-IN xml datasource
+    (spark-xml was folded into spark-sql in 4.0 — zero extra jars;
+    probed working in this image, unlike avro whose connector module is
+    absent — ROADMAP blocker note). Supplier is the interop-shaped
+    table: mixed ints, strings with punctuation, doubles. XML stores
+    everything as text elements, so the read-back pins an explicit
+    schema (the s2 discipline) rather than trusting inference, and the
+    doubles round-trip through the XML writer's shortest-repr text form
+    — exact for these fixture values (asserted by the twin's strict
+    compare). Scale: XML is a row-major text format — fine for feeds
+    and interchange, never the analytics store; the write/read is
+    partition-parallel like csv/json (s3/s4)."""
+    path = scratch(f"s19_supplier_xml_{_tag(sf_dir)}")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    s.write.format("xml").option("rootTag", "suppliers").option(
+        "rowTag", "supplier"
+    ).mode("overwrite").save(path)
+    return spark.read.format("xml").option("rowTag", "supplier").schema(
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double"
+    ).load(path)

@@ -865,3 +865,102 @@ def t16_stateful_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = run_to_memory(spark, out, "t16_timeout", "append")
     return res.filter(F.col("user_id") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# T17: streaming delta-join view maintenance (registered round 7; fn +
+# twin pre-verified in tests/test_r7_candidates.py before
+# registration). The oracle IS m8's registered oracle verbatim — the
+# streamed epochs must land on exactly the full post-CDC recompute.
+# ---------------------------------------------------------------------------
+
+from . import etl_q as _etl_q  # noqa: E402  (m8 zset builders + oracle)
+from ..registry import _REGISTRY as _REG  # noqa: E402
+
+
+@register(
+    "t17_stream_delta_join",
+    category="streaming",
+    oracle=_REG["m8_delta_join_view"].oracle,
+)
+def t17_stream_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17: incremental JOIN-view maintenance as a STREAM — m8's
+    Z-set delta-join rule (ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, the DBSP/
+    differential-dataflow algebra, public) applied per micro-batch by a
+    foreachBatch sink (operators/viewmaint.py JoinViewSink): both
+    sides' CDC deltas arrive interleaved on ONE stream (side-tagged
+    rows), each epoch folds its delta batch into the maintained join
+    view with multiplicity consolidation, and the final view must equal
+    the one-shot post-CDC recompute — m8's own registered oracle is the
+    twin VERBATIM, so incrementality is verified as an algebraic
+    identity (the m3/m8 discipline, streamed).
+
+    Harness: the feed is written as 4 part-files and replayed under
+    maxFilesPerTrigger=1 + trigger(availableNow) → 4 REAL micro-batches
+    through the checkpointed foreachBatch path; stale scratch families
+    are vacuumed by mtime (the t9 convention).
+
+    Scale: per epoch, work is delta-sized — two delta×base equi-joins
+    keyed on the view's own join key (co-partitioned with view storage
+    in a real deployment; AQE broadcasts the <1% delta side) plus one
+    delta×delta join; the base is NEVER rescanned. State/commit:
+    VersionedStateDir copy-on-write with atomic rename, replay
+    idempotent (tests/test_viewmaint.py)."""
+    import os
+    import shutil
+    import time as _time
+    import uuid as _uuid
+
+    from ..operators.viewmaint import JoinViewSink
+    from .sources_q import _tag, scratch
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a0 = customer.select(
+        "c_custkey", "c_nationkey", F.col("c_acctbal").alias("bal")
+    )
+    b0 = orders.select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").alias("price")
+    )
+    da = _etl_q.m8_customer_zset(customer).select(
+        F.lit("A").alias("side"), "c_custkey", "c_nationkey", "bal",
+        F.col("am").alias("m"),
+    )
+    db = _etl_q.m8_orders_zset(orders).select(
+        F.lit("B").alias("side"), "o_orderkey", "o_custkey", "price",
+        F.col("bm").alias("m"),
+    )
+    feed = da.unionByName(db, allowMissingColumns=True).select(
+        "side", "c_custkey", "c_nationkey", "bal",
+        "o_orderkey", "o_custkey", "price", "m",
+    )
+    family = scratch(f"t17_deltajoin_{_tag(sf_dir)}")
+    cutoff = _time.time() - 1800
+    for d in os.listdir(family) if os.path.isdir(family) else []:
+        p = os.path.join(family, d)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    work = os.path.join(family, _uuid.uuid4().hex[:12])
+    src, ckpt = os.path.join(work, "src"), os.path.join(work, "ckpt")
+    # 4 part-files -> 4 real micro-batches under maxFilesPerTrigger=1
+    feed.repartition(4).write.parquet(src)
+    sink = JoinViewSink(os.path.join(work, "state"))
+    sink.init_bases(a0, b0)
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink.apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("t17 delta-join stream did not finish in 180s")
+    return sink.read_view(spark)

@@ -764,3 +764,122 @@ def dq2_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_anomaly"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_holt_forecast + ts_cusum_alarms (registered round 7; twins
+# pre-verified in tests/test_r7_candidates.py before registration).
+# ---------------------------------------------------------------------------
+
+_HOLT_SQL = """
+WITH RECURSIVE seq AS MATERIALIZED (
+  SELECT CAST(user_id AS BIGINT) AS series,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS idx,
+         CAST(round(value * 100) AS BIGINT) AS yc,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM events
+),
+r AS (
+  SELECT s0.series, CAST(1 AS BIGINT) AS t,
+         s0.yc AS l, s1.yc - s0.yc AS b, s0.n AS n
+  FROM seq s0 JOIN seq s1 ON s1.series = s0.series AND s1.idx = 1
+  WHERE s0.idx = 0 AND s0.n >= 2
+  UNION ALL
+  SELECT r.series, r.t + 1,
+         (1 * s.yc + 4 * (r.l + r.b)) // 5 AS l,
+         (1 * ((1 * s.yc + 4 * (r.l + r.b)) // 5 - r.l) + 9 * r.b) // 10 AS b,
+         r.n
+  FROM r JOIN seq s ON s.series = r.series AND s.idx = r.t
+)
+SELECT series, n AS n_points, l AS level_cents, b AS trend_cents,
+       l + b AS forecast1_cents
+FROM r WHERE t = n
+"""
+
+
+@register(
+    "ts_holt_forecast",
+    category="timeseries",
+    oracle=_HOLT_SQL,
+)
+def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend (double exponential) smoothing per series —
+    the ts family's missing FORECASTING op (Holt 1957, public): level
+    l_t = α·y_t + (1−α)(l+b), trend b_t = β(l_t−l) + (1−β)b, one-step
+    forecast l+b. The recurrence is inherently sequential per series,
+    so it runs per-series inside applyInPandas (the sessionize cost
+    model: one shuffle keyed by series, linear scan within) — NOT a
+    driver loop.
+
+    Exactness: values in integer CENTS with TRUNCATING division
+    (Spark div ≡ DuckDB //, pinned by operators/holt.py's test) and
+    rational α=1/5, β=1/10, so the twin's recursive CTE replays the
+    recurrence step for step with zero fp divergence — iterated floats
+    cannot be oracled (the g1 lesson), iterated integers can.
+
+    Scale: one series⋈shuffle, Arrow-batched per-group scan; series
+    count bounds parallelism (events fixture: one group per user).
+    Operator: operators/holt.py."""
+    from ..operators.holt import holt_forecast
+
+    ev = load_table(spark, sf_dir, "events")
+    return holt_forecast(
+        ev, series_col="user_id", order_cols=["ts", "event_id"],
+        value_col="value",
+    )
+
+
+_CU_SLACK, _CU_H = 50, 500
+
+_CUSUM_SQL = f"""
+WITH RECURSIVE seq AS MATERIALIZED (
+  SELECT CAST(user_id AS BIGINT) AS series,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS idx,
+         CAST(round(value * 100) AS BIGINT) AS yc,
+         CAST(sum(CAST(round(value * 100) AS BIGINT))
+              OVER (PARTITION BY user_id) AS BIGINT) AS tot,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM events
+),
+r AS (
+  SELECT series, CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS s_acc,
+         tot // n AS mu
+  FROM seq WHERE idx = 0
+  UNION ALL
+  SELECT r.series, r.t + 1,
+         greatest(CAST(0 AS BIGINT),
+                  r.s_acc + (q.yc - r.mu - {_CU_SLACK})),
+         r.mu
+  FROM r JOIN seq q ON q.series = r.series AND q.idx = r.t
+)
+SELECT series, t - 1 AS idx, s_acc AS s_cents
+FROM r WHERE t >= 1 AND s_acc > {_CU_H}
+"""
+
+
+@register(
+    "ts_cusum_alarms",
+    category="timeseries",
+    oracle=_CUSUM_SQL,
+)
+def ts_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift alarms per series (Page 1954, public) —
+    SUSTAINED-shift detection (S_t = max(0, S + (y−μ−slack)), alarm
+    when S > h), complementing dq2's point anomalies: a metric drifting
+    +1σ forever never trips a point test but accumulates here. μ is the
+    truncating per-series mean in cents; slack/h are fixture-scaled
+    cents constants.
+
+    Exactness: same integer-cents + truncating-division discipline as
+    ts_holt_forecast, replayed by a recursive-CTE twin. Scale: one
+    series⋈shuffle + linear per-series scan in applyInPandas (the Holt
+    shape). Operator: operators/cusum.py."""
+    from ..operators.cusum import cusum_alarms
+
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_alarms(
+        ev, series_col="user_id", order_cols=["ts", "event_id"],
+        value_col="value", slack_cents=_CU_SLACK, h_cents=_CU_H,
+    )
