@@ -76,11 +76,15 @@ def personalized_pagerank(
     )
     ranks = frame.select("node", "r")
     for _ in range(rounds):
-        contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
-            .select("dst", F.expr("r div outdeg").alias("c"))
+        # per-NODE message first (|V|⋈|V| on node), THEN fan out over
+        # edges — r div outdeg is constant per source node, so joining
+        # deg after the |E|-sized edge join recomputed it once per
+        # out-edge and paid a second |E|-sized join per round (measured
+        # on the 10x sweep; algebraically identical either way)
+        msg = ranks.join(deg, ranks.node == deg.src).select(
+            "src", F.expr("r div outdeg").alias("c")
         )
+        contrib = edges.join(msg, "src").select("dst", "c")
         sums = contrib.groupBy("dst").agg(F.sum("c").alias("msum"))
         merged = (
             frame.select("node", "base")
