@@ -404,3 +404,74 @@ def test_embed_outliers_flags_a_minority(spark, sf_dir, sf_oracle_dir):
         got = {r["is_outlier"]: r["count"] for r in rows}
         assert got.get(True, 0) > 0, d
         assert got.get(True, 0) * 2 < got.get(False, 0), d
+
+
+# ---------------------------------------------------------------------------
+# dq6_k_anonymity: re-identification (k-anonymity) audit — the privacy
+# governance gate (Sweeney's k-anonymity, public) the dq family lacks:
+# p_pii_redact scrubs direct identifiers, but quasi-identifier
+# COMBINATIONS re-identify when their cohort is small.
+# ---------------------------------------------------------------------------
+
+
+def _dq6_fn(spark, sf_dir):
+    """Cohort sizes per quasi-identifier combination (nation ×
+    market segment on customer — the release-shaped columns), flagged
+    against k. k is QUANTILE-DERIVED (floor of the 25th-percentile
+    cohort size, violation = n ≤ k — the g3 non-constant-threshold
+    rule, so the audit flags SOME but not ALL cohorts at every fixture
+    sf including the one where the quartile equals the minimum;
+    production passes the policy constant, classically n < 5). One
+    single-row scalar broadcast (the h11 share-of-total idiom) — cells
+    table is |nations|·|segments|-sized, never row-sized.
+
+    Scale: ONE map-side-combined groupBy of the release table; the
+    audit output is cohort-cardinality-sized. The production follow-up
+    (generalization / suppression to repair violations) consumes
+    exactly this table."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    k = cells.agg(
+        F.floor(F.expr("percentile(n, 0.25)")).cast("bigint").alias("k")
+    )
+    return cells.crossJoin(F.broadcast(k)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("n").cast("bigint").alias("n"),
+        "k",
+        (F.col("n") <= F.col("k")).alias("is_violation"),
+    )
+
+
+_DQ6_SQL = """
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS n
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+t AS (SELECT CAST(FLOOR(quantile_cont(n, 0.25)) AS BIGINT) AS k FROM cells)
+SELECT c_nationkey, c_mktsegment, CAST(n AS BIGINT) AS n, t.k,
+       n <= t.k AS is_violation
+FROM cells, t
+"""
+
+
+def test_dq6_k_anonymity_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r8:dq6_k_anonymity", fn=_dq6_fn, oracle=_DQ6_SQL,
+        category="etl",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
+def test_dq6_flags_some_but_not_all(spark, sf_dir, sf_oracle_dir):
+    """The quantile-derived k must leave BOTH violating and conforming
+    cohorts at every fixture sf — a k above every cohort (or below all)
+    would pass the value compare while auditing nothing."""
+    for d in (sf_dir, sf_oracle_dir):
+        rows = _dq6_fn(spark, d).groupBy("is_violation").count().collect()
+        got = {r["is_violation"]: r["count"] for r in rows}
+        assert got.get(True, 0) > 0, d
+        assert got.get(False, 0) > 0, d
