@@ -105,3 +105,17 @@ def test_index_tables_must_come_together(spark, sf_dir):
         incremental_near_dups(index, batch, index_sig=sig)
     with pytest.raises(ValueError, match="index_docs or index_sig"):
         incremental_near_dups(None, batch)
+
+
+def test_docs_and_precomputed_index_together_is_an_error(spark, sf_dir):
+    """Silently preferring one source would let a stale precomputed
+    index masquerade as the passed docs (review round 7)."""
+    import pytest
+
+    from x8313_etl_spark.operators.minhash import shingle_table, signature_table
+
+    index, batch = _split(spark, sf_dir)
+    sig = signature_table(index, "doc_id", "text", 3)
+    sh = shingle_table(index, "doc_id", "text", 3)
+    with pytest.raises(ValueError, match="not both"):
+        incremental_near_dups(index, batch, index_sig=sig, index_sh=sh)

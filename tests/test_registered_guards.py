@@ -81,11 +81,13 @@ def test_p_substr_dedup_spans_nontrivial(spark, sf_oracle_dir):
     assert len(sdf) > 0 and sdf.n_dup_grams.sum() > 0
 
 
-def test_p_er_blocked_multikey_needs_both_keys(spark, sf_oracle_dir):
-    """The mixed 1-char/2-char corruption feed must contain matches
-    that each blocking family alone misses — otherwise the multikey
-    union is dead weight (pinned at operator level in
-    tests/test_blocking.py; this re-pins it on the live fixture)."""
+def test_p_er_blocked_multikey_band_alone_is_incomplete(spark, sf_oracle_dir):
+    """The band family ALONE must miss matches on the live fixture (the
+    2-char truncations fall outside the +1 length band) — the reason
+    the multikey union exists. The q-gram family is measured COMPLETE
+    on this truncation model (pinned below so a fixture regen that
+    breaks it is loud); its own failure modes are crafted cases in
+    tests/test_blocking.py."""
     from x8313_etl_spark.operators.blocking import (
         band_block_pairs,
         best_match,
@@ -111,5 +113,10 @@ def test_p_er_blocked_multikey_needs_both_keys(spark, sf_oracle_dir):
     qgram_only = dirty.join(
         best_match(qgram_block_pairs(dnames, cnames), max_score=3), "dirty_name"
     ).count()
+    assert full > 0
     assert full > band_only, "band blocker alone already complete"
-    assert full >= qgram_only and full > 0
+    # measured property of the truncation model (sf0.001/0.01/0.1):
+    # padded q-grams alone recover every match — if a fixture regen
+    # breaks this, the union still covers, but the docstring's recall
+    # story must be re-measured (loud, not silent)
+    assert qgram_only == full, (qgram_only, full)

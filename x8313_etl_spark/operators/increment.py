@@ -99,6 +99,14 @@ def incremental_near_dups(
     if (index_sig is None) != (index_sh is None):
         raise ValueError("pass index_sig and index_sh together")
     if index_sig is not None:
+        if index_docs is not None:
+            # silently preferring one source over the other would let a
+            # STALE precomputed index masquerade as the docs the caller
+            # passed — make the ambiguity loud (review round 7)
+            raise ValueError(
+                "pass either index_docs or precomputed index_sig/index_sh, "
+                "not both"
+            )
         sig_old, sh_old = index_sig, index_sh
     else:
         if index_docs is None:

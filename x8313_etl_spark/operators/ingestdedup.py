@@ -130,11 +130,14 @@ class IngestDedupSink(VersionedStateDir):
             F.col("new_id").alias("old_id"), "band", "key"
         )
         if self.max_bucket_size is not None:
-            # the same drop posture as the index side: one hot band key
+            # the same DROP posture as the index side: one hot band key
             # INSIDE a micro-batch pairs quadratically too (a crawl
-            # burst of boilerplate arriving in one batch) — cap the
-            # candidate-supplying side so within-batch pair work stays
-            # ≤ cap·|bucket|, mirroring the accumulated-index guard
+            # burst of boilerplate arriving in one batch). Over-cap
+            # buckets are dropped ENTIRELY from the candidate-supplying
+            # side (0 pairs from them — on_hot="drop", not a capped
+            # sample), so a doc whose only collisions are hot buckets
+            # is reported non-dup; the docstring's one-shot-twin caveat
+            # covers exactly this divergence when the cap fires
             hot_new = (
                 banded_new.groupBy("band", "key")
                 .agg(F.count(F.lit(1)).alias("n"))

@@ -21,10 +21,12 @@ matters; redistributing dangling mass adds one scalar aggregate per
 round if exact probability mass is ever needed (documented, not
 implemented — g1 sidesteps it the same way via its symmetric graph).
 
-Lineage: per-round persist (MEMORY_AND_DISK), the g1 pattern — round
-count is a small constant so the plan stays shallow without
-checkpoints; a registered query threads ``ledger_key`` through
-audited_checkpoint instead so the shuffle audit sees each round.
+Lineage: per-round EAGER checkpoint on both paths (a per-round persist
+neither truncates the growing lineage nor is ever released — the
+cache-lifetime leak class recorded in bounded_sssp's docstring); a
+registered query threads ``ledger_key`` through audited_checkpoint so
+the shuffle audit sees each round. The node frame's internal caches
+are unpersisted before returning (the lloyd_kmeans discipline).
 """
 
 from __future__ import annotations
@@ -97,9 +99,19 @@ def personalized_pagerank(
                 ).alias("r"),
             )
         )
+        # checkpoint, not persist, on BOTH paths: a per-round persist
+        # neither truncates the growing lineage nor is ever released —
+        # the cache-lifetime leak class bounded_sssp's docstring records
+        # (and lloyd_kmeans fixed) from review rounds 6/7
         ranks = (
             audited_checkpoint(ledger_key, merged)
             if ledger_key
-            else merged.persist(StorageLevel.MEMORY_AND_DISK)
+            else merged.localCheckpoint(eager=True)
         )
-    return ranks.select("node", F.col("r").cast("bigint").alias("rank_pico"))
+    out = ranks.select("node", F.col("r").cast("bigint").alias("rank_pico"))
+    # the final ranks are checkpointed (materialized), so the internal
+    # caches can be released before returning — repeated calls (the
+    # full-registry sweeps) must not accumulate executor storage
+    frame.unpersist()
+    nodes.unpersist()
+    return out

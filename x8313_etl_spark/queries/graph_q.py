@@ -78,14 +78,19 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     one edge⋈rank join (shuffle on src — the SAME key every round, so
     co-partitioning is reused), a per-node integer sum (map-side
     combined), and a left join back onto the node list so nodes that
-    received no mass keep the teleport base. Per-iteration persists
-    truncate lineage — the classic iterative-on-Spark discipline (at
-    100 TB you'd checkpoint every few rounds instead; same idea,
-    spill-proof). No collect anywhere: the node count enters the plan
-    as a crossed-in scalar aggregate. (A ``.format()`` on a docstring
-    literal makes it an expression — ``__doc__`` becomes None and the
-    registry's doc field goes blank — so the constants are inlined.)"""
+    received no mass keep the teleport base. Per-iteration EAGER
+    audited checkpoints (key g1.round) truncate lineage AND let the
+    internal edge/degree caches be released before returning — a
+    per-round persist neither truncates nor is ever freed, the
+    cache-lifetime leak class the round-7 review closed repo-wide
+    (ppr/kmeans/sssp carry the same discipline). No collect anywhere:
+    the node count enters the plan as a crossed-in scalar aggregate.
+    (A ``.format()`` on a docstring literal makes it an expression —
+    ``__doc__`` becomes None and the registry's doc field goes blank —
+    so the constants are inlined.)"""
     from pyspark import StorageLevel
+
+    from ..audit import audited_checkpoint
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -115,7 +120,8 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("dst", F.expr("r div outdeg").alias("c"))
         )
         sums = contrib.groupBy("dst").agg(F.sum("c").alias("msum"))
-        ranks = (
+        ranks = audited_checkpoint(
+            "g1.round",
             deg.crossJoin(nn)
             .join(sums, deg.src == sums.dst, "left")
             .select(
@@ -124,10 +130,13 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     base
                     + F.expr(f"({DAMP_NUM} * coalesce(msum, 0)) div {DAMP_DEN}")
                 ).alias("r"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            ),
         )
-    return ranks.select("node", F.col("r").cast("bigint").alias("rank_pico"))
+    out = ranks.select("node", F.col("r").cast("bigint").alias("rank_pico"))
+    # ranks is checkpointed (materialized) — release the internal caches
+    ed.unpersist()
+    deg.unpersist()
+    return out
 
 
 BFS_HOPS = 4

@@ -1209,9 +1209,14 @@ def p_er_blocked_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation) and (b) padded 3-gram blocks (survives interior edits);
     dedup on the pair, then verify with Levenshtein ≤ 3 and keep the
     best match per dirty name ((score, cand_id) tie-break). The feed
-    mixes 1-char and 2-char truncations (p_partkey%20 cases), so
-    NEITHER key alone finds every match — pinned by
-    tests/test_blocking.py.
+    mixes 1-char and 2-char truncations (p_partkey%20 cases): the band
+    key ALONE misses the 2-char drops (measured 1765/2000 matches at
+    sf0.1 — tests/test_registered_guards.py), while the padded q-gram
+    key happens to be complete on this truncation model — the union is
+    recall INSURANCE across corruption families (q-gram blocks degrade
+    on gram-destroying edits and hot common grams, where the cheap
+    structural band key is the backstop; the crafted
+    each-rescues-the-other cases are tests/test_blocking.py).
 
     Scale: both blockers are NAME-INTERNED (the r6 p_er lesson — the
     row-level form measured 388s where the interned form took 1.5s at
