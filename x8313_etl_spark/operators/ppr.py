@@ -55,6 +55,10 @@ def personalized_pagerank(
 
     from ..audit import audited_checkpoint
 
+    if rounds < 1:
+        # rounds=0 would return an UN-materialized plan whose caches
+        # the cleanup below has already released (review round 7)
+        raise ValueError("rounds must be >= 1")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -77,41 +81,48 @@ def personalized_pagerank(
         StorageLevel.MEMORY_AND_DISK
     )
     ranks = frame.select("node", "r")
-    for _ in range(rounds):
-        # per-NODE message first (|V|⋈|V| on node), THEN fan out over
-        # edges — r div outdeg is constant per source node, so joining
-        # deg after the |E|-sized edge join recomputed it once per
-        # out-edge and paid a second |E|-sized join per round (measured
-        # on the 10x sweep; algebraically identical either way)
-        msg = ranks.join(deg, ranks.node == deg.src).select(
-            "src", F.expr("r div outdeg").alias("c")
-        )
-        contrib = edges.join(msg, "src").select("dst", "c")
-        sums = contrib.groupBy("dst").agg(F.sum("c").alias("msum"))
-        merged = (
-            frame.select("node", "base")
-            .join(sums, frame.node == sums.dst, "left")
-            .select(
-                "node",
-                (
-                    F.col("base")
-                    + F.expr(f"({damp_num} * coalesce(msum, 0)) div {damp_den}")
-                ).alias("r"),
+    try:
+        for _ in range(rounds):
+            # per-NODE message first (|V|⋈|V| on node), THEN fan out
+            # over edges — r div outdeg is constant per source node, so
+            # joining deg after the |E|-sized edge join recomputed it
+            # once per out-edge and paid a second |E|-sized join per
+            # round (measured on the 10x sweep; algebraically identical
+            # either way)
+            msg = ranks.join(deg, ranks.node == deg.src).select(
+                "src", F.expr("r div outdeg").alias("c")
             )
-        )
-        # checkpoint, not persist, on BOTH paths: a per-round persist
-        # neither truncates the growing lineage nor is ever released —
-        # the cache-lifetime leak class bounded_sssp's docstring records
-        # (and lloyd_kmeans fixed) from review rounds 6/7
-        ranks = (
-            audited_checkpoint(ledger_key, merged)
-            if ledger_key
-            else merged.localCheckpoint(eager=True)
-        )
-    out = ranks.select("node", F.col("r").cast("bigint").alias("rank_pico"))
-    # the final ranks are checkpointed (materialized), so the internal
-    # caches can be released before returning — repeated calls (the
-    # full-registry sweeps) must not accumulate executor storage
-    frame.unpersist()
-    nodes.unpersist()
-    return out
+            contrib = edges.join(msg, "src").select("dst", "c")
+            sums = contrib.groupBy("dst").agg(F.sum("c").alias("msum"))
+            merged = (
+                frame.select("node", "base")
+                .join(sums, frame.node == sums.dst, "left")
+                .select(
+                    "node",
+                    (
+                        F.col("base")
+                        + F.expr(
+                            f"({damp_num} * coalesce(msum, 0)) div {damp_den}"
+                        )
+                    ).alias("r"),
+                )
+            )
+            # checkpoint, not persist, on BOTH paths: a per-round
+            # persist neither truncates the growing lineage nor is ever
+            # released — the cache-lifetime leak class bounded_sssp's
+            # docstring records (and lloyd_kmeans fixed) from review
+            # rounds 6/7
+            ranks = (
+                audited_checkpoint(ledger_key, merged)
+                if ledger_key
+                else merged.localCheckpoint(eager=True)
+            )
+        return ranks.select("node", F.col("r").cast("bigint").alias("rank_pico"))
+    finally:
+        # the final ranks are checkpointed (materialized, rounds ≥ 1),
+        # so the internal caches can be released before returning —
+        # and MUST be released even when a mid-round job aborts, or
+        # repeated sweep calls re-accumulate exactly the storage this
+        # cleanup exists to bound (review round 7)
+        frame.unpersist()
+        nodes.unpersist()

@@ -90,8 +90,6 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the constants are inlined.)"""
     from pyspark import StorageLevel
 
-    from ..audit import audited_checkpoint
-
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     e = (
@@ -113,6 +111,20 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"{SCALE} div n_nodes").alias("r"),
     )
     base = F.expr(f"({SCALE} * {DAMP_DEN - DAMP_NUM}) div ({DAMP_DEN} * n_nodes)")
+    try:
+        return _g1_rounds(ed, deg, nn, ranks, base)
+    finally:
+        # ranks is checkpointed (materialized) by the final round, so
+        # the internal caches release here — including when a mid-round
+        # job aborts, or retried sweeps re-accumulate the storage
+        # (review round 7)
+        ed.unpersist()
+        deg.unpersist()
+
+
+def _g1_rounds(ed, deg, nn, ranks, base) -> DataFrame:
+    from ..audit import audited_checkpoint
+
     for _ in range(ITERATIONS):
         contrib = (
             ed.join(ranks, ed.src == ranks.node)
@@ -132,11 +144,7 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             ),
         )
-    out = ranks.select("node", F.col("r").cast("bigint").alias("rank_pico"))
-    # ranks is checkpointed (materialized) — release the internal caches
-    ed.unpersist()
-    deg.unpersist()
-    return out
+    return ranks.select("node", F.col("r").cast("bigint").alias("rank_pico"))
 
 
 BFS_HOPS = 4
