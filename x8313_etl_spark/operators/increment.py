@@ -67,6 +67,7 @@ def incremental_near_dups(
     cache: bool = True,
     index_sig: DataFrame | None = None,
     index_sh: DataFrame | None = None,
+    ledger_key: str | None = None,
 ) -> DataFrame:
     """(doc_id, is_dup, dup_of, jaccard): one row per batch doc.
 
@@ -90,6 +91,14 @@ def incremental_near_dups(
     Determinism: constants are shared with operators/minhash.py, so
     the same corpus gives the same verdicts on any cluster size and
     the DuckDB twin regenerates identical signatures.
+
+    Cache lifetime (the lloyd_kmeans discipline, r7 ADVICE): when the
+    ``cache=True`` recompute path persists the index tables, the
+    verdict frame is eagerly checkpointed (through the audited ledger
+    when ``ledger_key`` is given) and the persists are RELEASED before
+    returning — repeated sweep calls never accumulate executor
+    storage. The precomputed index_sig/index_sh path persists nothing
+    and returns a plain lazy frame.
     """
     sp = batch_docs.sparkSession.sparkContext.defaultParallelism
     batch_docs = batch_docs.repartition(sp)
@@ -165,7 +174,7 @@ def incremental_near_dups(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    return (
+    verdict = (
         batch_docs.select(F.col(id_col).alias("doc_id"))
         .join(best.withColumnRenamed("new_id", "doc_id"), "doc_id", "left")
         .select(
@@ -175,3 +184,16 @@ def incremental_near_dups(
             "jaccard",
         )
     )
+    if index_sig is None and cache:
+        # materialize the verdict while the index persists are live,
+        # then release them — see the cache-lifetime note above
+        from ..audit import audited_checkpoint
+
+        verdict = (
+            audited_checkpoint(f"{ledger_key}.verdict", verdict)
+            if ledger_key
+            else verdict.localCheckpoint(eager=True)
+        )
+        sig_old.unpersist()
+        sh_old.unpersist()
+    return verdict

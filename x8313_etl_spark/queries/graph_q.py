@@ -1027,7 +1027,7 @@ def g8_delta_stepping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _G9_ROUNDS = 5
-_G9_SEEDS = ("S0", "S1", "S2", "S3", "S4")
+_G9_SEEDS = ("S1", "S2", "S3", "S4", "S5")
 
 
 def _g9_sql() -> str:
@@ -1083,7 +1083,10 @@ def g9_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jeh & Widom's personalization are the public sources). Base mass
     (1−d)·SCALE is split over the 5 seed suppliers only, so rank mass
     localizes around the seeds (pinned by a two-component localization
-    unit test on the operator, tests/test_ppr.py).
+    unit test on the operator, tests/test_ppr.py). Seeds are S1–S5:
+    TPC-H suppkeys start at 1, so every seed exists in the graph and
+    the full teleport mass lands on live nodes (an earlier S0–S4 set
+    silently dropped one seed's share — r7 ADVICE finding).
 
     Exactness: identical discipline to g1 — all mass in integer
     pico-rank units, truncating div everywhere, FIXED 5 rounds; the

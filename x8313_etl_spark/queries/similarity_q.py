@@ -1280,7 +1280,13 @@ c{r} AS MATERIALIZED (
 """
 
 
-_KMEANS_SQL = (
+#: The kmeans CTE chain up to and including the final assignment
+#: (`afin`), WITHOUT a trailing comma — the shared prefix that both
+#: _KMEANS_SQL and _semdedup_sql compose from (a named constant rather
+#: than string-splitting the finished SQL, so a future CTE rename or an
+#: added `mem AS (` occurrence cannot silently corrupt the embedded
+#: oracle — r7 ADVICE finding).
+_KMEANS_PREFIX = (
     f"""
 WITH q AS MATERIALIZED (
   SELECT vec_id, i - 1 AS idx,
@@ -1304,7 +1310,12 @@ afin AS MATERIALIZED (
     FROM (SELECT q.vec_id, c.cid, SUM((q.q - c.q) * (q.q - c.q)) AS d2
           FROM q JOIN c{_KM_ROUNDS} c USING (idx)
           GROUP BY q.vec_id, c.cid) d)
-  WHERE rn = 1),
+  WHERE rn = 1)"""
+)
+
+_KMEANS_SQL = (
+    _KMEANS_PREFIX
+    + f""",
 mem AS (
   SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
          CAST(SUM(vec_id) AS BIGINT) AS id_sum
@@ -1389,8 +1400,7 @@ def _semdedup_sql() -> str:
 
     cos = _sc("ea.embedding", "eb.embedding")
     # reuse the verified kmeans CTE chain verbatim up to `afin`
-    prefix = _KMEANS_SQL.split("mem AS (")[0].rstrip().rstrip(",")
-    return f"""{prefix},
+    return f"""{_KMEANS_PREFIX},
 drops AS MATERIALIZED (
   SELECT DISTINCT a.cid, b.vec_id
   FROM afin a JOIN afin b ON a.cid = b.cid AND a.vec_id < b.vec_id

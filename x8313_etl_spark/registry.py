@@ -272,7 +272,7 @@ _REPAIRED_FAILURES: tuple[str, ...] = ()
 
 def _priority(
     item: tuple[str, QuerySpec],
-) -> tuple[int, int, int, int, tuple[int, int]]:
+) -> tuple[int, int, int, int, int, tuple[int, int]]:
     """Sort key: driver-unverified first, already-green last. The
     repaired prior-round failures lead the ENTIRE window (ahead of all
     other unverified names, in _REPAIRED_FAILURES order); within the
