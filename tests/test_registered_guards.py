@@ -120,3 +120,148 @@ def test_p_er_blocked_multikey_band_alone_is_incomplete(spark, sf_oracle_dir):
     # breaks this, the union still covers, but the docstring's recall
     # story must be re-measured (loud, not silent)
     assert qgram_only == full, (qgram_only, full)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 registrations (moved from tests/test_r7_candidates_b.py at
+# registration time, rewritten against the registered query fns).
+# ---------------------------------------------------------------------------
+
+
+def test_p_incremental_dedup_nontrivial(spark, sf_oracle_dir):
+    """The fixture corpus must exercise the dup path (some batch doc IS
+    a near-dup of the index) — a verdict that is all-false would verify
+    nothing about the band join."""
+    from x8313_etl_spark.queries.pipeline_q import p_incremental_dedup
+
+    out = p_incremental_dedup(spark, sf_oracle_dir)
+    assert out.filter(F.col("is_dup")).count() > 0
+
+
+def test_g11_knn_graph_shape(spark, sf_oracle_dir):
+    from x8313_etl_spark.io import load_table
+    from x8313_etl_spark.queries.graph_q import g11_knn_graph
+
+    out = g11_knn_graph(spark, sf_oracle_dir).persist()
+    n_nodes = out.select("src").distinct().count()
+    total = load_table(spark, sf_oracle_dir, "embeddings").count()
+    assert n_nodes == total  # EVERY vector is a node (buckets have > k+1 members)
+    mut = out.filter(F.col("mutual") == 1).count()
+    assert 0 < mut < out.count()  # mutual flag non-trivially split
+    out.unpersist()
+
+
+def test_w17_attribution_covers_multiple_channels(spark, sf_oracle_dir):
+    from x8313_etl_spark.queries.windows import w17_last_touch_attribution
+
+    rows = {
+        r["channel"]: r["n_purchases"]
+        for r in w17_last_touch_attribution(spark, sf_oracle_dir).collect()
+    }
+    assert len(rows) >= 3  # several touch channels actually credited
+
+
+def test_m9_time_travel_versions_differ(spark, sf_oracle_dir):
+    from x8313_etl_spark.queries.etl_q import m9_time_travel
+
+    rows = {r["version"]: r for r in m9_time_travel(spark, sf_oracle_dir).collect()}
+    assert rows[0]["n_rows"] > rows[1]["n_rows"]  # the delete bit
+    assert rows[2]["n_rows"] > rows[1]["n_rows"]  # the append bit
+
+
+def test_w16_funnel_actually_narrows(spark, sf_oracle_dir):
+    from x8313_etl_spark.queries.windows import w16_funnel_conversion
+
+    rows = {r["step"]: r for r in w16_funnel_conversion(spark, sf_oracle_dir).collect()}
+    assert rows[1]["n_users"] >= rows[2]["n_users"] >= rows[3]["n_users"]
+    assert rows[3]["n_users"] > 0  # every step exercised at this sf
+    assert rows[2]["conv_ppm"] < 1_000_000  # the ordering constraint bites
+
+
+def test_dq4_key_skew_profile_no_all_to_one(spark, sf_oracle_dir):
+    from x8313_etl_spark.queries.etl_q import dq4_key_skew_profile
+
+    plan = (
+        dq4_key_skew_profile(spark, sf_oracle_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exactly two bounded single-partition stages are permissible: the
+    # per-partition COUNT table inside with_global_rank (≤ partitions
+    # rows) and the 1-row scalar stats reduce (map-side combined); the
+    # per-key table itself must never funnel through one task
+    assert plan.count("Exchange SinglePartition") <= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sim_mmr_rerank_diversifies(spark, sf_oracle_dir):
+    """MMR must actually reorder something vs plain top-k: at least one
+    probe's MMR selection differs from its top-5 by relevance (if the
+    fixture never exercises the diversity term, the twin would verify a
+    no-op)."""
+    from x8313_etl_spark.queries.similarity_q import sim_mmr_rerank
+
+    out = sim_mmr_rerank(spark, sf_oracle_dir).collect()
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r["probe_id"], {})[r["sel_rank"]] = (
+            r["vec_id"],
+            r["rel"],
+        )
+    diverged = 0
+    for sel in by_probe.values():
+        by_rel = sorted(
+            ((v[1], v[0]) for v in sel.values()), key=lambda t: (-t[0], t[1])
+        )
+        mmr_order = [sel[k][0] for k in sorted(sel)]
+        if mmr_order != [i for _, i in by_rel]:
+            diverged += 1
+    assert diverged > 0
+
+
+def test_p_rag_context_pack_budget_is_exercised(spark, sf_oracle_dir):
+    """The budget must actually truncate (some query keeps fewer than
+    top-k) AND actually pack (some query keeps more than one doc) —
+    otherwise the window/cumsum logic is untested at this sf."""
+    from x8313_etl_spark.queries.corpus_q import BM25_TOP_K, p_rag_context_pack
+
+    out = p_rag_context_pack(spark, sf_oracle_dir)
+    per_q = {
+        r["q_id"]: r["kept"]
+        for r in out.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("kept"))
+        .collect()
+    }
+    assert any(k < BM25_TOP_K for k in per_q.values())
+    assert any(k > 1 for k in per_q.values())
+
+
+def test_p_er_golden_record_has_multi_member_clusters(spark, sf_oracle_dir):
+    """Survivorship must actually merge something: the matcher's
+    min-partkey representative links same-name probes, so the fixture
+    must produce at least one cluster with > 1 member."""
+    from x8313_etl_spark.queries.pipeline_q import p_er_golden_record
+
+    out = p_er_golden_record(spark, sf_oracle_dir)
+    assert out.filter(F.col("n_members") > 1).count() > 0
+
+
+def test_p_unigram_train_vocab_is_nontrivial(spark, sf_oracle_dir):
+    """The rows-only tokenizer pair's fixture guard: the trained
+    vocabulary must contain multi-char pieces (EM actually promoted
+    something beyond the char fallback) and the encode must compress
+    (fewer pieces than characters for some doc). The EXACTNESS contract
+    is tests/test_unigram.py; this pins only that the fixture exercises
+    the operator."""
+    from x8313_etl_spark.queries.pipeline_q import (
+        p_unigram_encode,
+        p_unigram_train,
+    )
+
+    vocab = p_unigram_train(spark, sf_oracle_dir)
+    assert vocab.filter(F.length("piece") > 1).count() > 0
+    enc = p_unigram_encode(spark, sf_oracle_dir)
+    assert enc.filter(
+        (F.col("n_pieces") > 0) & (F.col("n_pieces") < F.col("n_chars_covered"))
+    ).count() > 0

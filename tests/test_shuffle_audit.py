@@ -81,6 +81,46 @@ ALLOWED: dict[str, tuple[dict[str, int], str]] = {
         {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 2},
         "global metric rows (single-row aggs) + the broadcast RI anti-join check",
     ),
+    "dq4_key_skew_profile": (
+        {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 2},
+        "the two bounded single-partition stages of the two-phase global "
+        "rank (per-partition count table, o1's entry) + the 1-row "
+        "total/n_keys scalar broadcast-crossed into the skew metrics — "
+        "the per-key table itself stays range-partitioned (also "
+        "plan-guarded in tests/test_registered_guards.py)",
+    ),
+    "g11_knn_graph": (
+        {"BroadcastNestedLoopJoin": 4},
+        "all four are the pooled IVF assignment's bounded K=16 seed "
+        "cross re-expanding in the plan string (similarity.ivf_assign's "
+        "entry): the assignment is referenced twice (corpus + left side) "
+        "and the edge table twice (edges + its reversal for the mutual "
+        "flag); the bucket self-join itself is an equi-join on cent_id",
+    ),
+    "m9_time_travel": (
+        {"Exchange SinglePartition": 3},
+        "three per-version audit rows — single-row count/balance "
+        "aggregates, one per snapshot version (a16's entry)",
+    ),
+    "p_rag_context_pack": (
+        {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
+        "the embedded p_bm25_topk ranking's avg-doclen single-row scalar "
+        "broadcast (p_bm25_topk's entry verbatim); the packing itself "
+        "adds only an equi-join + a q_id-keyed window",
+    ),
+    "sim_pca_power": (
+        {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
+        "the final (non-checkpointed) power round's max-|component| "
+        "renormalization: a single-row scalar over the d=64-row vector, "
+        "broadcast-crossed back into the constant-size matvec result",
+    ),
+    "w16_funnel_conversion": (
+        {"BroadcastNestedLoopJoin": 1},
+        "the one-row data-derived window scalar (checkpointed, key "
+        "w16_funnel.wnd) broadcast-crossed into the final conv_ppm "
+        "select; step tables and counts are checkpointed so nothing "
+        "re-executes per reference",
+    ),
     # g1_pagerank: rounds now checkpoint through the audited ledger
     # (key g1.round below); the returned plan is truncated and clean
     "h6_forecast_revenue": (
@@ -284,6 +324,24 @@ ALLOWED_LEDGER: dict[str, tuple[dict[str, int], str]] = {
     "semdedup.final": (
         {"BroadcastNestedLoopJoin": 1},
         "same as sim_kmeans.final under p_semdedup_prune's key",
+    ),
+    "w16_funnel.wnd": (
+        {"Exchange SinglePartition": 1},
+        "the data-derived funnel window: one single-partition window "
+        "over the bounded per-partition count table (globalrank core, "
+        "o1's entry) selecting the one median-gap row",
+    ),
+    "w16_funnel.step": (
+        {"BroadcastNestedLoopJoin": 1},
+        "the checkpointed one-row window scalar broadcast-crossed into "
+        "the per-user stage filter — bounded side, map-only over the "
+        "events scan (first-build plan: step 2; step 3 reads step 2's "
+        "checkpoint)",
+    ),
+    "w16_funnel.counts": (
+        {"Exchange SinglePartition": 3},
+        "three global funnel-step counts — single-row aggregates over "
+        "the checkpointed per-user stage tables (a16's entry)",
     ),
 }
 

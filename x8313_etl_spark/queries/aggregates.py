@@ -1111,3 +1111,49 @@ def a25_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(_A25_QS),
         key="aggregates.a25_rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# a26_dim_covariance (registered round 8; twin pre-verified in
+# tests/test_r7_candidates_b.py before registration — ROADMAP r8).
+# ---------------------------------------------------------------------------
+
+_A26_DIM = 64
+_A26_Q = 1_000
+
+
+def _a26_sql() -> str:
+    # the co-moment CTE chain is shared verbatim with sim_pca_power's
+    # oracle (similarity_q.PCA_COV_CTES — the _KMEANS_PREFIX
+    # composition rule), so the composed PCA query re-verifies this one
+    from .similarity_q import PCA_COV_CTES
+
+    return f"WITH {PCA_COV_CTES}\nSELECT i, j, n, cov_num FROM cov"
+
+
+@register(
+    "a26_dim_covariance",
+    category="aggregation",
+    oracle=_a26_sql(),
+)
+def a26_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A26: d×d feature co-moment matrix over the embedding corpus —
+    the one-pass statistic behind PCA (sim_pca_power composes on it),
+    feature whitening, and drift monitors. ENGINE-EXACT: embeddings
+    floor-quantize to an integer grid (q = ⌊x·1000⌋) and the co-moment
+    numerator n·Σqᵢqⱼ − Σqᵢ·Σqⱼ stays in int64 (the r7 ADVICE fix put
+    the 2·n²·max|qᵢ|·max|qⱼ| ≤ 2⁶² fail-fast assert IN the plan —
+    operators/covariance.py:114 — so a corpus that would overflow
+    errors loudly instead of wrapping).
+
+    Scale: the corpus is touched ONCE — explode to (vec_id, i, qᵢ),
+    self-join on vec_id (each key has exactly d rows, so pair work is
+    a CONSTANT d² per vector, never rows×rows), and a groupBy(i, j)
+    whose map-side combine collapses to d²/2 cells before the
+    exchange. Upper triangle only (i ≤ j); d=64 keeps the output a
+    2080-row table. 10× sweep: scripts/scale10x_r8.py (linear law,
+    PERF.md). Operator: operators/covariance.py."""
+    from ..operators.covariance import dim_comoment
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dim_comoment(emb, dim=_A26_DIM, qscale=_A26_Q)

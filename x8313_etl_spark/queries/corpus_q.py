@@ -316,11 +316,9 @@ BM25_N_QUERIES = 10
 BM25_TOP_K = 5
 
 
-@register(
-    "p_bm25_topk",
-    category="pipeline",
-    bench=True,
-    oracle=f"""
+#: Named so p_rag_context_pack's oracle can embed the verified ranking
+#: verbatim (the _KMEANS_PREFIX composition rule).
+_BM25_SQL = f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
 ),
@@ -352,7 +350,14 @@ SELECT q_id, doc_id, score, CAST(rn AS BIGINT) AS rn FROM (
                             ORDER BY ROUND(score, 6) DESC, doc_id) AS rn
   FROM scored
 ) WHERE rn <= {BM25_TOP_K}
-""",
+"""
+
+
+@register(
+    "p_bm25_topk",
+    category="pipeline",
+    bench=True,
+    oracle=_BM25_SQL,
 )
 def p_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval top-k — the lexical-search half of a RAG / data-
@@ -1150,4 +1155,70 @@ def p_contamination_overlap_score(spark: SparkSession, sf_dir: str) -> DataFrame
             .otherwise(n_hit.cast("double") / F.col("n_grams"))
             .alias("overlap_score"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# p_rag_context_pack (registered round 8; twin pre-verified in
+# tests/test_r7_candidates_b.py before registration — ROADMAP r8).
+# ---------------------------------------------------------------------------
+
+_RAG_BUDGET = 160  # context-window tokens per query (fixture-scaled)
+
+_RAG_PACK_SQL = f"""
+WITH ret AS MATERIALIZED ({_BM25_SQL}),
+toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT r.q_id, r.rn, r.doc_id, t.n_tokens,
+         sum(t.n_tokens) OVER (
+           PARTITION BY r.q_id ORDER BY r.rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_tokens
+  FROM ret r JOIN toks t ON t.doc_id = r.doc_id
+)
+SELECT q_id, rn, doc_id, n_tokens, cum_tokens
+FROM packed WHERE cum_tokens <= {_RAG_BUDGET}
+"""
+
+
+@register(
+    "p_rag_context_pack",
+    category="pipeline",
+    oracle=_RAG_PACK_SQL,
+)
+def p_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG context packing: greedy rank-order token-budget packing of
+    the registered BM25 retrieval — keep each query's results in rank
+    order while the running token total fits the context budget, the
+    assembly step every retrieval-augmented pipeline runs between
+    ranking and the prompt. The twin embeds the verified p_bm25_topk
+    oracle verbatim (_BM25_SQL), so ranking + packing verify as one
+    composition.
+
+    Scale: one equi-join of the (queries × k)-bounded ranking against
+    per-doc token counts, then a cumulative-sum window keyed by q_id —
+    the shuffle carries ranked rows only, never the corpus; token
+    counts push down to a two-column scan of documents. Budget and cut
+    are integers (engine-exact). Fixture-nontriviality (the budget
+    actually truncates some query AND some query packs >1 doc) pinned
+    by tests/test_registered_guards.py."""
+    ret = p_bm25_topk(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("q_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ret.join(toks, "doc_id")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _RAG_BUDGET)
+        .select("q_id", "rn", "doc_id", "n_tokens", "cum_tokens")
     )

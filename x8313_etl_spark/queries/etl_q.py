@@ -944,3 +944,150 @@ def dq3_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "check", "kind", F.col("column").alias("col"), "violations", "total", "passed"
     )
+
+
+# ---------------------------------------------------------------------------
+# m9_time_travel + dq4_key_skew_profile (registered round 8; twins
+# pre-verified in tests/test_r7_candidates_b.py before registration —
+# ROADMAP r8).
+# ---------------------------------------------------------------------------
+
+_M9_INS_OFFSET = 10_000_000
+
+_M9_SQL = f"""
+WITH v0 AS (SELECT c_custkey, c_acctbal FROM customer),
+v1 AS (SELECT * FROM v0 WHERE NOT (c_acctbal < 0)),
+v2 AS (
+  SELECT * FROM v1
+  UNION ALL
+  SELECT c_custkey + {_M9_INS_OFFSET} AS c_custkey, 0.0 AS c_acctbal
+  FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT 0 AS version, count(*) AS n_rows,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM v0
+UNION ALL
+SELECT 1, count(*),
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) FROM v1
+UNION ALL
+SELECT 2, count(*),
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) FROM v2
+"""
+
+
+@register(
+    "m9_time_travel",
+    category="etl",
+    oracle=_M9_SQL,
+)
+def m9_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9: time travel over the snapshot chain — v0 = base commit (4
+    files), v1 = merge-on-read DELETE (positional tombstones; v0's
+    files untouched), v2 = APPEND (delta dir; parent tombstones stay
+    live). Reads EVERY version via read(version=...) and emits
+    per-version row counts + balance cents, so the twin — which
+    reconstructs each version's CONTENT declaratively from the fixture
+    — verifies that history is actually immutable: a delete that
+    rewrote v0, or an append that dropped the tombstones,
+    hash-mismatches. Completes the lakehouse suite m1–m8
+    (operators/snapshots.py write-ahead-manifest; m2 reads ONE past
+    version — this audits the whole chain).
+
+    Scale: each versioned read is manifest-pruned parquet scans +
+    broadcast anti-join against its tombstones; the audit aggregates
+    are single-row per version (map-side combined). Balance in integer
+    cents (engine-exact)."""
+    import shutil
+
+    from ..operators.snapshots import SnapshotTable
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    path = scratch(f"m9_tt_{_tag(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    tbl = SnapshotTable(path)
+    tbl.commit(base.repartition(4))  # v0
+    tbl.delete_where(spark, F.col("c_acctbal") < 0)  # v1
+    ins = base.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + _M9_INS_OFFSET).alias("c_custkey"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    tbl.commit(ins, mode="append")  # v2
+
+    out = None
+    for v in (0, 1, 2):
+        snap = tbl.read(spark, version=v).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("c_acctbal") * 100).cast("bigint")
+            ).alias("bal_cents"),
+        ).select(F.lit(v).alias("version"), "n_rows", "bal_cents")
+        out = snap if out is None else out.unionByName(snap)
+    return out
+
+
+_DQ4_TOP = 20
+
+_DQ4_SQL = f"""
+WITH per AS MATERIALIZED (
+  SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY 1
+),
+stats AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM per
+),
+ranked AS (
+  SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rnk FROM per
+)
+SELECT r.key, r.cnt, CAST(r.rnk AS INTEGER) AS rnk,
+       r.cnt * 1000000 // s.total AS share_ppm,
+       r.cnt * 1000 * s.n_keys // s.total AS skew_x1000
+FROM ranked r CROSS JOIN stats s WHERE r.rnk <= {_DQ4_TOP}
+"""
+
+
+@register(
+    "dq4_key_skew_profile",
+    category="quality",
+    oracle=_DQ4_SQL,
+)
+def dq4_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ4: join-key heavy-hitter / skew profiler — the diagnostic
+    behind every salting decision (operators/skew.py, bandjoin's
+    hot-bucket caps): per-key frequencies of a join key, global top-N
+    heavy hitters WITHOUT an all-to-one sort (the two-phase global
+    rank, operators/globalrank.py — the key table never funnels
+    through one task), and integer skew metrics — share in ppm and
+    ratio-to-mean ×1000, both truncating div so the twin is
+    engine-exact.
+
+    Scale: one groupBy on the key (map-side combined), the two-phase
+    rank's bounded per-partition count table, and a 1-row scalar stats
+    broadcast. Plan-guarded: ≤2 bounded single-partition stages, no
+    CartesianProduct (tests/test_registered_guards.py)."""
+    from ..operators.globalrank import with_global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = per.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    ranked = with_global_rank(
+        per,
+        [F.col("cnt").desc(), F.col("key")],
+        partitions=8,
+        key="dq4.rank",
+    )
+    return (
+        ranked.filter(F.col("rn") < _DQ4_TOP)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "cnt",
+            (F.col("rn") + 1).cast("int").alias("rnk"),
+            F.expr("cnt * 1000000 div total").alias("share_ppm"),
+            F.expr("cnt * 1000 * n_keys div total").alias("skew_x1000"),
+        )
+    )

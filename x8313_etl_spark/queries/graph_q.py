@@ -1110,3 +1110,112 @@ def g9_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     seeds = spark.createDataFrame([(s,) for s in _G9_SEEDS], "node string")
     return personalized_pagerank(ed, seeds, _G9_ROUNDS, ledger_key="g9.round")
+
+
+# ---------------------------------------------------------------------------
+# G11: mutual k-NN graph (registered round 8; twin pre-verified in
+# tests/test_r7_candidates_b.py before registration — ROADMAP r8).
+# ---------------------------------------------------------------------------
+
+_KNN_GRAPH_K = 5
+
+
+def _g11_sql() -> str:
+    from ..functions.vector import sql_cosine
+    from .similarity_q import _K_CENTROIDS
+
+    cos_pc = sql_cosine("p.embedding", "m.embedding")
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+         WHERE vec_id < {_K_CENTROIDS}),
+assign AS MATERIALIZED (
+  SELECT vec_id, cent_id, embedding FROM (
+    SELECT e.vec_id, cent.cent_id, e.embedding,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {sql_cosine('e.embedding', 'cent.cvec')} DESC,
+                      cent.cent_id
+           ) AS crn
+    FROM e CROSS JOIN cent
+  ) WHERE crn = 1
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, cos_sim, rn FROM (
+    SELECT p.vec_id AS src, m.vec_id AS dst, {cos_pc} AS cos_sim,
+           row_number() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY {cos_pc} DESC, m.vec_id
+           ) AS rn
+    FROM assign p JOIN assign m
+      ON p.cent_id = m.cent_id AND m.vec_id != p.vec_id
+  ) WHERE rn <= {_KNN_GRAPH_K}
+)
+SELECT a.src, a.dst, a.cos_sim, CAST(a.rn AS INTEGER) AS rn,
+       CAST(CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS mutual
+FROM edges a
+LEFT JOIN (SELECT DISTINCT src, dst FROM edges) b
+  ON b.src = a.dst AND b.dst = a.src
+"""
+
+
+@register(
+    "g11_knn_graph",
+    category="graph",
+    oracle=_g11_sql(),
+)
+def g11_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11: mutual k-NN graph construction — EVERY vector (not a probe
+    subset) gets its top-k within-IVF-bucket cosine neighbors, plus a
+    mutual flag (dst also lists src). This is the adjacency the
+    embedding-side pipeline consumes: SemDeDup clustering, GNN message
+    passing (g10's input shape), and mutual-kNN community detection
+    all start from exactly this table.
+
+    Scale: reuses the pooled IVF assignment (similarity.ivf_assign —
+    one cached bucketing shared with sim_ivf_topk/l10_knn_ivf);
+    candidate volume is Σ bucket², never corpus². The bucket self-join
+    shuffles on cent_id, which has only K distinct keys — at real
+    scale the dial is the salted bucket self-join
+    (operators/bandjoin.py salted_band_self_join / AQE skew join),
+    documented rather than needed at fixture size; the mutual flag is
+    one more equi-join on the (src, dst) edge key. The top-k prune is
+    a WindowGroupLimit below the shuffle. 10× sweep:
+    scripts/scale10x_r8.py (PERF.md growth law)."""
+    from ..functions.vector import dot
+    from .similarity_q import _ivf_assign
+
+    assign = _ivf_assign(spark, sf_dir)
+    left = assign.select(
+        "cent_id",
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("svec"),
+        F.col("vnorm").alias("snorm"),
+    )
+    cos = dot(F.col("svec"), F.col("embedding")) / (
+        F.col("snorm") * F.col("vnorm")
+    )
+    rn = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), F.col("dst")
+    )
+    edges = (
+        assign.join(left, "cent_id")
+        .filter(F.col("vec_id") != F.col("src"))
+        .select("src", F.col("vec_id").alias("dst"), cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") <= _KNN_GRAPH_K)
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).withColumn("m", F.lit(1))
+    return (
+        edges.join(rev, ["src", "dst"], "left")
+        .select(
+            "src",
+            "dst",
+            "cos_sim",
+            F.col("rn").cast("int").alias("rn"),
+            F.coalesce(F.col("m"), F.lit(0)).cast("int").alias("mutual"),
+        )
+    )

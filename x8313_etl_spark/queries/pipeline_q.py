@@ -902,11 +902,10 @@ def p_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ER_PROBE_MOD = 10
 
-
-@register(
-    "p_er_blocked_match",
-    category="pipeline",
-    oracle=f"""
+#: Named so p_er_golden_record's oracle can embed the verified matcher
+#: verbatim (the _KMEANS_PREFIX composition rule: share a constant, not
+#: a string-split of finished SQL).
+_ER_MATCH_SQL = f"""
 WITH dirty AS (
   SELECT p_partkey AS probe_id,
          substr(p_name, 1, length(p_name) - 1) AS dirty_name
@@ -935,7 +934,13 @@ FROM (
          ) AS rn
   FROM db d JOIN cand c ON d.b1 = c.b1 AND c.b2 = d.b2 + 1
 ) WHERE rn = 1
-""",
+"""
+
+
+@register(
+    "p_er_blocked_match",
+    category="pipeline",
+    oracle=_ER_MATCH_SQL,
 )
 def p_er_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution by BLOCKED fuzzy matching with NAME INTERNING —
@@ -1246,4 +1251,282 @@ def p_er_blocked_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = best_match(pairs, max_score=3)
     return dirty.join(best, "dirty_name").select(
         "probe_id", "cand_id", "dirty_name", "matched_name", "score"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (production-ingest) dedup + ER golden record (registered
+# round 8; twins pre-verified through the real compare in
+# tests/test_r7_candidates_b.py before registration — ROADMAP r8).
+# ---------------------------------------------------------------------------
+
+_DELTA_MOD = 5  # doc_id % 5 == 0 is the arriving batch; the rest is the index
+_INC_TAU = 0.3
+
+
+def _incremental_dedup_sql() -> str:
+    from .llm import _SQL_SHINGLE_CTES
+
+    return f"""
+WITH {_SQL_SHINGLE_CTES},
+pairs AS (
+  SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+         CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
+           / len(list_distinct(n.sh || o.sh)) AS jaccard,
+         len(list_filter(generate_series(0, 7), bi ->
+             list_slice(n.sig, bi*4 + 1, bi*4 + 4)
+               = list_slice(o.sig, bi*4 + 1, bi*4 + 4))) AS n_band_hits
+  FROM sig n JOIN sig o
+    ON n.doc_id % {_DELTA_MOD} = 0 AND o.doc_id % {_DELTA_MOD} <> 0
+),
+best AS (
+  SELECT new_id, old_id, jaccard FROM (
+    SELECT new_id, old_id, jaccard,
+           row_number() OVER (
+             PARTITION BY new_id ORDER BY jaccard DESC, old_id
+           ) AS rn
+    FROM pairs WHERE n_band_hits > 0 AND jaccard >= {_INC_TAU}
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       best.old_id IS NOT NULL AS is_dup,
+       best.old_id AS dup_of,
+       best.jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % {_DELTA_MOD} = 0) d
+LEFT JOIN best ON best.new_id = d.doc_id
+"""
+
+
+@register(
+    "p_incremental_dedup",
+    category="pipeline",
+    oracle=_incremental_dedup_sql(),
+)
+def p_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup — the PRODUCTION arrival shape: a
+    delta batch (doc_id % 5 == 0 here; an ingest partition in life) is
+    sketched once and probed against the standing corpus INDEX, never
+    against itself and never re-LSHing the corpus. One row per batch
+    doc: (is_dup, dup_of, jaccard) — the keep/drop verdict an ingest
+    pipeline consumes. Same deterministic sketch constants as
+    operators/minhash.py, so a signature computed at ingest N is valid
+    at ingest N+k and the twin regenerates it exactly.
+
+    Scale: per-ingest work is |batch| sketching + Σ_key |batch_bucket|
+    × |index_bucket| verify candidates — independent of corpus size
+    outside collided buckets; the index side accepts PRE-SKETCHED
+    parquet tables (index_sig/index_sh) so the standing corpus is
+    never re-read (the operator's production contract; recomputed here
+    from the fixture for oracle parity). Index-side hot buckets over
+    the cap are dropped (bandjoin's on_hot="drop" posture). 10× sweep:
+    sub-linear, scripts/scale10x_increment.py (PERF.md). Operator:
+    operators/increment.py; verdict checkpoint + persist release via
+    the audited ledger (key p_incremental_dedup.verdict)."""
+    from ..operators.increment import incremental_near_dups
+
+    d = load_table(spark, sf_dir, "documents")
+    index = d.filter(F.col("doc_id") % _DELTA_MOD != 0)
+    batch = d.filter(F.col("doc_id") % _DELTA_MOD == 0)
+    return incremental_near_dups(
+        index, batch, threshold=_INC_TAU, ledger_key="p_incremental_dedup"
+    )
+
+
+def _golden_sql() -> str:
+    return f"""
+WITH RECURSIVE m AS MATERIALIZED ({_ER_MATCH_SQL}),
+e AS (
+  SELECT probe_id AS src, cand_id AS dst FROM m WHERE probe_id <> cand_id
+  UNION
+  SELECT cand_id AS src, probe_id AS dst FROM m WHERE probe_id <> cand_id
+),
+reach AS (
+  SELECT p_partkey AS node, p_partkey AS label FROM part
+  UNION
+  SELECT e.dst AS node, reach.label FROM reach JOIN e ON e.src = reach.node
+),
+lab AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+mem AS (
+  SELECT l.cluster_id, p.* FROM part p JOIN lab l ON l.node = p.p_partkey
+),
+base AS (
+  SELECT cluster_id, count(*) AS n_members,
+         max(CAST(round(p_retailprice * 100) AS BIGINT)) AS retail_cents_max,
+         min(p_size) AS size_min
+  FROM mem GROUP BY cluster_id
+),
+bmode AS (
+  SELECT cluster_id, p_brand AS brand_mode FROM (
+    SELECT cluster_id, p_brand,
+           row_number() OVER (
+             PARTITION BY cluster_id ORDER BY count(*) DESC, p_brand
+           ) AS rn
+    FROM mem GROUP BY cluster_id, p_brand
+  ) WHERE rn = 1
+)
+SELECT b.cluster_id, b.n_members, g.p_name AS golden_name, bm.brand_mode,
+       b.retail_cents_max, b.size_min
+FROM base b
+JOIN part g ON g.p_partkey = b.cluster_id
+JOIN bmode bm ON bm.cluster_id = b.cluster_id
+"""
+
+
+@register(
+    "p_er_golden_record",
+    category="pipeline",
+    oracle=_golden_sql(),
+)
+def p_er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER survivorship (the MDM 'golden record'): completes the entity-
+    resolution ladder match → cluster → survive. The registered
+    matcher's verified pairs become undirected edges, connected
+    components assign cluster ids (min-id labels, vocabulary-bounded
+    rounds — operators/concomp.py), and each cluster survives ONE
+    golden row under explicit per-attribute rules: name from the
+    min-partkey representative (source-of-truth rule), brand by MODE
+    with lexicographic tie (most-frequent rule), price MAX in integer
+    cents, size MIN. The twin recomputes components with a recursive
+    CTE over the SAME embedded matcher SQL, so the whole composition —
+    match, closure, survivorship — is hash-verified end to end.
+
+    Scale: survivorship is two grouped aggregates + a window mode over
+    cluster ids (shuffles keyed by cluster, map-side combined); the
+    closure inherits concomp's per-round equi-join bound. 10× sweep:
+    flat, scripts/scale10x_golden.py (PERF.md). Ledger key
+    p_er_golden.concomp audits the per-round checkpoints."""
+    mem_w = Window.partitionBy("component").orderBy(
+        F.col("cnt").desc(), F.col("p_brand")
+    )
+    part = load_table(spark, sf_dir, "part")
+    m = p_er_blocked_match(spark, sf_dir)
+    edges = m.select(
+        F.col("probe_id").alias("src"), F.col("cand_id").alias("dst")
+    )
+    labels = connected_components(
+        part.select(F.col("p_partkey").alias("node")),
+        edges,
+        ledger_key="p_er_golden.concomp",
+    )
+    mem = part.join(labels, part.p_partkey == labels.node).drop("node")
+    base = mem.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.max(F.round(F.col("p_retailprice") * 100).cast("bigint")).alias(
+            "retail_cents_max"
+        ),
+        F.min("p_size").alias("size_min"),
+    )
+    gname = part.select(
+        F.col("p_partkey").alias("component"),
+        F.col("p_name").alias("golden_name"),
+    )
+    bmode = (
+        mem.groupBy("component", "p_brand")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(mem_w))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("p_brand").alias("brand_mode"))
+    )
+    return (
+        base.join(gname, "component")
+        .join(bmode, "component")
+        .select(
+            F.col("component").alias("cluster_id"),
+            "n_members",
+            "golden_name",
+            "brand_mode",
+            "retail_cents_max",
+            "size_min",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer pair — registered ROWS-ONLY (the a4/a13
+# precedent, decision recorded ROADMAP r6/r7): −ln(count/total) costs
+# are quantized on the driver, so no engine-portable SQL twin exists;
+# the correctness contract is tests/test_unigram.py's exact pins
+# (Viterbi ≡ brute-force enumeration by hypothesis property test,
+# deterministic training, planted-piece recovery, whole-word fixture
+# vocabulary, order-preserving encode, empty-doc preservation).
+# ---------------------------------------------------------------------------
+
+_UNI_VOCAB = 64
+_UNI_ROUNDS = 4
+
+
+def _unigram_costs(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    from ..operators.unigram import distinct_words, train_unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = distinct_words(docs).persist()
+    try:
+        _counts, costs = train_unigram(
+            words, vocab_size=_UNI_VOCAB, rounds=_UNI_ROUNDS
+        )
+    finally:
+        words.unpersist()
+    return costs
+
+
+@register(
+    "p_unigram_train",
+    category="pipeline",
+    oracle=None,  # driver-side -ln quantization: rows-only; exactness pinned in tests/test_unigram.py
+)
+def p_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING (Kudo 2018, SentencePiece's unigram
+    model, public paper) — the second subword family next to BPE
+    (p_bpe_train): Viterbi hard-EM over the INTERNED distinct-word
+    table with the gradual SentencePiece prune schedule. Output is the
+    final vocabulary (piece, cost in integer micro-nats) — vocab_size
+    rows, deterministic on any cluster (integer costs, total lexical
+    tie-breaks).
+
+    ROWS-ONLY by design: the −ln(count/total) quantization happens once
+    on the driver, so no cross-engine SQL twin can replay it (the
+    a4/a13 sketch precedent; decision recorded in ROADMAP r6). The
+    exactness contract lives in tests/test_unigram.py: Viterbi matches
+    brute-force enumeration under a hypothesis sweep, training is
+    deterministic, planted pieces are recovered, and the fixture corpus
+    yields whole-word pieces.
+
+    Scale (100 TB): the corpus is touched ONCE (distinct-words intern);
+    each EM round is one Arrow-batched map-only segmentation over the
+    dictionary + one vocab-bounded groupBy; loop state is vocab_size
+    rows on the driver (the annscan bounded-collect contract). Operator:
+    operators/unigram.py."""
+    costs = _unigram_costs(spark, sf_dir)
+    rows = sorted(costs.items())
+    return spark.createDataFrame(rows, "piece string, cost_micro_nats long")
+
+
+@register(
+    "p_unigram_encode",
+    category="pipeline",
+    oracle=None,  # same rows-only rationale as p_unigram_train
+)
+def p_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained unigram-LM vocabulary to the corpus — closes
+    the tokenizer loop like p_bpe_encode does for BPE: per doc, the
+    min-cost Viterbi segmentation of every word, reassembled in
+    position order JVM-side (segment the DISTINCT words only; corpus
+    text never passes through Python). Output (doc_id, n_pieces,
+    n_chars_covered) digests the encoding without shipping the piece
+    arrays. Rows-only: inherits p_unigram_train's driver-quantized
+    costs (tests/test_unigram.py pins order preservation and empty-doc
+    retention)."""
+    from ..operators.unigram import encode_corpus
+
+    costs = _unigram_costs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    enc = encode_corpus(docs, costs)
+    return enc.select(
+        "doc_id",
+        F.size("pieces").cast("bigint").alias("n_pieces"),
+        F.aggregate(
+            F.transform(F.col("pieces"), F.length),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n_chars_covered"),
     )

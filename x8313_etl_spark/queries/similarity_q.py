@@ -1475,3 +1475,241 @@ def p_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dropped",
         "kept_id_sum",
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_mmr_rerank + sim_pca_power (registered round 8; twins
+# pre-verified in tests/test_r7_candidates_b.py before registration —
+# ROADMAP r8).
+# ---------------------------------------------------------------------------
+
+_MMR_N = 10  # candidate budget per probe (the re-rank window)
+_MMR_K = 5  # results selected per probe
+_MMR_PROBE_MOD = 25  # l4's probe convention
+
+
+def _mmr_sql() -> str:
+    cos_ab = sql_cosine("a.embedding", "b.embedding")
+    cos_pair = sql_cosine("ea.embedding", "eb.embedding")
+    ctes = f"""
+WITH cand AS MATERIALIZED (
+  SELECT probe_id, vec_id, rel FROM (
+    SELECT a.vec_id AS probe_id, b.vec_id AS vec_id, {cos_ab} AS rel,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY {cos_ab} DESC, b.vec_id) AS rn
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id % {_MMR_PROBE_MOD} = 0
+  ) WHERE rn <= {_MMR_N}
+),
+ps AS MATERIALIZED (
+  SELECT x.probe_id, x.vec_id AS a, y.vec_id AS b, {cos_pair} AS sim
+  FROM cand x
+  JOIN cand y ON y.probe_id = x.probe_id AND y.vec_id <> x.vec_id
+  JOIN embeddings ea ON ea.vec_id = x.vec_id
+  JOIN embeddings eb ON eb.vec_id = y.vec_id
+),
+sel1 AS MATERIALIZED (
+  SELECT probe_id, vec_id, rel, rel AS score, 1 AS sel_rank FROM (
+    SELECT probe_id, vec_id, rel,
+           row_number() OVER (PARTITION BY probe_id
+             ORDER BY rel DESC, vec_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)"""
+    for r in range(2, _MMR_K + 1):
+        ctes += f""",
+s{r} AS MATERIALIZED (
+  SELECT probe_id, vec_id, rel, score, {r} AS sel_rank FROM (
+    SELECT c.probe_id, c.vec_id, c.rel, c.rel - m.maxsim AS score,
+           row_number() OVER (PARTITION BY c.probe_id
+             ORDER BY c.rel - m.maxsim DESC, c.vec_id) AS rn
+    FROM cand c
+    JOIN (
+      SELECT ps.probe_id, ps.a, max(ps.sim) AS maxsim
+      FROM ps JOIN sel{r - 1} s
+        ON s.probe_id = ps.probe_id AND s.vec_id = ps.b
+      GROUP BY ps.probe_id, ps.a
+    ) m ON m.probe_id = c.probe_id AND m.a = c.vec_id
+    WHERE NOT EXISTS (
+      SELECT 1 FROM sel{r - 1} s
+      WHERE s.probe_id = c.probe_id AND s.vec_id = c.vec_id
+    )
+  ) WHERE rn = 1
+),
+sel{r} AS MATERIALIZED (
+  SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM s{r}
+)"""
+    return (
+        ctes
+        + f"""
+SELECT probe_id, CAST(sel_rank AS INTEGER) AS sel_rank, vec_id, rel, score
+FROM sel{_MMR_K}
+"""
+    )
+
+
+@register(
+    "sim_mmr_rerank",
+    category="similarity",
+    oracle=_mmr_sql(),
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (Carbonell & Goldstein 1998, public): the
+    greedy maximal-marginal-relevance selection every retrieval stack
+    runs between ANN recall and the consumer — pick the most relevant
+    candidate, then iterate argmax over rel(c) − max_{s∈selected}
+    sim(c, s) (λ-less form), k rounds. Selection ties break on vec_id;
+    scores are exact doubles computed ONCE per (probe, candidate) pair
+    in the pairsim table, so both engines rank the same values and the
+    greedy path is engine-exact.
+
+    Scale: the expensive inputs are bounded by construction — top-N
+    exact-cosine candidates per probe (N=10, cosine_probe_topk's
+    broadcast-probe scan) and the N²-per-probe pairwise sim table; the
+    greedy loop is k=5 FIXED rounds, each one join + one
+    WindowGroupLimit argmax keyed by probe_id, checkpointed per round
+    through the audited ledger (key sim_mmr.round — the r7 ADVICE fix:
+    without it the plan grew 3^k). Both persisted inputs release via
+    the swap_persist pool (keys sim_mmr.cand / sim_mmr.pairsim). 10×
+    sweep: scripts/scale10x_r8.py (PERF.md)."""
+    from ..operators.annscan import cosine_probe_topk
+    from ..operators.cachepool import swap_persist
+    from ..operators.mmr import mmr_select
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % _MMR_PROBE_MOD == 0)
+    # cand feeds both pairsim sides and every selection round — persist
+    # so the corpus scan runs once
+    cand = swap_persist(
+        "sim_mmr.cand",
+        cosine_probe_topk(e, probes, k=_MMR_N).select(
+            "probe_id", "vec_id", F.col("cos_sim").alias("rel")
+        ),
+    )
+    va = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    vb = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    sim = dot(F.col("ea"), F.col("eb")) / (
+        norm(F.col("ea")) * norm(F.col("eb"))
+    )
+    ps = swap_persist(
+        "sim_mmr.pairsim",
+        cand.select("probe_id", F.col("vec_id").alias("a"))
+        .join(cand.select("probe_id", F.col("vec_id").alias("b")), "probe_id")
+        .filter(F.col("a") != F.col("b"))
+        .join(va, "a")
+        .join(vb, "b")
+        .select("probe_id", "a", "b", sim.alias("sim")),
+    )
+    out = mmr_select(cand, ps, k=_MMR_K, ledger_key="sim_mmr")
+    return out.select(
+        "probe_id",
+        F.col("sel_rank").cast("int").alias("sel_rank"),
+        "vec_id",
+        "rel",
+        "score",
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_pca_power — dominant covariance direction by integer power
+# iteration, composed on a26_dim_covariance's verified co-moment table.
+# ---------------------------------------------------------------------------
+
+_PCA_DIM = 64
+_PCA_Q = 1_000
+_PCA_ROUNDS = 4
+_PCA_SCALE = 1_000_000
+_PCA_CDIV = 1_000
+
+#: Shared with a26_dim_covariance's oracle (aggregates.py imports it):
+#: integer co-moment table over the floor-quantized embedding grid.
+PCA_COV_CTES = f"""
+q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {_PCA_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+ex AS MATERIALIZED (
+  SELECT vec_id, i, q[i] AS qi
+  FROM q, unnest(generate_series(1, {_PCA_DIM})) t(i)
+),
+cov AS MATERIALIZED (
+  SELECT CAST(a.i AS INTEGER) AS i, CAST(b.i AS INTEGER) AS j,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) * CAST(sum(a.qi * b.qi) AS BIGINT)
+              - CAST(sum(a.qi) AS BIGINT) * CAST(sum(b.qi) AS BIGINT)
+              AS BIGINT) AS cov_num
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+)"""
+
+
+def _pca_sql() -> str:
+    ctes = (
+        f"WITH {PCA_COV_CTES},\n"
+        f"""cm AS MATERIALIZED (
+  SELECT i, j, c // {_PCA_CDIV} AS c FROM (
+    SELECT i, j, cov_num AS c FROM cov
+    UNION ALL
+    SELECT j AS i, i AS j, cov_num AS c FROM cov WHERE i <> j
+  )
+),
+v0 AS (
+  SELECT CAST(i AS INTEGER) AS i, CAST({_PCA_SCALE} AS BIGINT) AS v
+  FROM (SELECT unnest(generate_series(1, {_PCA_DIM})) AS i)
+)"""
+    )
+    for r in range(1, _PCA_ROUNDS + 1):
+        ctes += f""",
+r{r} AS MATERIALIZED (
+  SELECT c.i, CAST(sum(c.c * v.v) AS BIGINT) AS raw
+  FROM cm c JOIN v{r - 1} v ON v.i = c.j GROUP BY c.i
+),
+v{r} AS MATERIALIZED (
+  SELECT i,
+         raw // ((SELECT max(abs(raw)) FROM r{r}) // {_PCA_SCALE} + 1) AS v
+  FROM r{r}
+)"""
+    return ctes + f"\nSELECT i, CAST(v AS BIGINT) AS v FROM v{_PCA_ROUNDS}"
+
+
+@register(
+    "sim_pca_power",
+    category="similarity",
+    oracle=_pca_sql(),
+)
+def sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA top component by POWER ITERATION (von Mises iteration,
+    public) over the integer co-moment matrix — the dimensionality
+    primitive behind embedding whitening, OPQ rotations, and drift
+    monitors. ENGINE-EXACT the g1 way: the covariance numerators are
+    exact integers (a26's co-moment table), each round is an integer
+    matrix-vector product followed by max-|component| renormalization
+    in TRUNCATING integer div, FIXED 4 rounds — so the twin replays
+    every round as chained MATERIALIZED CTEs bit-for-bit (iterated
+    floats cannot be oracled; iterated integers can).
+
+    Scale: the d×d matrix (d=64) is a CONSTANT-sized table — the
+    matvec is a d²-row join + d-row groupBy per round, trivially
+    broadcastable; the corpus is touched exactly once by the co-moment
+    aggregate (map-side combined to d² cells, dim_comoment's int64
+    overflow guard in-plan). Per-round audited checkpoints (key
+    sim_pca.power). Operator: operators/covariance.py."""
+    from ..operators.covariance import (
+        dim_comoment,
+        full_matrix,
+        pca_power_topvec,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    com = dim_comoment(emb, dim=_PCA_DIM, qscale=_PCA_Q)
+    v = pca_power_topvec(
+        full_matrix(com),
+        _PCA_DIM,
+        rounds=_PCA_ROUNDS,
+        scale=_PCA_SCALE,
+        cdiv=_PCA_CDIV,
+        ledger_key="sim_pca.power",
+    )
+    return v.select(F.col("i").cast("int").alias("i"), "v")

@@ -964,3 +964,147 @@ def t17_stream_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("t17 delta-join stream did not finish in 180s")
     return sink.read_view(spark)
+
+
+# ---------------------------------------------------------------------------
+# t18_stream_ingest_dedup (registered round 8; twin pre-verified in
+# tests/test_r7_candidates_b.py before registration — ROADMAP r8).
+# ---------------------------------------------------------------------------
+
+_T18_DELTA_MOD = 5  # pipeline_q's batch/index split, shared convention
+_T18_TAU = 0.3
+
+
+def _t18_sql() -> str:
+    from .llm import _SQL_SHINGLE_CTES
+
+    return f"""
+WITH {_SQL_SHINGLE_CTES},
+pairs AS (
+  SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+         CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
+           / len(list_distinct(n.sh || o.sh)) AS jaccard,
+         len(list_filter(generate_series(0, 7), bi ->
+             list_slice(n.sig, bi*4 + 1, bi*4 + 4)
+               = list_slice(o.sig, bi*4 + 1, bi*4 + 4))) AS n_band_hits
+  FROM sig n JOIN sig o
+    ON n.doc_id % {_T18_DELTA_MOD} = 0
+   AND (o.doc_id % {_T18_DELTA_MOD} <> 0 OR o.doc_id < n.doc_id)
+),
+best AS (
+  SELECT new_id, old_id, jaccard FROM (
+    SELECT new_id, old_id, jaccard,
+           row_number() OVER (
+             PARTITION BY new_id ORDER BY jaccard DESC, old_id
+           ) AS rn
+    FROM pairs WHERE n_band_hits > 0 AND jaccard >= {_T18_TAU}
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       best.old_id IS NOT NULL AS is_dup,
+       best.old_id AS dup_of,
+       best.jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % {_T18_DELTA_MOD} = 0) d
+LEFT JOIN best ON best.new_id = d.doc_id
+"""
+
+
+@register(
+    "t18_stream_ingest_dedup",
+    category="streaming",
+    oracle=_t18_sql(),
+)
+def t18_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18: STREAMING ingest dedup — p_incremental_dedup's semantics as
+    a live foreachBatch state machine (operators/ingestdedup.py): each
+    micro-batch is sketched, probed against the accumulated index
+    (initial corpus + every earlier ACCEPTED arrival), verdicts are
+    appended, and the accepted docs' signatures join the index for the
+    NEXT batch — arrival-order semantics, exactly what a 100 TB
+    training-data ingest runs daily. The feed here is 4 id-range
+    parquet files with increasing mtimes so the file source's
+    oldest-first order makes micro-batch boundaries respect id order;
+    the twin is then ONE-SHOT SQL over the whole feed: dup iff a
+    band-colliding Jaccard ≥ τ partner exists among the index OR any
+    smaller-id arrival — so batch-split invariance is part of what the
+    hash compare verifies (plus the dedicated replay-idempotency and
+    split-invariance unit tests, tests/test_ingestdedup.py).
+
+    Scale: per batch, work is |batch| sketching + banded batch×index
+    probing (never index×index); the within-batch self-check caps hot
+    buckets (the r7 cap fix). State (signature/band tables) lives as
+    parquet appends — the restart-safe layout. The index grows by
+    arrivals only; per-batch cost is independent of history outside
+    collided buckets (same growth law as scripts/scale10x_increment.py
+    measures for the batch form)."""
+    import os
+    import shutil
+    import time as _time
+    import uuid as _uuid
+
+    from ..operators.ingestdedup import IngestDedupSink
+    from .sources_q import _tag, scratch
+
+    d = load_table(spark, sf_dir, "documents")
+    index = d.filter(F.col("doc_id") % _T18_DELTA_MOD != 0)
+    batch = d.filter(F.col("doc_id") % _T18_DELTA_MOD == 0).select(
+        "doc_id", "text"
+    )
+
+    family = scratch(f"t18_ingestdedup_{_tag(sf_dir)}")
+    cutoff = _time.time() - 1800
+    for sub in os.listdir(family) if os.path.isdir(family) else []:
+        p = os.path.join(family, sub)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    work = os.path.join(family, _uuid.uuid4().hex[:12])
+    src, ckpt = os.path.join(work, "src"), os.path.join(work, "ckpt")
+    os.makedirs(src)
+
+    # 4 id-RANGE files with increasing mtimes: the file source takes the
+    # oldest first under maxFilesPerTrigger=1, so micro-batch boundaries
+    # respect id order — the sink's "earlier document" feed contract.
+    # Range cuts come from a 3-value quantile scalar (the t16 bounded
+    # sentinel pattern), never a row collect of the id set; WHERE the
+    # cuts land doesn't matter (the one-shot twin is split-invariant),
+    # only that batches are id-ranged in increasing order.
+    cuts = batch.agg(
+        F.expr("percentile(doc_id, array(0.25, 0.5, 0.75))").alias("c")
+    ).first()["c"]
+    bounds = [float("-inf")] + [float(c) for c in cuts] + [float("inf")]
+    t0 = _time.time() - 100
+    for i in range(4):
+        tmp = os.path.join(work, f"w{i}")
+        batch.filter(
+            (F.col("doc_id") > F.lit(bounds[i]))
+            & (F.col("doc_id") <= F.lit(bounds[i + 1]))
+        ).coalesce(1).write.parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and f.startswith("part-")
+        )
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (t0 + 10 * i, t0 + 10 * i))
+
+    sink = IngestDedupSink(os.path.join(work, "state"), threshold=_T18_TAU)
+    sink.init_index(index)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink.apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("t18 ingest-dedup stream did not finish in 180s")
+    return sink.read_verdicts(spark)

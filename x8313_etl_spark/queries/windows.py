@@ -731,3 +731,229 @@ def w15_gaps_and_islands_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", F.col("island").cast("bigint").alias("island"),
         "island_start", "island_end", "n_orders", "span_days",
     )
+
+
+# ---------------------------------------------------------------------------
+# W16/W17: funnel conversion + last-touch attribution (registered round
+# 8; twins pre-verified in tests/test_r7_candidates_b.py before
+# registration — ROADMAP r8).
+# ---------------------------------------------------------------------------
+
+_FUNNEL = ("view", "click", "purchase")
+
+_W16_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+),
+v AS (
+  SELECT user_id, min(tus) AS t1 FROM ev
+  WHERE event_type = 'view' GROUP BY 1
+),
+craw AS (
+  SELECT e.user_id, min(e.tus) - any_value(v.t1) AS gap
+  FROM ev e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.tus > v.t1 GROUP BY 1
+),
+wnd AS (
+  SELECT gap AS window_us FROM (
+    SELECT gap,
+           row_number() OVER (ORDER BY gap, user_id) AS rn,
+           count(*) OVER () AS n_gaps
+    FROM craw
+  ) WHERE rn - 1 = (n_gaps - 1) // 2
+),
+c AS (
+  SELECT e.user_id, min(e.tus) AS t2
+  FROM ev e JOIN v ON v.user_id = e.user_id CROSS JOIN wnd w
+  WHERE e.event_type = 'click'
+    AND e.tus > v.t1 AND e.tus <= v.t1 + w.window_us
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.tus) AS t3
+  FROM ev e JOIN c ON c.user_id = e.user_id CROSS JOIN wnd w
+  WHERE e.event_type = 'purchase'
+    AND e.tus > c.t2 AND e.tus <= c.t2 + w.window_us
+  GROUP BY 1
+),
+s AS (
+  SELECT 1 AS step, count(*) AS n_users FROM v
+  UNION ALL SELECT 2, count(*) FROM c
+  UNION ALL SELECT 3, count(*) FROM p
+)
+SELECT CAST(s.step AS INTEGER) AS step, s.n_users,
+       CASE WHEN s.step = 1 THEN CAST(1000000 AS BIGINT)
+            ELSE s.n_users * 1000000 // pr.n_users END AS conv_ppm,
+       w.window_us
+FROM s LEFT JOIN s pr ON pr.step = s.step - 1 CROSS JOIN wnd w
+"""
+
+
+@register(
+    "w16_funnel_conversion",
+    category="windows",
+    oracle=_W16_SQL,
+)
+def w16_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W16: windowed ordered funnel (view → click → purchase): step k
+    counts users whose FIRST step-k event lands within W after their
+    first qualifying step-(k-1) event — the product-analytics
+    conversion query a16 (unordered) doesn't give. W is DATA-DERIVED
+    (the lower-median view→click gap, ranked WITHOUT an all-to-one
+    stage via the two-phase global rank — operators/globalrank.py), so
+    the window constraint bites non-trivially at every sf (the g3
+    quantile-threshold discipline: a constant W is either vacuous or
+    empty when the fixture's time density changes; pinned by
+    tests/test_registered_guards.py). conv_ppm is integer truncating
+    div — engine-exact.
+
+    Scale: each stage is one filtered aggregate + an equi-join on
+    user_id — shuffle bounded by the user set, never the event stream;
+    W rides as a one-row broadcast. The step loop is a FIXED 3-stage
+    constant (the funnel definition), not data-dependent. The one-row
+    window scalar, each per-user stage table, and the 3-row step-count
+    table are EAGERLY checkpointed through the audited ledger (keys
+    w16_funnel.*): each is referenced 2–3 times downstream, and without
+    the checkpoint every reference re-executes its whole subtree (the
+    pre-registration plan showed the gap-median pipeline running 3×)."""
+    from ..audit import audited_checkpoint
+    from ..operators.globalrank import with_global_rank
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    view = (
+        ev.filter(F.col("event_type") == _FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t"))
+    )
+    craw = (
+        ev.filter(F.col("event_type") == _FUNNEL[1])
+        .join(view.select("user_id", F.col("t").alias("tp")), "user_id")
+        .filter(F.col("tus") > F.col("tp"))
+        .groupBy("user_id")
+        .agg((F.min("tus") - F.first("tp")).alias("gap"))
+    )
+    ranked = with_global_rank(
+        craw.select("user_id", "gap"),
+        [F.col("gap"), F.col("user_id")],
+        partitions=8,
+        key="w16_funnel.gaprank",
+        count_col="n_gaps",
+    )
+    wnd = audited_checkpoint(
+        "w16_funnel.wnd",
+        ranked.filter(F.col("rn") == F.expr("(n_gaps - 1) div 2")).select(
+            F.col("gap").alias("window_us")
+        ),
+    )
+
+    stage, steps = view, [view]
+    for name in _FUNNEL[1:]:
+        stage = audited_checkpoint(
+            "w16_funnel.step",
+            ev.filter(F.col("event_type") == name)
+            .join(stage.select("user_id", F.col("t").alias("tp")), "user_id")
+            .crossJoin(F.broadcast(wnd))
+            .filter(
+                (F.col("tus") > F.col("tp"))
+                & (F.col("tus") <= F.col("tp") + F.col("window_us"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("tus").alias("t")),
+        )
+        steps.append(stage)
+    counts = None
+    for i, s in enumerate(steps):
+        c = s.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).alias("step"), "n_users"
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    counts = audited_checkpoint("w16_funnel.counts", counts)
+    prev = counts.select(
+        (F.col("step") + 1).alias("step"), F.col("n_users").alias("n_prev")
+    )
+    return (
+        counts.join(prev, "step", "left")
+        .crossJoin(F.broadcast(wnd))
+        .select(
+            "step",
+            "n_users",
+            F.when(F.col("step") == 1, F.lit(1_000_000).cast("bigint"))
+            .otherwise(F.expr("n_users * 1000000 div n_prev"))
+            .alias("conv_ppm"),
+            "window_us",
+        )
+    )
+
+
+_W17_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS tus, value
+  FROM events
+),
+tagged AS (
+  SELECT *,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY tus, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS touch
+  FROM ev
+)
+SELECT coalesce(touch, 'direct') AS channel,
+       count(*) AS n_purchases,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM tagged WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@register(
+    "w17_last_touch_attribution",
+    category="windows",
+    oracle=_W17_SQL,
+)
+def w17_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W17: last-touch revenue attribution — each purchase's value is
+    credited to the most recent PRECEDING non-purchase event of the
+    same user (total order (ts, event_id); no preceding touch →
+    'direct'), then revenue rolls up per touch channel: the marketing
+    attribution query that pairs with w16's funnel. last(…,
+    ignorenulls) over an unbounded-preceding rows frame IS the
+    last-touch scan — one window pass per user stream.
+
+    Scale: ONE shuffle keyed by user_id for the window, then a
+    channel-cardinality-bounded aggregate (map-side combined). Revenue
+    sums in integer cents (engine-exact; the decimal-trick rule for
+    money)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.col("value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    purchases = (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(F.col("touch"), F.lit("direct")).alias("channel"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    return purchases.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").alias("revenue_cents"),
+    )
