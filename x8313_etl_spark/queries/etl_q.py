@@ -1048,7 +1048,7 @@ FROM ranked r CROSS JOIN stats s WHERE r.rnk <= {_DQ4_TOP}
 
 @register(
     "dq4_key_skew_profile",
-    category="quality",
+    category="etl",
     oracle=_DQ4_SQL,
 )
 def dq4_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
