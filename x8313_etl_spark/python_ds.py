@@ -10,7 +10,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 N_ROWS = 10_000
 N_PARTS = 8
@@ -44,3 +49,76 @@ class SensorDataSource(DataSource):
 
     def reader(self, schema):
         return SensorReader()
+
+
+# ---------------------------------------------------------------------------
+# Streaming Python data source (SURVEY.md §2.1 S7/S17 streaming
+# counterpart; r9 candidate s21) — the Spark 4 DataSourceStreamReader
+# extension point: the PARTITION-PLANNED streaming reader (executor-side
+# reads), not SimpleDataSourceStreamReader's driver-side convenience
+# variant, so each micro-batch scales by adding partitions exactly like
+# the batch source above.
+# ---------------------------------------------------------------------------
+
+STREAM_TICKS = 4  # micro-batches the source serves before going idle
+STREAM_ROWS_PER_TICK = 1_000
+STREAM_PARTS = 8
+
+
+def stream_reading(seq: int) -> float:
+    """6-dp md5-derived reading (s21's algebra — distinct salt from the
+    batch source so the two sources can't mask each other in tests)."""
+    h = int(hashlib.md5(f"s21-{seq}".encode()).hexdigest()[:8], 16)
+    return (h % 1_000_000) / 1_000_000.0
+
+
+class TickPartition(InputPartition):
+    def __init__(self, tick: int, part: int):
+        self.tick, self.part = tick, part
+
+
+class SensorStreamReader(DataSourceStreamReader):
+    """Offset = how many ticks have been served. latestOffset advances
+    one tick per micro-batch until STREAM_TICKS, then holds — Spark
+    stops planning batches once start == end, so the stream goes idle
+    (a finite deterministic feed, the fixture analog of a caught-up
+    queue). partitions(start, end) fans each pending tick into
+    STREAM_PARTS independent slices; read() runs executor-side on the
+    slice alone."""
+
+    def initialOffset(self):
+        return {"tick": 0}
+
+    def latestOffset(self):
+        if not hasattr(self, "_tick"):
+            self._tick = 0
+        self._tick = min(self._tick + 1, STREAM_TICKS)
+        return {"tick": self._tick}
+
+    def partitions(self, start, end):
+        return [
+            TickPartition(t, p)
+            for t in range(start["tick"], end["tick"])
+            for p in range(STREAM_PARTS)
+        ]
+
+    def read(self, partition):
+        per = STREAM_ROWS_PER_TICK // STREAM_PARTS
+        base = partition.tick * STREAM_ROWS_PER_TICK + partition.part * per
+        for seq in range(base, base + per):
+            yield (seq % N_SENSORS, seq, stream_reading(seq))
+
+    def commit(self, end):
+        pass
+
+
+class SensorStreamDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "x8313_sensor_stream"
+
+    def schema(self):
+        return "sensor_id int, seq int, reading double"
+
+    def streamReader(self, schema):
+        return SensorStreamReader()
