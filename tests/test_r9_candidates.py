@@ -154,12 +154,24 @@ def _s21_fn(spark, sf_dir):
         SensorStreamDataSource,
     )
 
+    import os
+    import tempfile
+
     try:
         spark.dataSource.register(SensorStreamDataSource)
     except Exception:
         pass  # already registered in this session — idempotent use
-    sink = f"s21_sink_{_uuid.uuid4().hex[:8]}"
-    df = spark.readStream.format("x8313_sensor_stream").load()
+    run_id = _uuid.uuid4().hex[:8]
+    sink = f"s21_sink_{run_id}"
+    # per-run durable offset sidecar: the reader's served-tick
+    # high-water survives a checkpoint restart (see SensorStreamReader's
+    # restart-safety note) — a fresh file per run restarts the feed
+    progress = os.path.join(tempfile.gettempdir(), f"s21_progress_{run_id}")
+    df = (
+        spark.readStream.format("x8313_sensor_stream")
+        .option("progressDir", progress)
+        .load()
+    )
     q = (
         df.writeStream.format("memory")
         .queryName(sink)
@@ -463,3 +475,20 @@ def test_j18_exercises_both_directions_and_tolerance(spark, sf_oracle_dir):
     assert dirs.get("backward", 0) > 0
     assert dirs.get("forward", 0) > 0
     assert dirs.get("none", 0) > 0
+
+
+def test_s21_reader_offset_survives_restart(tmp_path):
+    """A reader rebuilt from a checkpoint (fresh instance, same sidecar)
+    must not regress below the served high-water — the in-memory-counter
+    failure mode the sidecar exists to prevent (r8 review finding)."""
+    from x8313_etl_spark.python_ds import STREAM_TICKS, SensorStreamReader
+
+    p = str(tmp_path / "progress")
+    r1 = SensorStreamReader(p)
+    for _ in range(STREAM_TICKS + 2):
+        last = r1.latestOffset()
+    assert last == {"tick": STREAM_TICKS}  # holds at the cap
+    r2 = SensorStreamReader(p)  # "restart": new instance, same sidecar
+    assert r2.latestOffset() == {"tick": STREAM_TICKS}  # no regression
+    r3 = SensorStreamReader(None)  # no sidecar: process-local counter
+    assert r3.latestOffset() == {"tick": 1}

@@ -89,14 +89,6 @@ ALLOWED: dict[str, tuple[dict[str, int], str]] = {
         "the per-key table itself stays range-partitioned (also "
         "plan-guarded in tests/test_registered_guards.py)",
     ),
-    "g11_knn_graph": (
-        {"BroadcastNestedLoopJoin": 4},
-        "all four are the pooled IVF assignment's bounded K=16 seed "
-        "cross re-expanding in the plan string (similarity.ivf_assign's "
-        "entry): the assignment is referenced twice (corpus + left side) "
-        "and the edge table twice (edges + its reversal for the mutual "
-        "flag); the bucket self-join itself is an equi-join on cent_id",
-    ),
     "m9_time_travel": (
         {"Exchange SinglePartition": 3},
         "three per-version audit rows — single-row count/balance "
@@ -325,6 +317,15 @@ ALLOWED_LEDGER: dict[str, tuple[dict[str, int], str]] = {
         {"BroadcastNestedLoopJoin": 1},
         "same as sim_kmeans.final under p_semdedup_prune's key",
     ),
+    "g11.edges": (
+        {"BroadcastNestedLoopJoin": 2},
+        "the pooled IVF assignment's bounded K=16 seed cross re-expands "
+        "in the checkpointed edge table's first-build plan — once per "
+        "assignment reference (corpus + left side; similarity."
+        "ivf_assign's entry); the bucket self-join itself is an "
+        "equi-join on cent_id, and the checkpoint exists so the mutual-"
+        "flag reversal reads this table instead of re-executing it",
+    ),
     "w16_funnel.wnd": (
         {"Exchange SinglePartition": 1},
         "the data-derived funnel window: one single-partition window "
@@ -379,15 +380,20 @@ def audit_hits(spark, sf_dir) -> dict[str, dict[str, int]]:
     the few side-effecting ones, executes) exactly once per run."""
     from x8313_etl_spark.operators.cachepool import clear_pool
 
-    # COLD pool: a prior test warming a pooled table (e.g. the IVF
-    # assignment) makes plan strings re-expand the cached subtree and
-    # the node counts become order-dependent; gen_audit.py runs in a
-    # fresh process, so cold is also what the artifact measures
-    clear_pool()
+    # COLD pool PER QUERY: a pooled table materialized by an earlier
+    # query in the sweep (e.g. the IVF assignment — g11's eager edges
+    # checkpoint executes it as a side effect) makes later plan strings
+    # re-expand the cached subtree and the node counts become
+    # order-dependent; clearing before EVERY fn makes each count the
+    # query's own first-build plan — the same thing ALLOWED justifies
+    # and scripts/gen_audit.py measures (which clears identically)
+    clear_pool()  # initial: drop earlier tests' warm pool AND recordings
     hits: dict[str, dict[str, int]] = {}
     for name, spec in registry().items():
         if spec.category in SKIP_CATEGORIES:
             continue
+        # cold pool, but KEEP the cold ledger recordings made so far
+        clear_pool(forget_ledger=False)
         plan = (
             spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         )

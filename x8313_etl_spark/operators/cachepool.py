@@ -63,17 +63,25 @@ def swap_persist(
     return _POOL[key]
 
 
-def clear_pool() -> None:
-    """Unpersist and forget every pooled table, AND drop their audit
-    ledger entries. For test isolation: plan STRINGS re-expand an
-    InMemoryRelation's child subtree, so a sweep that counts plan nodes
-    (tests/test_shuffle_audit.py) must run against a COLD pool or its
-    counts depend on which tests ran before it (found by review in
-    round 6 — an IVF test warming similarity.ivf_assign at the audit's
-    sf_dir flipped the BNLJ counts order-dependently). The ledger half
-    has the same hazard: record_plan is first-write-wins per key, so a
-    warm-pool recording from an earlier test would otherwise shadow the
-    cold sweep's — forgetting the keys lets the sweep re-record cold."""
+def clear_pool(forget_ledger: bool = True) -> None:
+    """Unpersist and forget every pooled table, AND (by default) drop
+    their audit ledger entries. For test isolation: plan STRINGS
+    re-expand an InMemoryRelation's child subtree, so a sweep that
+    counts plan nodes (tests/test_shuffle_audit.py) must run against a
+    COLD pool or its counts depend on which tests ran before it (found
+    by review in round 6 — an IVF test warming similarity.ivf_assign at
+    the audit's sf_dir flipped the BNLJ counts order-dependently). The
+    ledger half has the same hazard: record_plan is first-write-wins
+    per key, so a warm-pool recording from an earlier test would
+    otherwise shadow the cold sweep's — forgetting the keys lets the
+    sweep re-record cold.
+
+    ``forget_ledger=False`` is the PER-QUERY variant for the audit
+    sweeps themselves (r8): they clear the pool before EVERY query so
+    each plan count is that query's own cold first build, but the
+    ledger recordings made along the way are exactly the cold
+    first-build plans the staleness check wants to see at sweep end —
+    forgetting them each time would leave only the last query's keys."""
     from .. import audit
 
     for key, df in _POOL.items():
@@ -81,5 +89,6 @@ def clear_pool() -> None:
             df.unpersist(blocking=False)
         except Exception:
             pass
-        audit.forget(key)
+        if forget_ledger:
+            audit.forget(key)
     _POOL.clear()

@@ -2,9 +2,13 @@
 foreachBatch sink (the streaming form of operators/increment.py).
 
 Production corpora are not deduplicated in one batch job — documents
-ARRIVE, and each arrival must be judged against everything already
-accepted into the corpus. This sink keeps the standing MinHash
-signature/shingle state on disk and advances it per micro-batch:
+ARRIVE, and each arrival must be judged against everything that
+arrived before it (accepted AND rejected arrivals both index — the
+exact all-pairs-vs-earlier semantics, so a dup-of-a-dup reports its
+true nearest partner; an accepted-only index is the other defensible
+policy, with different verdicts on dup chains). This sink keeps the
+standing MinHash signature/shingle state on disk and advances it per
+micro-batch:
 
   verdict(d) = is d a banded near-dup (exact Jaccard ≥ τ on band-
   colliding candidates) of ANY earlier document — the seeded index, a

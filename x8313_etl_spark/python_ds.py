@@ -84,16 +84,51 @@ class SensorStreamReader(DataSourceStreamReader):
     (a finite deterministic feed, the fixture analog of a caught-up
     queue). partitions(start, end) fans each pending tick into
     STREAM_PARTS independent slices; read() runs executor-side on the
-    slice alone."""
+    slice alone.
+
+    RESTART SAFETY: the served-tick high-water lives in a sidecar file
+    (``progressDir`` option), NOT an in-memory invocation counter — a
+    reader rebuilt from a query checkpoint must never report an offset
+    BELOW the committed one (Spark would plan nothing, or reject the
+    regression), which is exactly what a fresh counter would do. This
+    mirrors real sources, whose offsets come from the external system's
+    durable positions. Without the option the counter is process-local
+    (fresh ad-hoc queries only; documented fixture convenience).
+    Trigger note: one tick is released per latestOffset call, so an
+    availableNow trigger (one offset probe) would see a single tick —
+    run this source with a processingTime trigger and poll the sink to
+    the known row count (the s21 harness does)."""
+
+    def __init__(self, progress_path: str | None = None):
+        self._progress = progress_path
+        self._tick = 0
+
+    def _stored(self) -> int:
+        if self._progress:
+            try:
+                with open(self._progress) as f:
+                    return int(f.read().strip() or 0)
+            except FileNotFoundError:
+                return 0
+        return self._tick
+
+    def _store(self, tick: int) -> None:
+        if self._progress:
+            tmp = f"{self._progress}.tmp"
+            with open(tmp, "w") as f:
+                f.write(str(tick))
+            import os
+
+            os.replace(tmp, self._progress)  # atomic on POSIX
+        self._tick = tick
 
     def initialOffset(self):
         return {"tick": 0}
 
     def latestOffset(self):
-        if not hasattr(self, "_tick"):
-            self._tick = 0
-        self._tick = min(self._tick + 1, STREAM_TICKS)
-        return {"tick": self._tick}
+        tick = min(self._stored() + 1, STREAM_TICKS)
+        self._store(tick)
+        return {"tick": tick}
 
     def partitions(self, start, end):
         return [
@@ -121,4 +156,7 @@ class SensorStreamDataSource(DataSource):
         return "sensor_id int, seq int, reading double"
 
     def streamReader(self, schema):
-        return SensorStreamReader()
+        # reader options arrive case-insensitively (Spark lower-cases
+        # DataFrameReader option keys) — accept either spelling
+        path = self.options.get("progressdir") or self.options.get("progressDir")
+        return SensorStreamReader(path)

@@ -1071,14 +1071,18 @@ def dq4_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = o.groupBy(F.col("o_custkey").alias("key")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    stats = per.agg(
-        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
-    )
     ranked = with_global_rank(
         per,
         [F.col("cnt").desc(), F.col("key")],
         partitions=8,
         key="dq4.rank",
+    )
+    # stats over the RANKED frame, not `per`: with_global_rank
+    # swap-persists its ranked intermediate, so this reuses the cached
+    # per-key table — aggregating `per` directly would re-run the
+    # orders scan + groupBy a second time (r8 review finding)
+    stats = ranked.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
     )
     return (
         ranked.filter(F.col("rn") < _DQ4_TOP)

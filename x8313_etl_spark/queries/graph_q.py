@@ -1180,9 +1180,12 @@ def g11_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the dial is the salted bucket self-join
     (operators/bandjoin.py salted_band_self_join / AQE skew join),
     documented rather than needed at fixture size; the mutual flag is
-    one more equi-join on the (src, dst) edge key. The top-k prune is
-    a WindowGroupLimit below the shuffle. 10× sweep:
-    scripts/scale10x_r8.py (PERF.md growth law)."""
+    one more equi-join on the (src, dst) edge key, against the
+    CHECKPOINTED edge table (key g11.edges) so the reversal reads k·N
+    rows instead of re-executing the dominant self-join stage (the r8
+    review catch — the checkpoint halved the 10× sweep). The top-k
+    prune is a WindowGroupLimit below the shuffle. 10× sweep: 1.8×
+    (scripts/scale10x_r8.py; PERF.md growth law)."""
     from ..functions.vector import dot
     from .similarity_q import _ivf_assign
 
@@ -1199,12 +1202,19 @@ def g11_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = Window.partitionBy("src").orderBy(
         F.col("cos_sim").desc(), F.col("dst")
     )
-    edges = (
+    from ..audit import audited_checkpoint
+
+    # checkpoint the edge table BEFORE deriving its reversal: both join
+    # sides reference it, and without materialization the dominant
+    # bucket-self-join + top-k stage would execute twice (r8 review
+    # finding); the checkpointed table is only k·N rows
+    edges = audited_checkpoint(
+        "g11.edges",
         assign.join(left, "cent_id")
         .filter(F.col("vec_id") != F.col("src"))
         .select("src", F.col("vec_id").alias("dst"), cos.alias("cos_sim"))
         .withColumn("rn", F.row_number().over(rn))
-        .filter(F.col("rn") <= _KNN_GRAPH_K)
+        .filter(F.col("rn") <= _KNN_GRAPH_K),
     )
     rev = edges.select(
         F.col("dst").alias("src"), F.col("src").alias("dst")

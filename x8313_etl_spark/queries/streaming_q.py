@@ -1018,10 +1018,14 @@ def t18_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T18: STREAMING ingest dedup — p_incremental_dedup's semantics as
     a live foreachBatch state machine (operators/ingestdedup.py): each
     micro-batch is sketched, probed against the accumulated index
-    (initial corpus + every earlier ACCEPTED arrival), verdicts are
-    appended, and the accepted docs' signatures join the index for the
-    NEXT batch — arrival-order semantics, exactly what a 100 TB
-    training-data ingest runs daily. The feed here is 4 id-range
+    (initial corpus + EVERY earlier arrival — accepted and rejected
+    alike: the exact all-pairs-vs-smaller-ids semantics, so a
+    dup-of-a-dup still reports its true nearest partner; an
+    accepted-only index is the other defensible policy but would
+    change those chains' verdicts and break the whole-feed twin),
+    verdicts are appended, and the batch's signatures join the index
+    for the NEXT batch — arrival-order semantics, exactly what a
+    100 TB training-data ingest runs daily. The feed here is 4 id-range
     parquet files with increasing mtimes so the file source's
     oldest-first order makes micro-batch boundaries respect id order;
     the twin is then ONE-SHOT SQL over the whole feed: dup iff a

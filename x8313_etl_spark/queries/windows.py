@@ -783,10 +783,13 @@ s AS (
 )
 SELECT CAST(s.step AS INTEGER) AS step, s.n_users,
        CASE WHEN s.step = 1 THEN CAST(1000000 AS BIGINT)
-            ELSE s.n_users * 1000000 // pr.n_users END AS conv_ppm,
+            ELSE s.n_users * 1000000 // NULLIF(pr.n_users, 0) END AS conv_ppm,
        w.window_us
 FROM s LEFT JOIN s pr ON pr.step = s.step - 1 CROSS JOIN wnd w
 """
+# NULLIF guard: Spark's `div` yields NULL on a zero divisor where
+# DuckDB's `//` raises — a zero-user funnel step at some other sf must
+# hash-compare as NULL on both sides, not abort the oracle.
 
 
 @register(
@@ -824,10 +827,11 @@ def w16_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
     )
-    view = (
+    view = audited_checkpoint(
+        "w16_funnel.step0",
         ev.filter(F.col("event_type") == _FUNNEL[0])
         .groupBy("user_id")
-        .agg(F.min("tus").alias("t"))
+        .agg(F.min("tus").alias("t")),
     )
     craw = (
         ev.filter(F.col("event_type") == _FUNNEL[1])

@@ -281,12 +281,16 @@ def _priority(
     isn't starved by them. Within the GREEN block, queries whose last
     driver stamp is oldest sort first — the spare window slots rotate
     onto the stalest greens so a round-1 row is eventually re-earned
-    against today's code, not trusted forever. The four designed
-    rows-only sketches (oracle=None: engine-specific sketch bytes whose
-    correctness contract is their exact-error-bound unit tests) sort
-    AFTER every hash-checkable green regardless of stamp — a window
-    slot spent re-running a rows-only check re-proves nothing the unit
-    tests don't already pin (r6 verdict "what's wrong" #3). Ties break
+    against today's code, not trusted forever. The six designed
+    rows-only queries (oracle=None: the four engine-specific sketches
+    a4/a9b/a13/ts_sliding_dau, whose correctness contract is their
+    exact-error-bound unit tests, plus the unigram tokenizer pair
+    p_unigram_train/p_unigram_encode, whose driver-quantized −ln costs
+    have no cross-engine twin — exactness pinned in
+    tests/test_unigram.py) sort AFTER every hash-checkable green
+    regardless of stamp — a window slot spent re-running a rows-only
+    check re-proves nothing the unit tests don't already pin (r6
+    verdict "what's wrong" #3). Ties break
     on the import-order-independent (module, within-module)
     registration key, keeping the ordering deterministic regardless of
     which module a caller imported first."""
