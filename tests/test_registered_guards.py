@@ -265,3 +265,49 @@ def test_p_unigram_train_vocab_is_nontrivial(spark, sf_oracle_dir):
     assert enc.filter(
         (F.col("n_pieces") > 0) & (F.col("n_pieces") < F.col("n_chars_covered"))
     ).count() > 0
+
+
+def test_w16_funnel_empty_when_no_view_click_sequence(spark, tmp_path):
+    """Degenerate-funnel semantics pinned on a crafted corpus: when no
+    click ever follows a view, the gap table is empty, so the
+    data-derived window row does not exist and the cross join
+    annihilates every step row — BOTH engines return an EMPTY result
+    (never a divide-by-zero or a null-window row). This is also why
+    the twin's NULLIF guard is defensive-only on real fixtures: step 2
+    is ≥1 whenever the median-gap row exists (the median user's own
+    first click qualifies by construction)."""
+    import duckdb
+    import pandas as pd
+
+    from x8313_etl_spark.queries.windows import _W16_SQL, w16_funnel_conversion
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 09:00",
+                 "2024-01-02 10:00", "2024-01-02 09:00"]
+            ),
+            "user_id": [1, 1, 2, 2],
+            "event_type": ["view", "click", "view", "click"],  # clicks BEFORE views
+            "value": [0.0, 0.0, 0.0, 0.0],
+            "props": ["", "", "", ""],
+        }
+    )
+    d = str(tmp_path / "crafted")
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(d)
+    # single parquet FILE with µs timestamps — the fixture layout io.py
+    # asserts (a Spark directory write would fail the unit check's open)
+    tbl = pa.Table.from_pandas(ev).set_column(
+        1, "ts", pa.Table.from_pandas(ev)["ts"].cast(pa.timestamp("us"))
+    )
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    assert w16_funnel_conversion(spark, d).count() == 0
+    con = duckdb.connect()
+    con.register("events", ev)
+    assert len(con.execute(_W16_SQL).fetchdf()) == 0
