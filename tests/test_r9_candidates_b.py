@@ -1,0 +1,219 @@
+"""Pre-registration oracle checks — round-8-authored candidate batch F.
+
+Same protocol as batch E (tests/test_r9_candidates.py): exact driver
+compare on ad-hoc UNREGISTERED QuerySpecs; registration is a verbatim
+fn+oracle copy. Batch F completes the Spark 4 Python DataSource story
+(s17 batch read + s21-candidate stream read + x13 stream WRITE) and
+the pandas-UDF surface (x14: the SCALAR_ITER variant, whose point is
+amortized per-partition init).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from x8313_etl_spark import audit
+from x8313_etl_spark.io import load_table, stream_events
+from x8313_etl_spark.registry import QuerySpec
+
+from .oracle_utils import compare_query
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _scrub_ledger_keys():
+    before = set(audit.ledger())
+    yield
+    for key in set(audit.ledger()) - before:
+        audit.forget(key)
+
+
+# ---------------------------------------------------------------------------
+# x13_python_stream_sink — Spark 4 streaming Python DataSource WRITER
+# ---------------------------------------------------------------------------
+
+
+def _x13_fn(spark, sf_dir):
+    """A custom streaming SINK through the Spark 4 Python DataSource
+    API (DataSourceStreamWriter): executor-side ``write(iterator)``
+    stages one JSON-lines file per task; driver-side
+    ``commit(messages, batchId)`` publishes the batch ATOMICALLY by
+    renaming the staged files into a ``v{batchId}`` dir, and a replayed
+    batchId is an idempotent no-op — the upsert_sink/verdir per-epoch
+    commit contract expressed through the extension point instead of
+    foreachBatch (t15's sibling). The purchases stream is written
+    through the sink, read back from the committed version dirs, and
+    aggregated per user — so the twin (batch SQL over events) verifies
+    the full write→publish→read-back loop including that every batch
+    committed exactly once."""
+    import glob
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from x8313_etl_spark.python_ds import JsonDirStreamDataSource
+    from x8313_etl_spark.queries.sources_q import _tag, scratch
+
+    try:
+        spark.dataSource.register(JsonDirStreamDataSource)
+    except Exception:
+        pass  # idempotent re-register within a session
+    family = scratch(f"x13_jsonsink_{_tag(sf_dir)}")
+    work = os.path.join(family, _uuid.uuid4().hex[:12])
+    out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+    shutil.rmtree(work, ignore_errors=True)
+
+    s = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    q = (
+        s.writeStream.format("x8313_jsondir_sink")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("x13 sink stream did not finish in 180s")
+    files = glob.glob(os.path.join(out, "v*", "part-*.jsonl"))
+    back = spark.read.schema("event_id long, user_id long, cents long").json(
+        files
+    )
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").alias("cents_total"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+_X13_SQL = """
+SELECT user_id,
+       count(*) AS n_purchases,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_total,
+       min(event_id) AS first_event,
+       max(event_id) AS last_event
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id
+"""
+
+
+def test_python_stream_sink_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r9:x13_python_stream_sink",
+        fn=_x13_fn,
+        oracle=_X13_SQL,
+        category="streaming",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
+def test_x13_sink_commit_is_idempotent(tmp_path):
+    """Replaying a committed batchId must be a no-op (retry semantics):
+    the version dir survives unchanged and the replay's staged files
+    are dropped, not double-published."""
+    import os
+
+    from x8313_etl_spark.python_ds import JsonDirStreamWriter, _FileCommit
+
+    base = str(tmp_path / "sink")
+    os.makedirs(os.path.join(base, "_staging"))
+    w = JsonDirStreamWriter(base)
+
+    def staged(name, content):
+        p = os.path.join(base, "_staging", name)
+        with open(p, "w") as f:
+            f.write(content)
+        return _FileCommit(p)
+
+    w.commit([staged("a.jsonl", '{"x": 1}\n')], batchId=0)
+    v0 = os.path.join(base, "v0")
+    assert sorted(os.listdir(v0)) == ["part-00000.jsonl"]
+    # replay with DIFFERENT staged content: must not replace v0
+    w.commit([staged("b.jsonl", '{"x": 2}\n')], batchId=0)
+    assert sorted(os.listdir(v0)) == ["part-00000.jsonl"]
+    assert open(os.path.join(v0, "part-00000.jsonl")).read() == '{"x": 1}\n'
+    assert os.listdir(os.path.join(base, "_staging")) == []  # replay cleaned
+
+    # abort drops staged files without publishing
+    m = staged("c.jsonl", '{"x": 3}\n')
+    w.abort([m], batchId=1)
+    assert not os.path.exists(os.path.join(base, "v1"))
+    assert os.listdir(os.path.join(base, "_staging")) == []
+
+
+# ---------------------------------------------------------------------------
+# x14_scalar_iter_udf — the SCALAR_ITER pandas UDF variant
+# ---------------------------------------------------------------------------
+
+_X14_SALTS = 256
+
+
+def _x14_fn(spark, sf_dir):
+    """The ITERATOR-of-series pandas UDF (SCALAR_ITER): same row
+    semantics as x2's scalar pandas UDF, but the function receives the
+    whole partition as an iterator of Arrow batches, so EXPENSIVE
+    ONE-TIME INIT (a model, a codec table) runs once per partition
+    instead of once per batch — the standard pattern for UDF-side model
+    scoring. Here the 'model' is a 256-entry md5-derived salt table
+    built once per partition; every batch then does vectorized integer
+    arithmetic only. Output stays on the exact integer grid
+    (salt + cents·10⁴ in micro-units), so the twin replays the identical
+    algebra from the same md5 bytes."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: Iterator/pd live at MODULE level — pyspark resolves the
+    # (stringified, PEP 563) type hints in the function's globals, so
+    # function-local imports break SCALAR_ITER signature detection
+    @pandas_udf("long")
+    def enrich(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # one-time per-partition init — the SCALAR_ITER point
+        salts = [
+            int(hashlib.md5(f"x14-{b}".encode()).hexdigest()[:8], 16)
+            % 1_000_000
+            for b in range(_X14_SALTS)
+        ]
+        for cents in batches:
+            yield (cents % _X14_SALTS).map(lambda b: salts[int(b)]) + cents * 10_000
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return ev.select(
+        "event_id", enrich(F.col("cents")).alias("enriched_micro")
+    )
+
+
+_X14_SQL = f"""
+SELECT event_id,
+       (CAST(CONCAT('0x', substr(md5('x14-' ||
+            CAST(CAST(round(value * 100) AS BIGINT) % {_X14_SALTS} AS VARCHAR)
+        ), 1, 8)) AS BIGINT) % 1000000)
+       + CAST(round(value * 100) AS BIGINT) * 10000 AS enriched_micro
+FROM events
+"""
+
+
+def test_scalar_iter_udf_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r9:x14_scalar_iter_udf",
+        fn=_x14_fn,
+        oracle=_X14_SQL,
+        category="udf",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail

@@ -14,7 +14,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 N_ROWS = 10_000
@@ -160,3 +162,98 @@ class SensorStreamDataSource(DataSource):
         # DataFrameReader option keys) — accept either spelling
         path = self.options.get("progressdir") or self.options.get("progressDir")
         return SensorStreamReader(path)
+
+
+# ---------------------------------------------------------------------------
+# Streaming Python data SINK (r9/r10 candidate x13) — the write half of
+# the Spark 4 streaming Python DataSource API: executor-side
+# ``write(iterator)`` stages a file per task, driver-side
+# ``commit(messages, batchId)`` publishes the batch ATOMICALLY by
+# renaming the staged files into a ``v{batchId}`` dir. Replayed batch
+# ids are idempotent no-ops (the dir already exists) — the same
+# per-epoch commit contract as operators/upsert_sink.py and verdir.py,
+# expressed through the DataSourceStreamWriter extension point instead
+# of foreachBatch.
+# ---------------------------------------------------------------------------
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class JsonDirStreamWriter(DataSourceStreamWriter):
+    def __init__(self, base: str):
+        self.base = base
+
+    def write(self, iterator):
+        """Executor-side: serialize this task's rows as JSON lines into
+        a staging file; the file only becomes visible if the driver
+        commits the whole batch."""
+        import json as _json
+        import os
+        import uuid as _uuid
+
+        stage = os.path.join(self.base, "_staging")
+        os.makedirs(stage, exist_ok=True)
+        path = os.path.join(stage, f"task-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(path, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        if n == 0:
+            os.remove(path)
+            return _FileCommit("")
+        return _FileCommit(path)
+
+    def commit(self, messages, batchId):
+        """Driver-side atomic publish: move every staged file into
+        v{batchId} and rename it into place. A replayed batchId finds
+        the version dir already present and drops its staging files —
+        exactly-once output under micro-batch retries."""
+        import os
+        import shutil
+        import uuid as _uuid
+
+        vdir = os.path.join(self.base, f"v{batchId}")
+        paths = [m.path for m in messages if m is not None and m.path]
+        if os.path.isdir(vdir):  # replay: already committed
+            for p in paths:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            return
+        tmp = os.path.join(self.base, f"_commit-{_uuid.uuid4().hex}")
+        os.makedirs(tmp)
+        for i, p in enumerate(paths):
+            os.replace(p, os.path.join(tmp, f"part-{i:05d}.jsonl"))
+        os.replace(tmp, vdir)  # atomic on POSIX
+
+    def abort(self, messages, batchId):
+        import os
+
+        for m in messages:
+            if m is not None and m.path:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+
+class JsonDirStreamDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "x8313_jsondir_sink"
+
+    def schema(self):
+        # sinks don't need a schema of their own; Spark passes the
+        # input schema to streamWriter
+        return "value string"
+
+    def streamWriter(self, schema, overwrite):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("x8313_jsondir_sink requires a path option")
+        return JsonDirStreamWriter(path)
