@@ -492,3 +492,39 @@ def test_s21_reader_offset_survives_restart(tmp_path):
     assert r2.latestOffset() == {"tick": STREAM_TICKS}  # no regression
     r3 = SensorStreamReader(None)  # no sidecar: process-local counter
     assert r3.latestOffset() == {"tick": 1}
+
+
+def test_j18_tie_prefers_backward(spark, tmp_path):
+    """Crafted exact tie: one view d µs BEFORE the purchase and one d µs
+    AFTER — nearest must pick the BACKWARD view (the market-data
+    convention the docstring claims and the twin's ORDER BY encodes)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00:00", "2024-01-01 10:20:00",
+                 "2024-01-01 10:10:00"]
+            ),
+            "user_id": [7, 7, 7],
+            "event_type": ["view", "view", "purchase"],
+            "value": [0.0, 0.0, 5.0],
+            "props": ["", "", ""],
+        }
+    )
+    d = str(tmp_path / "crafted")
+    os.makedirs(d)
+    tbl = pa.Table.from_pandas(ev).set_column(
+        1, "ts", pa.Table.from_pandas(ev)["ts"].cast(pa.timestamp("us"))
+    )
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    rows = _j18_fn(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["view_id"] == 1 and r["direction"] == "backward"
+    assert r["dist_us"] == 10 * 60 * 1_000_000
