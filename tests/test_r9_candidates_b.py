@@ -278,3 +278,102 @@ def test_s21_source_resumes_from_real_checkpoint(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == want  # nothing lost...
     assert got.select("seq").distinct().count() == want  # ...nothing doubled
+
+
+# ---------------------------------------------------------------------------
+# j19_scd2_lookup — temporal dimension lookup against SCD2 intervals
+# ---------------------------------------------------------------------------
+
+
+def _j19_fn(spark, sf_dir):
+    """SCD2 temporal dimension LOOKUP — the classic warehouse temporal
+    join w9 builds the dimension for: each fact (purchase) joins the
+    dimension version whose [valid_from, valid_to) interval contains
+    its timestamp, answering 'what state was this user in when the
+    purchase happened'. Every purchase lands in EXACTLY one version
+    (w9's intervals partition each user's timeline from their first
+    event, and the first event is always a change row), so the output
+    is fact-sized — the join is an equi-join on the dimension key with
+    a bounded per-key interval predicate, never a blow-up; at scale
+    both sides shuffle once on user_id (or the dim broadcasts: SCD2
+    dimensions are versions-per-entity small)."""
+    from x8313_etl_spark.queries.windows import w9_scd2_intervals
+
+    dim = w9_scd2_intervals(spark, sf_dir).select(
+        F.col("user_id").alias("d_user_id"),
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+    )
+    facts = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    return facts.join(
+        dim,
+        (F.col("user_id") == F.col("d_user_id"))
+        & (F.col("valid_from") <= F.col("p_ts"))
+        & (F.col("valid_to").isNull() | (F.col("p_ts") < F.col("valid_to"))),
+    ).select(
+        "purchase_id",
+        "user_id",
+        "cents",
+        "state",
+        F.col("valid_from").alias("version_from"),
+    )
+
+
+def _j19_sql():
+    from x8313_etl_spark.queries.windows import _W9_SQL
+
+    return f"""
+WITH dim AS MATERIALIZED ({_W9_SQL})
+SELECT f.event_id AS purchase_id, f.user_id,
+       CAST(round(f.value * 100) AS BIGINT) AS cents,
+       d.event_type AS state,
+       d.valid_from AS version_from
+FROM events f
+JOIN dim d ON d.user_id = f.user_id
+  AND d.valid_from <= f.ts
+  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+WHERE f.event_type = 'purchase'
+"""
+
+
+def test_j19_scd2_lookup_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r9:j19_scd2_lookup",
+        fn=_j19_fn,
+        oracle=_j19_sql(),
+        category="joins",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
+def test_j19_lookup_is_fact_sized_and_versioned(spark, sf_oracle_dir):
+    """Exactly one dimension version per fact (the SCD2 contract), and
+    the fixture must exercise MULTIPLE versions per user (a single-
+    version dim would make the interval predicate vacuous)."""
+    out = _j19_fn(spark, sf_oracle_dir).persist()
+    n_facts = (
+        load_table(spark, sf_oracle_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert out.count() == n_facts
+    assert out.select("purchase_id").distinct().count() == n_facts
+    multi = (
+        out.groupBy("user_id")
+        .agg(F.countDistinct("version_from").alias("nv"))
+        .filter(F.col("nv") > 1)
+        .count()
+    )
+    assert multi > 0
+    out.unpersist()

@@ -292,10 +292,10 @@ def w8_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "w9_scd2_intervals",
-    category="windows",
-    oracle="""
+#: Named so the SCD2 temporal-lookup candidate's oracle can embed the
+#: verified interval build verbatim (the _KMEANS_PREFIX composition
+#: rule: share a constant, never string-split finished SQL).
+_W9_SQL = """
 WITH c AS (
   SELECT user_id, event_type, ts,
          CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
@@ -308,7 +308,13 @@ SELECT user_id, event_type,
        lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
        (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL) AS is_current
 FROM v
-""",
+"""
+
+
+@register(
+    "w9_scd2_intervals",
+    category="windows",
+    oracle=_W9_SQL,
 )
 def w9_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W9: slowly-changing-dimension (type 2) interval build — the CDC
