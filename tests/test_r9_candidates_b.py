@@ -377,3 +377,192 @@ def test_j19_lookup_is_fact_sized_and_versioned(spark, sf_oracle_dir):
     )
     assert multi > 0
     out.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# m10_snapshot_diff — semantic diff between two table versions
+# ---------------------------------------------------------------------------
+
+_M10_UPD_MOD = 11
+_M10_INS_OFFSET = 20_000_000
+
+
+def _m10_fn(spark, sf_dir):
+    """Semantic DIFF between two snapshot versions — the lakehouse
+    debugging/audit tool ('what changed between Monday's and today's
+    table'): v0 = base commit, v1 = CDC MERGE (deletes negative
+    balances, updates every key % 11 to a stamped balance, inserts
+    shifted keys). The diff full-outer-joins read(version=0) against
+    read(version=1) on the key and classifies added / deleted /
+    changed / unchanged, emitting per-class counts + balance-cents
+    movement — so the twin (which reconstructs both versions
+    declaratively) verifies version isolation AND the merge semantics
+    at once. Scale: one keyed full-outer join between two
+    manifest-pruned scans; the class aggregate map-side-combines to 4
+    rows."""
+    import shutil
+
+    from x8313_etl_spark.operators.snapshots import SnapshotTable
+    from x8313_etl_spark.queries.sources_q import _tag, scratch
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    path = scratch(f"m10_diff_{_tag(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    tbl = SnapshotTable(path)
+    tbl.commit(base.repartition(4))  # v0
+    upd = base.filter(F.col("c_custkey") % _M10_UPD_MOD == 0).select(
+        "c_custkey",
+        (F.col("c_custkey") % 1000 / 100).alias("c_acctbal"),
+        F.lit("U").alias("cdc_op"),
+    )
+    dels = base.filter(
+        (F.col("c_acctbal") < 0) & (F.col("c_custkey") % _M10_UPD_MOD != 0)
+    ).select("c_custkey", F.lit(None).cast("double").alias("c_acctbal"),
+             F.lit("D").alias("cdc_op"))
+    ins = base.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + _M10_INS_OFFSET).alias("c_custkey"),
+        F.lit(1.5).alias("c_acctbal"),
+        F.lit("U").alias("cdc_op"),
+    )
+    tbl.apply_cdc(spark, upd.unionByName(dels).unionByName(ins), on="c_custkey")  # v1
+
+    a = tbl.read(spark, version=0).select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("a_cents"),
+    )
+    b = tbl.read(spark, version=1).select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("b_cents"),
+    )
+    j = a.join(b, "k", "full_outer")
+    cls = (
+        F.when(F.col("a_cents").isNull(), "added")
+        .when(F.col("b_cents").isNull(), "deleted")
+        .when(F.col("a_cents") != F.col("b_cents"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(cls.alias("diff_class"),
+                 F.coalesce("a_cents", F.lit(0)).alias("a_cents"),
+                 F.coalesce("b_cents", F.lit(0)).alias("b_cents"))
+        .groupBy("diff_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("b_cents") - F.col("a_cents")).alias("cents_delta"),
+        )
+    )
+
+
+_M10_SQL = f"""
+WITH v0 AS (SELECT c_custkey, c_acctbal FROM customer),
+v1 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % {_M10_UPD_MOD} = 0
+              THEN (c_custkey % 1000) / 100.0 ELSE c_acctbal END AS c_acctbal
+  FROM v0
+  WHERE NOT (c_acctbal < 0 AND c_custkey % {_M10_UPD_MOD} <> 0)
+  UNION ALL
+  SELECT c_custkey + {_M10_INS_OFFSET}, 1.5 FROM customer WHERE c_custkey % 7 = 0
+),
+a AS (SELECT c_custkey AS k, CAST(round(c_acctbal * 100) AS BIGINT) AS a_cents FROM v0),
+b AS (SELECT c_custkey AS k, CAST(round(c_acctbal * 100) AS BIGINT) AS b_cents FROM v1),
+j AS (
+  SELECT coalesce(a.k, b.k) AS k, a.a_cents, b.b_cents
+  FROM a FULL OUTER JOIN b ON a.k = b.k
+)
+SELECT CASE WHEN a_cents IS NULL THEN 'added'
+            WHEN b_cents IS NULL THEN 'deleted'
+            WHEN a_cents <> b_cents THEN 'changed'
+            ELSE 'unchanged' END AS diff_class,
+       count(*) AS n_rows,
+       CAST(sum(coalesce(b_cents, 0) - coalesce(a_cents, 0)) AS BIGINT)
+         AS cents_delta
+FROM j GROUP BY 1
+"""
+
+
+def test_m10_snapshot_diff_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r9:m10_snapshot_diff",
+        fn=_m10_fn,
+        oracle=_M10_SQL,
+        category="etl",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
+def test_m10_all_four_classes_present(spark, sf_oracle_dir):
+    """The fixture must exercise every diff class — a diff that never
+    sees an add/delete/change verifies nothing about the classifier."""
+    classes = {
+        r["diff_class"] for r in _m10_fn(spark, sf_oracle_dir).collect()
+    }
+    assert classes == {"added", "deleted", "changed", "unchanged"}
+
+
+# ---------------------------------------------------------------------------
+# p_docstats_profile — per-slice corpus datasheet
+# ---------------------------------------------------------------------------
+
+
+def _docstats_fn(spark, sf_dir):
+    """Corpus DATASHEET: per (source, lang) slice — doc counts, token
+    totals, and the exact token-count five-number-ish summary
+    (min/p50/max) every dataset card reports (datasheets for datasets;
+    the first table a curation run prints). Token counts are exact
+    integers; the in-group median interpolates two integers, which is
+    exact in binary on both engines (no decimal trick needed — the
+    a24 lesson applies only to SUMS of many doubles). One groupBy
+    shuffle keyed by the slice; percentile is an in-group aggregate,
+    never a global sort."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_total"),
+        F.min("n_tokens").alias("tokens_min"),
+        F.expr("percentile(n_tokens, 0.5)").alias("tokens_p50"),
+        F.max("n_tokens").alias("tokens_max"),
+        F.sum("n_chars").alias("chars_total"),
+    )
+
+
+_DOCSTATS_SQL = """
+WITH d AS (
+  SELECT source, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+       min(n_tokens) AS tokens_min,
+       CAST(median(n_tokens) AS DOUBLE) AS tokens_p50,
+       max(n_tokens) AS tokens_max,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total
+FROM d GROUP BY 1, 2
+"""
+
+
+def test_docstats_profile_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r9:p_docstats_profile",
+        fn=_docstats_fn,
+        oracle=_DOCSTATS_SQL,
+        category="pipeline",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
+def test_docstats_covers_multiple_slices(spark, sf_oracle_dir):
+    out = _docstats_fn(spark, sf_oracle_dir)
+    assert out.count() >= 4  # several (source, lang) slices exercised
