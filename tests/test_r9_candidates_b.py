@@ -566,3 +566,85 @@ def test_docstats_profile_twin(spark, sf_oracle_dir):
 def test_docstats_covers_multiple_slices(spark, sf_oracle_dir):
     out = _docstats_fn(spark, sf_oracle_dir)
     assert out.count() >= 4  # several (source, lang) slices exercised
+
+
+# ---------------------------------------------------------------------------
+# s22_binaryfile_scan — Spark's binaryFile source (multimodal file ingest)
+# ---------------------------------------------------------------------------
+
+_S22_N_FILES = 24
+
+
+def _s22_payload(i: int) -> bytes:
+    """Deterministic pseudo-media payload: i's md5 digest repeated
+    (i % 7 + 1) times — variable lengths, exact bytes both engines can
+    regenerate."""
+    import hashlib
+
+    return hashlib.md5(f"s22-{i}".encode()).digest() * (i % 7 + 1)
+
+
+def _s22_fn(spark, sf_dir):
+    """The ``binaryFile`` source — Spark's ingestion path for media
+    FILES (images/audio dropped in object storage), the front door of
+    the multimodal pipeline whose column-side plumbing x7–x9 cover:
+    each file becomes (path, modificationTime, length, content:binary).
+    A deterministic corpus of pseudo-media files is written once per
+    fixture dir, scanned via format('binaryFile'), and digested
+    JVM-side (length + md5 of content + first byte) — so the twin
+    regenerates the identical table from the same md5 algebra and the
+    compare proves bytes survived the file→row boundary intact.
+    Scale: one file = one row; the scan parallelizes per file exactly
+    like any file source, and pushing length/path filters down
+    (pathGlobFilter, the documented knob) prunes before content IO."""
+    import os
+
+    from x8313_etl_spark.queries.sources_q import _tag, scratch
+
+    d = scratch(f"s22_binfiles_{_tag(sf_dir)}")
+    if not os.path.isdir(d) or len(os.listdir(d)) != _S22_N_FILES:
+        os.makedirs(d, exist_ok=True)
+        for i in range(_S22_N_FILES):
+            with open(os.path.join(d, f"m{i:03d}.bin"), "wb") as f:
+                f.write(_s22_payload(i))
+    df = spark.read.format("binaryFile").load(d)
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+        # first BYTE as hex text (binary has no element access; a
+        # string cast would mangle non-UTF8 media bytes)
+        F.hex(F.expr("substring(content, 1, 1)")).alias("first_byte_hex"),
+    )
+
+
+def _s22_sql():
+    import hashlib
+
+    rows = []
+    for i in range(_S22_N_FILES):
+        p = _s22_payload(i)
+        rows.append(
+            f"('m{i:03d}.bin', {len(p)}, '{hashlib.md5(p).hexdigest()}', "
+            f"'{p[0]:02X}')"
+        )
+    values = ",\n".join(rows)
+    return f"""
+SELECT * FROM (VALUES
+{values}
+) AS t(fname, n_bytes, content_md5, first_byte_hex)
+"""
+
+
+def test_binaryfile_scan_twin(spark, sf_oracle_dir):
+    """The oracle is driver-computed VALUES from the same generator —
+    legitimate here because the thing under test is Spark's file→row
+    boundary (did the bytes survive?), not a relational computation."""
+    spec = QuerySpec(
+        name="r9:s22_binaryfile_scan",
+        fn=_s22_fn,
+        oracle=_s22_sql(),
+        category="sources",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
