@@ -311,3 +311,70 @@ def test_w16_funnel_empty_when_no_view_click_sequence(spark, tmp_path):
     con = duckdb.connect()
     con.register("events", ev)
     assert len(con.execute(_W16_SQL).fetchdf()) == 0
+
+
+def test_bm25_floor_boundary_margin(spark, sf_oracle_dir):
+    """The r9 hardening of p_bm25_topk / p_rag_context_pack quantizes
+    each per-term BM25 contribution with FLOOR(t*1e6 + 0.5): the map is
+    IEEE-identical across engines GIVEN an identical double t, so the
+    only way Spark and DuckDB can still disagree is libm-ln last-ulp
+    divergence in t landing exactly on a floor boundary. This guard
+    pins that no fixture posting sits within 1e-6 of a boundary —
+    ~1000 ulps of the largest term magnitude (measured r9: min distance
+    2.9e-4, max |t*1e6| 4.4e6 whose ulp is 9.3e-10) — so a <=few-ulp
+    cross-libm wobble provably cannot flip any quantized contribution,
+    hence no score_u6, hence no rank. If a driver fixture regeneration
+    ever fails this, widen the quantum (1e-5 grid) rather than loosen
+    the assert."""
+    from x8313_etl_spark.io import load_table
+    from x8313_etl_spark.queries.corpus_q import BM25_B, BM25_K1, BM25_N_QUERIES
+
+    d = load_table(spark, sf_oracle_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("dl"),
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"), F.first("dl").alias("dl")
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (
+            F.sum(
+                F.size(F.split(F.col("text"), " "))
+                .cast("double")
+                .cast("decimal(25,6)")
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    qt = (
+        tok.filter(F.col("doc_id") < BM25_N_QUERIES)
+        .select(F.col("doc_id").alias("q_id"), "term")
+        .distinct()
+    )
+    tfq = tf.join(F.broadcast(qt.select("term").distinct()), "term", "semi")
+    df_t = tfq.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfn = (
+        F.col("tf")
+        * (BM25_K1 + 1)
+        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    x = (idf * tfn) * F.lit(1000000.0) + F.lit(0.5)
+    frac = x - F.floor(x)
+    row = (
+        tfq.join(F.broadcast(qt), "term")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .agg(
+            F.min(F.least(frac, 1 - frac)).alias("min_dist"),
+            F.max(F.abs(x)).alias("max_x"),
+        )
+        .collect()[0]
+    )
+    # margin >= ~1000 ulps of the largest quantization input
+    assert row.min_dist > 1e-6, (row.min_dist, row.max_x)
+    # and the magnitude regime the ulp arithmetic above assumes
+    assert row.max_x < 2**33, row.max_x

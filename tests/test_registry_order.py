@@ -50,7 +50,11 @@ def test_green_block_rotates_stalest_first():
     sub-block is the invariant."""
     specs = registry()
     names = list(specs)
-    greens = [n for n in names if n in _DRIVER_GREEN]
+    # repaired names sort as UNVERIFIED even when an older green row
+    # exists (their output changed with the repair, r9 policy)
+    greens = [
+        n for n in names if n in _DRIVER_GREEN and n not in _REPAIRED_FAILURES
+    ]
     assert greens == names[len(names) - len(greens) :], "greens must be last"
     for want_streaming in (False, True):
         for want_rows_only in (False, True):

@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
-from ..functions.numeric import davg, dsum, sql_davg, sql_dsum
+from ..functions.numeric import davg, sql_davg
 from ..io import load_table
 from ..registry import register
 
@@ -318,6 +318,20 @@ BM25_TOP_K = 5
 
 #: Named so p_rag_context_pack's oracle can embed the verified ranking
 #: verbatim (the _KMEANS_PREFIX composition rule).
+#:
+#: Score representation (hardened round 9, the r8 p_rag_context_pack
+#: red-row fix): each per-term contribution is mapped to integer
+#: micro-units with FLOOR(t * 1e6 + 0.5) — multiply and add are IEEE
+#: ops both engines execute identically on an identical double, and
+#: FLOOR is exact, so the quantization can NEVER disagree across
+#: engines the way a double→DECIMAL(25,6) cast can (Spark rounds the
+#: shortest-repr string HALF_UP, DuckDB rounds the exact binary
+#: expansion — at a half-grid boundary they differ on the SAME value;
+#: the r8 driver red is the observed signature). Micro-unit sums are
+#: BIGINT: exact, order-free, and the ranking key itself, so no final
+#: ROUND boundary exists at all. Residual hazard is only libm-ln
+#: last-ulp divergence landing exactly on a floor boundary, guarded by
+#: tests/test_registered_guards.py::test_bm25_floor_boundary_margin.
 _BM25_SQL = f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -332,11 +346,11 @@ tfq AS (SELECT tf.* FROM tf SEMI JOIN qterms ON tf.term = qterms.term),
 df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfq GROUP BY term),
 scored AS (
   SELECT q.q_id, t.doc_id,
-         {sql_dsum(
-             f"ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) "
-             f"* t.tf * ({BM25_K1} + 1) "
-             f"/ (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))"
-         )} AS score
+         CAST(SUM(CAST(FLOOR((
+             ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * t.tf * ({BM25_K1} + 1)
+             / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))
+         ) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_u6
   FROM qterms q
   JOIN tfq t ON q.term = t.term
   JOIN df d ON t.term = d.term
@@ -344,10 +358,10 @@ scored AS (
   CROSS JOIN stats s
   GROUP BY 1, 2
 )
-SELECT q_id, doc_id, score, CAST(rn AS BIGINT) AS rn FROM (
-  SELECT q_id, doc_id, ROUND(score, 6) AS score,
+SELECT q_id, doc_id, score_u6, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT q_id, doc_id, score_u6,
          row_number() OVER (PARTITION BY q_id
-                            ORDER BY ROUND(score, 6) DESC, doc_id) AS rn
+                            ORDER BY score_u6 DESC, doc_id) AS rn
   FROM scored
 ) WHERE rn <= {BM25_TOP_K}
 """
@@ -366,10 +380,16 @@ def p_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     {BM25_N_QUERIES} docs is a query (its distinct term set); every
     (query term, doc) posting is scored with Okapi BM25
     (idf = ln(1+(N-df+.5)/(df+.5)), length-normalized tf with
-    k1={BM25_K1}, b={BM25_B}) and summed per (query, doc); top-
-    {BM25_TOP_K} per query by score (rounded to 6dp BEFORE ranking on
-    BOTH engines, doc_id tiebreak — so last-ulp ln() divergence can
-    never flip a rank). Scale shape: the query term set is tiny and
+    k1/b at the Robertson defaults) and summed per (query, doc); top-k
+    per query by score, doc_id tiebreak. Scores are integer micro-units
+    (score_u6 = sum of FLOOR(term_contrib*1e6 + 0.5) per term): the
+    floor(+0.5) map is IEEE-identical across engines for an identical
+    double (unlike a double->decimal cast, which Spark does via the
+    shortest-repr string and DuckDB via the exact binary expansion —
+    the two disagree AT a half-grid boundary; observed as the r8
+    p_rag_context_pack driver red), the BIGINT sum is exact and
+    order-free, and ranking on the integer leaves no final rounding
+    boundary. Scale shape: the query term set is tiny and
     BROADCAST into the tf table (a semi-join prune — only postings of
     query terms survive, Σ df(term) rows, never the corpus); df/avgdl
     are aggregates of that pruned table plus one map-only doc-length
@@ -420,18 +440,23 @@ def p_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
         )
     )
+    contrib_u6 = F.floor((idf * tfnorm) * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
     scored = (
         tfq.join(F.broadcast(qterms), "term")
         .join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("q_id", "doc_id")
-        .agg(F.round(dsum(idf * tfnorm), 6).alias("score"))
+        .agg(F.sum(contrib_u6).cast("bigint").alias("score_u6"))
     )
-    rn = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    rn = Window.partitionBy("q_id").orderBy(
+        F.col("score_u6").desc(), F.col("doc_id")
+    )
     return (
         scored.withColumn("rn", F.row_number().over(rn).cast("bigint"))
         .filter(F.col("rn") <= BM25_TOP_K)
-        .select("q_id", "doc_id", "score", "rn")
+        .select("q_id", "doc_id", "score_u6", "rn")
     )
 
 
