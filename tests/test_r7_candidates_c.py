@@ -1,18 +1,17 @@
-"""Pre-registration oracle checks — round-7 candidate batch C.
+"""Pre-registration oracle checks — round-7 candidate batch C remainder.
 
-Same protocol as tests/test_r7_candidates.py (which see): each test
-runs the EXACT driver compare (tests/oracle_utils.compare_query,
-tolerance 0) on an UNREGISTERED QuerySpec, so a future round's
-registration is a verbatim fn+oracle copy while this round's driver
-verify window keeps its 5-new+45-stalest composition. ROADMAP.md
-"Candidate surface" carries the registration notes.
+Each test runs the EXACT driver compare (tests/oracle_utils
+.compare_query, tolerance 0) on an UNREGISTERED QuerySpec, so a future
+round's registration is a verbatim fn+oracle copy. ROADMAP.md
+"Candidate surface" carries the registration notes. (The sibling
+candidate modules test_r7_candidates.py / test_r9_candidates*.py were
+retired at the round-9 registration — their guards live on in
+tests/test_registered_guards.py; dq5_distribution_drift moved out of
+THIS module to etl_q.py the same round.)
 
-Batch C families (gaps in the registered surface as of end round 6):
-sequence analytics (Markov transitions), market-basket mining
-(association rules, item-item CF), corpus statistics (PMI
-co-occurrence), graph (local clustering coefficient), aggregates
-(equi-depth histogram via two-phase rank), data quality
-(distribution-drift audit), time series (VWAP bars).
+Remaining batch C members: p_markov_transitions (per-user event-type
+transition matrix in ppm) and ts_vwap_bars (volume-weighted hourly
+bars).
 """
 
 from __future__ import annotations
@@ -192,116 +191,4 @@ def test_vwap_bars_nontrivial(spark, sf_oracle_dir):
     assert all(r.vwap_cents > 0 for r in rows)
 
 
-# ---------------------------------------------------------------------------
-# dq5_distribution_drift — binned rate-delta audit between time halves
-# ---------------------------------------------------------------------------
-
-_DRIFT_BINS = 10
-
-
-def _drift_fn(spark, sf_dir):
-    """Distribution-drift audit (the PSI-style check behind model/data
-    monitoring): split events at the median day (quantile-derived, the
-    g3 ceil discipline — day numbers are small ints, exact in double),
-    bin `value` into 10 equi-width bins whose edges come from the
-    REFERENCE half's min/max cents (standard practice: the reference
-    window owns the binning), clamp the current half into the edge
-    bins, and emit per-bin counts + integer ppm rates + the rate delta.
-    Everything after the two scans is bin-count sized (10 rows); the
-    two scalar thresholds broadcast-cross, never collect. Integer
-    cents/ppm throughout, so the audit is engine-exact."""
-    ev = load_table(spark, sf_dir, "events").select(
-        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
-            "day"
-        ),
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
-    )
-    thr = ev.agg(F.ceil(F.expr("percentile(day, 0.5)")).alias("thr_day"))
-    halves = ev.crossJoin(F.broadcast(thr)).withColumn(
-        "is_ref", F.col("day") < F.col("thr_day")
-    )
-    edges = halves.filter("is_ref").agg(
-        F.min("cents").alias("mn"), F.max("cents").alias("mx")
-    )
-    binned = (
-        halves.crossJoin(F.broadcast(edges))
-        .select(
-            "is_ref",
-            F.greatest(
-                F.lit(0),
-                F.least(
-                    F.lit(_DRIFT_BINS - 1),
-                    F.expr(f"(({_DRIFT_BINS} * (cents - mn)) div (mx - mn + 1))"),
-                ),
-            ).alias("bin"),
-        )
-        .groupBy("bin")
-        .agg(
-            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_cnt"),
-            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("cur_cnt"),
-        )
-    )
-    tot = binned.agg(
-        F.sum("ref_cnt").alias("ref_n"), F.sum("cur_cnt").alias("cur_n")
-    )
-    return (
-        binned.crossJoin(F.broadcast(tot))
-        .select(
-            "bin",
-            "ref_cnt",
-            "cur_cnt",
-            F.expr("(1000000 * ref_cnt) div ref_n").alias("ref_ppm"),
-            F.expr("(1000000 * cur_cnt) div cur_n").alias("cur_ppm"),
-            (
-                F.expr("(1000000 * cur_cnt) div cur_n")
-                - F.expr("(1000000 * ref_cnt) div ref_n")
-            ).alias("delta_ppm"),
-        )
-    )
-
-
-_DRIFT_SQL = f"""
-WITH ev AS (
-  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
-         CAST(ROUND(value * 100) AS BIGINT) AS cents
-  FROM events
-),
-thr AS (SELECT CEIL(quantile_cont(day, 0.5)) AS thr_day FROM ev),
-halves AS (SELECT cents, day < thr.thr_day AS is_ref FROM ev, thr),
-edges AS (SELECT min(cents) AS mn, max(cents) AS mx FROM halves WHERE is_ref),
-binned AS (
-  SELECT greatest(0, least({_DRIFT_BINS - 1},
-           ({_DRIFT_BINS} * (cents - mn)) // (mx - mn + 1))) AS bin,
-         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ref_cnt,
-         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cur_cnt
-  FROM halves, edges GROUP BY 1
-),
-tot AS (SELECT sum(ref_cnt) AS ref_n, sum(cur_cnt) AS cur_n FROM binned)
-SELECT bin, ref_cnt, cur_cnt,
-       (1000000 * ref_cnt) // ref_n AS ref_ppm,
-       (1000000 * cur_cnt) // cur_n AS cur_ppm,
-       (1000000 * cur_cnt) // cur_n - (1000000 * ref_cnt) // ref_n AS delta_ppm
-FROM binned, tot
-"""
-
-DRIFT_SPEC = QuerySpec(
-    name="dq5_distribution_drift",
-    fn=_drift_fn,
-    oracle=_DRIFT_SQL,
-    category="etl",
-)
-
-
-def test_distribution_drift_twin(spark, sf_oracle_dir):
-    res = compare_query(spark, DRIFT_SPEC, sf_oracle_dir)
-    assert res.ok, res.detail
-
-
-def test_distribution_drift_nontrivial(spark, sf_oracle_dir):
-    rows = _drift_fn(spark, sf_oracle_dir).collect()
-    assert len(rows) >= 5  # several populated bins
-    assert sum(r.ref_cnt for r in rows) > 0
-    assert sum(r.cur_cnt for r in rows) > 0
-    # both halves carry real mass in at least 3 bins each
-    assert sum(1 for r in rows if r.ref_cnt > 0) >= 3
     assert sum(1 for r in rows if r.cur_cnt > 0) >= 3

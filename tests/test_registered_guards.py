@@ -378,3 +378,326 @@ def test_bm25_floor_boundary_margin(spark, sf_oracle_dir):
     assert row.min_dist > 1e-6, (row.min_dist, row.max_x)
     # and the magnitude regime the ulp arithmetic above assumes
     assert row.max_x < 2**33, row.max_x
+
+
+# ---------------------------------------------------------------------------
+# Round-9 registrations (guards moved from the retired candidate modules
+# tests/test_r7_candidates.py, test_r9_candidates.py,
+# test_r9_candidates_b.py at registration, now exercising the REGISTERED
+# fns; the dq5 guard moved from tests/test_r7_candidates_c.py).
+# ---------------------------------------------------------------------------
+
+
+def test_t19_semi_join_is_proper_subset(spark, sf_oracle_dir):
+    """The semi join must actually filter (some views lack a click in
+    the hour) and actually match (some have one) at this sf."""
+    from x8313_etl_spark.io import load_table
+    from x8313_etl_spark.queries.streaming_q import t19_stream_semi_join
+
+    n_semi = t19_stream_semi_join(spark, sf_oracle_dir).count()
+    n_views = (
+        load_table(spark, sf_oracle_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .count()
+    )
+    assert 0 < n_semi < n_views
+
+
+def test_ts_twa_differs_from_row_mean(spark, sf_oracle_dir):
+    """TWA must differ from the unweighted row mean on the fixture —
+    if sampling were perfectly regular the operator would be untested."""
+    from x8313_etl_spark.io import load_table
+    from x8313_etl_spark.queries.timeseries_q import ts_twa
+
+    twa = {r["series"]: r["twa_cents"] for r in ts_twa(spark, sf_oracle_dir).collect()}
+    mean = {
+        r["series"]: r["m"]
+        for r in load_table(spark, sf_oracle_dir, "events")
+        .groupBy(F.col("event_type").alias("series"))
+        .agg(F.expr("CAST(avg(round(value * 100)) AS BIGINT)").alias("m"))
+        .collect()
+    }
+    assert any(abs(twa[s] - mean[s]) > 0 for s in twa)
+
+
+def test_j18_exercises_both_directions_and_tolerance(spark, sf_oracle_dir):
+    """The fixture must produce backward picks, forward picks, AND
+    tolerance misses — otherwise nearest ≡ backward and the direction
+    logic is untested."""
+    from x8313_etl_spark.queries.joins import j18_asof_nearest
+
+    dirs = {
+        r["direction"]: r["n"]
+        for r in j18_asof_nearest(spark, sf_oracle_dir)
+        .groupBy("direction")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert dirs.get("backward", 0) > 0
+    assert dirs.get("forward", 0) > 0
+    assert dirs.get("none", 0) > 0
+
+
+def test_j18_tie_prefers_backward(spark, tmp_path):
+    """Crafted exact tie: one view d µs BEFORE the purchase and one d µs
+    AFTER — nearest must pick the BACKWARD view (the market-data
+    convention the docstring claims and the twin's ORDER BY encodes)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from x8313_etl_spark.queries.joins import j18_asof_nearest
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00:00", "2024-01-01 10:20:00",
+                 "2024-01-01 10:10:00"]
+            ),
+            "user_id": [7, 7, 7],
+            "event_type": ["view", "view", "purchase"],
+            "value": [0.0, 0.0, 5.0],
+            "props": ["", "", ""],
+        }
+    )
+    d = str(tmp_path / "crafted")
+    os.makedirs(d)
+    tbl = pa.Table.from_pandas(ev).set_column(
+        1, "ts", pa.Table.from_pandas(ev)["ts"].cast(pa.timestamp("us"))
+    )
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    rows = j18_asof_nearest(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["view_id"] == 1 and r["direction"] == "backward"
+    assert r["dist_us"] == 10 * 60 * 1_000_000
+
+
+def test_s21_reader_offset_survives_restart(tmp_path):
+    """A reader rebuilt from a checkpoint (fresh instance, same sidecar)
+    must not regress below the served high-water — the in-memory-counter
+    failure mode the sidecar exists to prevent (r8 review finding)."""
+    from x8313_etl_spark.python_ds import STREAM_TICKS, SensorStreamReader
+
+    p = str(tmp_path / "progress")
+    r1 = SensorStreamReader(p)
+    for _ in range(STREAM_TICKS + 2):
+        last = r1.latestOffset()
+    assert last == {"tick": STREAM_TICKS}  # holds at the cap
+    r2 = SensorStreamReader(p)  # "restart": new instance, same sidecar
+    assert r2.latestOffset() == {"tick": STREAM_TICKS}  # no regression
+    r3 = SensorStreamReader(None)  # no sidecar: process-local counter
+    assert r3.latestOffset() == {"tick": 1}
+
+
+def test_s21_source_resumes_from_real_checkpoint(spark, tmp_path):
+    """LIVE restart drill for the streaming Python source: run the feed
+    with a durable checkpoint, stop the query partway, restart it with
+    the SAME checkpoint + progress sidecar, and assert the final sink
+    holds every row exactly once — the end-to-end form of the
+    unit-level offset-regression pin (an invocation-counter offset
+    would serve nothing, or re-serve rows, after the restart)."""
+    import time as _time
+
+    from x8313_etl_spark.python_ds import (
+        STREAM_ROWS_PER_TICK,
+        STREAM_TICKS,
+        SensorStreamDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SensorStreamDataSource)
+    except Exception:
+        pass
+    ckpt = str(tmp_path / "ckpt")
+    progress = str(tmp_path / "progress")
+    out = str(tmp_path / "out")
+    want = STREAM_TICKS * STREAM_ROWS_PER_TICK
+
+    def start():
+        return (
+            spark.readStream.format("x8313_sensor_stream")
+            .option("progressDir", progress)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def rows():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0  # sink dir not created yet
+
+    q = start()
+    deadline = _time.time() + 120
+    while _time.time() < deadline and rows() < STREAM_ROWS_PER_TICK:
+        _time.sleep(0.3)
+    q.stop()  # stop partway through the feed
+    n_mid = rows()
+    assert 0 < n_mid, "no batch committed before the stop"
+
+    q = start()  # RESTART from the same checkpoint + sidecar
+    deadline = _time.time() + 120
+    while _time.time() < deadline and rows() < want:
+        _time.sleep(0.5)
+    q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == want  # nothing lost...
+    assert got.select("seq").distinct().count() == want  # ...nothing doubled
+
+
+def test_x13_sink_commit_is_idempotent(tmp_path):
+    """Replaying a committed batchId must be a no-op (retry semantics):
+    the version dir survives unchanged and the replay's staged files
+    are dropped, not double-published."""
+    import os
+
+    from x8313_etl_spark.python_ds import JsonDirStreamWriter, _FileCommit
+
+    base = str(tmp_path / "sink")
+    os.makedirs(os.path.join(base, "_staging"))
+    w = JsonDirStreamWriter(base)
+
+    def staged(name, content):
+        p = os.path.join(base, "_staging", name)
+        with open(p, "w") as f:
+            f.write(content)
+        return _FileCommit(p)
+
+    w.commit([staged("a.jsonl", '{"x": 1}\n')], batchId=0)
+    v0 = os.path.join(base, "v0")
+    assert sorted(os.listdir(v0)) == ["part-00000.jsonl"]
+    # replay with DIFFERENT staged content: must not replace v0
+    w.commit([staged("b.jsonl", '{"x": 2}\n')], batchId=0)
+    assert sorted(os.listdir(v0)) == ["part-00000.jsonl"]
+    assert open(os.path.join(v0, "part-00000.jsonl")).read() == '{"x": 1}\n'
+    assert os.listdir(os.path.join(base, "_staging")) == []  # replay cleaned
+
+    # abort drops staged files without publishing
+    m = staged("c.jsonl", '{"x": 3}\n')
+    w.abort([m], batchId=1)
+    assert not os.path.exists(os.path.join(base, "v1"))
+    assert os.listdir(os.path.join(base, "_staging")) == []
+
+
+def test_j19_lookup_is_fact_sized_and_versioned(spark, sf_oracle_dir):
+    """Exactly one dimension version per fact (the SCD2 contract), and
+    the fixture must exercise MULTIPLE versions per user (a single-
+    version dim would make the interval predicate vacuous)."""
+    from x8313_etl_spark.io import load_table
+    from x8313_etl_spark.queries.joins import j19_scd2_lookup
+
+    out = j19_scd2_lookup(spark, sf_oracle_dir).persist()
+    n_facts = (
+        load_table(spark, sf_oracle_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert out.count() == n_facts
+    assert out.select("purchase_id").distinct().count() == n_facts
+    multi = (
+        out.groupBy("user_id")
+        .agg(F.countDistinct("version_from").alias("nv"))
+        .filter(F.col("nv") > 1)
+        .count()
+    )
+    assert multi > 0
+    out.unpersist()
+
+
+def test_m10_all_four_classes_present(spark, sf_oracle_dir):
+    """The fixture must exercise every diff class — a diff that never
+    sees an add/delete/change verifies nothing about the classifier."""
+    from x8313_etl_spark.queries.etl_q import m10_snapshot_diff
+
+    classes = {
+        r["diff_class"] for r in m10_snapshot_diff(spark, sf_oracle_dir).collect()
+    }
+    assert classes == {"added", "deleted", "changed", "unchanged"}
+
+
+def test_docstats_covers_multiple_slices(spark, sf_oracle_dir):
+    from x8313_etl_spark.queries.corpus_q import p_docstats_profile
+
+    assert p_docstats_profile(spark, sf_oracle_dir).count() >= 4
+
+
+def test_distribution_drift_nontrivial(spark, sf_oracle_dir):
+    from x8313_etl_spark.queries.etl_q import dq5_distribution_drift
+
+    rows = dq5_distribution_drift(spark, sf_oracle_dir).collect()
+    assert len(rows) >= 5  # several populated bins
+    assert sum(r.ref_cnt for r in rows) > 0
+    assert sum(r.cur_cnt for r in rows) > 0
+    # both halves carry real mass in at least 3 bins each
+    assert sum(1 for r in rows if r.ref_cnt > 0) >= 3
+
+
+def test_incremental_dedup_index_roundtrip(spark, sf_oracle_dir, tmp_path):
+    """The standing-index contract COMPOUNDS (r8 verdict item 5): batch
+    N's signatures, appended to the persisted parquet index, are batch
+    N+1's index — and the verdicts from that round-tripped index equal
+    a from-docs recompute over the full earlier corpus, row for row
+    (including jaccard: both paths verify from identical shingle sets).
+    Split: id-ordered halves/quarters via one-row percentile scalars
+    (the t16/t18 sentinel pattern, never an id collect). The fixture
+    exercises the compounding for real: some batch-2 verdicts point at
+    batch-1 partners, which only an index that grew can produce."""
+    import os
+
+    from x8313_etl_spark.io import load_table
+    from x8313_etl_spark.operators.increment import incremental_near_dups
+    from x8313_etl_spark.operators.minhash import shingle_table, signature_table
+
+    d = load_table(spark, sf_oracle_dir, "documents")
+    cuts = d.agg(
+        F.expr("percentile(doc_id, 0.5)").alias("c1"),
+        F.expr("percentile(doc_id, 0.75)").alias("c2"),
+    ).first()
+    c1, c2 = int(cuts.c1), int(cuts.c2)
+    idx0 = d.filter(F.col("doc_id") <= c1)
+    b1 = d.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2))
+    b2 = d.filter(F.col("doc_id") > c2)
+
+    sig_dir = os.path.join(str(tmp_path), "sig")
+    sh_dir = os.path.join(str(tmp_path), "sh")
+    # standing index v0: sketched once, persisted as parquet
+    signature_table(idx0, "doc_id", "text", 3).write.parquet(sig_dir)
+    shingle_table(idx0, "doc_id", "text", 3).write.parquet(sh_dir)
+
+    # ingest batch 1 against the persisted index (the production path:
+    # no index_docs, no re-sketching)
+    v1 = incremental_near_dups(
+        None, b1,
+        index_sig=spark.read.parquet(sig_dir),
+        index_sh=spark.read.parquet(sh_dir),
+    )
+    assert v1.count() == b1.count()
+
+    # ROUND TRIP: append batch 1's own sketches — the ingest's output
+    # index state — so they become batch 2's input index
+    signature_table(b1, "doc_id", "text", 3).write.mode("append").parquet(sig_dir)
+    shingle_table(b1, "doc_id", "text", 3).write.mode("append").parquet(sh_dir)
+
+    v2 = incremental_near_dups(
+        None, b2,
+        index_sig=spark.read.parquet(sig_dir),
+        index_sh=spark.read.parquet(sh_dir),
+    )
+    ref = incremental_near_dups(idx0.unionByName(b1), b2, cache=False)
+
+    key = lambda r: (r["doc_id"],)
+    got = sorted(map(tuple, v2.collect()), key=lambda t: t[0])
+    want = sorted(map(tuple, ref.collect()), key=lambda t: t[0])
+    assert got == want  # exact, jaccard doubles included
+
+    # the compounding is exercised: some batch-2 dup has a batch-1
+    # partner (only reachable through the appended index)
+    assert any(r[1] and r[2] is not None and r[2] > c1 for r in got)

@@ -216,6 +216,27 @@ ALLOWED: dict[str, tuple[dict[str, int], str]] = {
         {"Exchange SinglePartition": 1},
         "day-grain sketch-merge window — table is days-sized (full-sweep-only entry; timeseries excluded from the pytest scan)",
     ),
+    "p_negative_samples": (
+        {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 2},
+        "pool-size single-row scalar crossed into the draw-index modulus "
+        "(the l6/p_bm25 pattern) + the two-phase global pool rank's "
+        "bounded per-partition-count window (o1's entry, "
+        "operators/globalrank.py) — fact rows never funnel",
+    ),
+    "dq5_distribution_drift": (
+        {"BroadcastNestedLoopJoin": 7, "Exchange SinglePartition": 7},
+        "three chained one-row scalars (median-day threshold, reference "
+        "bin edges, the two half totals) broadcast-crossed in sequence; "
+        "counts > 3 are plan-string re-expansions of the upstream scalar "
+        "subtrees inside each later branch — every crossed table is ONE "
+        "row, the binned table is 10 rows",
+    ),
+    "sim_hybrid_rrf": (
+        {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
+        "the embedded p_bm25_topk ranking's avg-doclen single-row scalar "
+        "broadcast (p_bm25_topk's entry verbatim); the fusion itself is "
+        "a union + groupBy over (queries x k)-bounded ranked rows",
+    ),
 }
 
 #: materialization-ledger allowlist: persist/checkpoint KEY -> (flag
@@ -258,6 +279,12 @@ ALLOWED_LEDGER: dict[str, tuple[dict[str, int], str]] = {
         "same quantile-threshold scalar broadcast as g3.edges (shared "
         "_cosupply_edges construction, weight-keeping variant, g7's own "
         "checkpoint)",
+    ),
+    "g10.edges": (
+        {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
+        "same quantile-threshold scalar broadcast as g3.edges (shared "
+        "_cosupply_edges construction, g10's own checkpoint for the "
+        "two-layer neighbor aggregation)",
     ),
     "g5.k": (
         {"Exchange SinglePartition": 1},

@@ -96,6 +96,11 @@ class SensorStreamReader(DataSourceStreamReader):
     mirrors real sources, whose offsets come from the external system's
     durable positions. Without the option the counter is process-local
     (fresh ad-hoc queries only; documented fixture convenience).
+    The hazard runs BOTH ways: latestOffset persists the advanced tick
+    before the batch commits, so a STALE sidecar paired with a FRESH
+    checkpoint (a new query reusing an old progressDir) starts at the
+    held high-water and serves zero batches — pair each checkpoint with
+    its own sidecar (the s21 harness uses a per-run uuid path).
     Trigger note: one tick is released per latestOffset call, so an
     availableNow trigger (one offset probe) would see a single tick —
     run this source with a processingTime trigger and poll the sink to
@@ -183,6 +188,13 @@ class _FileCommit(WriterCommitMessage):
 
 
 class JsonDirStreamWriter(DataSourceStreamWriter):
+    """Stages files executor-side and commits driver-side with
+    os.replace on the SAME base path — correct only in local mode or on
+    a shared filesystem (NFS/FUSE-mounted object store), the same
+    assumption the sibling fixture sinks document; a multi-host
+    production deployment would stage to task-local storage and publish
+    via the store's rename/multipart-commit primitive."""
+
     def __init__(self, base: str):
         self.base = base
 

@@ -1115,12 +1115,10 @@ def a25_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # a26_dim_covariance (registered round 8; twin pre-verified in
-# tests/test_r7_candidates_b.py before registration — ROADMAP r8).
+# tests/test_r7_candidates_b.py — retired at registration; its
+# nontriviality guards live on in tests/test_registered_guards.py and
+# the record in ROADMAP's r8 summary).
 # ---------------------------------------------------------------------------
-
-_A26_DIM = 64
-_A26_Q = 1_000
-
 
 def _a26_sql() -> str:
     # the co-moment CTE chain is shared verbatim with sim_pca_power's
@@ -1129,6 +1127,15 @@ def _a26_sql() -> str:
     from .similarity_q import PCA_COV_CTES
 
     return f"WITH {PCA_COV_CTES}\nSELECT i, j, n, cov_num FROM cov"
+
+
+def _a26_dims() -> tuple[int, int]:
+    # dim/qscale come from similarity_q (the r8 ADVICE fix: the fn and
+    # its embedded PCA_COV_CTES oracle CANNOT use different values —
+    # one import site instead of a duplicated constant pair)
+    from .similarity_q import _PCA_DIM, _PCA_Q
+
+    return _PCA_DIM, _PCA_Q
 
 
 @register(
@@ -1155,5 +1162,6 @@ def a26_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     PERF.md). Operator: operators/covariance.py."""
     from ..operators.covariance import dim_comoment
 
+    dim, qscale = _a26_dims()
     emb = load_table(spark, sf_dir, "embeddings")
-    return dim_comoment(emb, dim=_A26_DIM, qscale=_A26_Q)
+    return dim_comoment(emb, dim=dim, qscale=qscale)

@@ -1185,7 +1185,9 @@ def p_contamination_overlap_score(spark: SparkSession, sf_dir: str) -> DataFrame
 
 # ---------------------------------------------------------------------------
 # p_rag_context_pack (registered round 8; twin pre-verified in
-# tests/test_r7_candidates_b.py before registration — ROADMAP r8).
+# tests/test_r7_candidates_b.py — retired at registration; its
+# nontriviality guards live on in tests/test_registered_guards.py and
+# the record in ROADMAP's r8 summary).
 # ---------------------------------------------------------------------------
 
 _RAG_BUDGET = 160  # context-window tokens per query (fixture-scaled)
@@ -1246,4 +1248,53 @@ def p_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= _RAG_BUDGET)
         .select("q_id", "rn", "doc_id", "n_tokens", "cum_tokens")
+    )
+
+
+_DOCSTATS_SQL = """
+WITH d AS (
+  SELECT source, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+       min(n_tokens) AS tokens_min,
+       CAST(median(n_tokens) AS DOUBLE) AS tokens_p50,
+       max(n_tokens) AS tokens_max,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total
+FROM d GROUP BY 1, 2
+"""
+
+
+@register(
+    "p_docstats_profile",
+    category="pipeline",
+    oracle=_DOCSTATS_SQL,
+)
+def p_docstats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus DATASHEET: per (source, lang) slice — doc counts, token
+    totals, and the exact token-count five-number-ish summary
+    (min/p50/max) every dataset card reports (datasheets for datasets;
+    the first table a curation run prints). Token counts are exact
+    integers; the in-group median interpolates two integers, which is
+    exact in binary on both engines (no decimal trick needed — the
+    a24 lesson applies only to SUMS of many doubles). One groupBy
+    shuffle keyed by the slice; percentile is an in-group aggregate,
+    never a global sort."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_total"),
+        F.min("n_tokens").alias("tokens_min"),
+        F.expr("percentile(n_tokens, 0.5)").alias("tokens_p50"),
+        F.max("n_tokens").alias("tokens_max"),
+        F.sum("n_chars").alias("chars_total"),
     )

@@ -948,8 +948,8 @@ def dq3_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # m9_time_travel + dq4_key_skew_profile (registered round 8; twins
-# pre-verified in tests/test_r7_candidates_b.py before registration —
-# ROADMAP r8).
+# pre-verified in the retired tests/test_r7_candidates_b.py; guards now
+# in tests/test_registered_guards.py, record in ROADMAP's r8 summary).
 # ---------------------------------------------------------------------------
 
 _M9_INS_OFFSET = 10_000_000
@@ -1093,5 +1093,202 @@ def dq4_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rn") + 1).cast("int").alias("rnk"),
             F.expr("cnt * 1000000 div total").alias("share_ppm"),
             F.expr("cnt * 1000 * n_keys div total").alias("skew_x1000"),
+        )
+    )
+
+
+_M10_UPD_MOD = 11
+_M10_INS_OFFSET = 20_000_000
+
+_M10_SQL = f"""
+WITH v0 AS (SELECT c_custkey, c_acctbal FROM customer),
+v1 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % {_M10_UPD_MOD} = 0
+              THEN (c_custkey % 1000) / 100.0 ELSE c_acctbal END AS c_acctbal
+  FROM v0
+  WHERE NOT (c_acctbal < 0 AND c_custkey % {_M10_UPD_MOD} <> 0)
+  UNION ALL
+  SELECT c_custkey + {_M10_INS_OFFSET}, 1.5 FROM customer WHERE c_custkey % 7 = 0
+),
+a AS (SELECT c_custkey AS k, CAST(round(c_acctbal * 100) AS BIGINT) AS a_cents FROM v0),
+b AS (SELECT c_custkey AS k, CAST(round(c_acctbal * 100) AS BIGINT) AS b_cents FROM v1),
+j AS (
+  SELECT coalesce(a.k, b.k) AS k, a.a_cents, b.b_cents
+  FROM a FULL OUTER JOIN b ON a.k = b.k
+)
+SELECT CASE WHEN a_cents IS NULL THEN 'added'
+            WHEN b_cents IS NULL THEN 'deleted'
+            WHEN a_cents <> b_cents THEN 'changed'
+            ELSE 'unchanged' END AS diff_class,
+       count(*) AS n_rows,
+       CAST(sum(coalesce(b_cents, 0) - coalesce(a_cents, 0)) AS BIGINT)
+         AS cents_delta
+FROM j GROUP BY 1
+"""
+
+
+@register(
+    "m10_snapshot_diff",
+    category="etl",
+    oracle=_M10_SQL,
+)
+def m10_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic DIFF between two snapshot versions — the lakehouse
+    debugging/audit tool ('what changed between Monday's and today's
+    table'): v0 = base commit, v1 = CDC MERGE (deletes negative
+    balances, updates every key % 11 to a stamped balance, inserts
+    shifted keys). The diff full-outer-joins read(version=0) against
+    read(version=1) on the key and classifies added / deleted /
+    changed / unchanged, emitting per-class counts + balance-cents
+    movement — so the twin (which reconstructs both versions
+    declaratively) verifies version isolation AND the merge semantics
+    at once. Scale: one keyed full-outer join between two
+    manifest-pruned scans; the class aggregate map-side-combines to 4
+    rows. All four classes fixture-pinned in
+    tests/test_registered_guards.py."""
+    import shutil
+
+    from ..operators.snapshots import SnapshotTable
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    path = scratch(f"m10_diff_{_tag(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    tbl = SnapshotTable(path)
+    tbl.commit(base.repartition(4))  # v0
+    upd = base.filter(F.col("c_custkey") % _M10_UPD_MOD == 0).select(
+        "c_custkey",
+        (F.col("c_custkey") % 1000 / 100).alias("c_acctbal"),
+        F.lit("U").alias("cdc_op"),
+    )
+    dels = base.filter(
+        (F.col("c_acctbal") < 0) & (F.col("c_custkey") % _M10_UPD_MOD != 0)
+    ).select("c_custkey", F.lit(None).cast("double").alias("c_acctbal"),
+             F.lit("D").alias("cdc_op"))
+    ins = base.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + _M10_INS_OFFSET).alias("c_custkey"),
+        F.lit(1.5).alias("c_acctbal"),
+        F.lit("U").alias("cdc_op"),
+    )
+    tbl.apply_cdc(spark, upd.unionByName(dels).unionByName(ins), on="c_custkey")  # v1
+
+    a = tbl.read(spark, version=0).select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("a_cents"),
+    )
+    b = tbl.read(spark, version=1).select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("b_cents"),
+    )
+    j = a.join(b, "k", "full_outer")
+    cls = (
+        F.when(F.col("a_cents").isNull(), "added")
+        .when(F.col("b_cents").isNull(), "deleted")
+        .when(F.col("a_cents") != F.col("b_cents"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(cls.alias("diff_class"),
+                 F.coalesce("a_cents", F.lit(0)).alias("a_cents"),
+                 F.coalesce("b_cents", F.lit(0)).alias("b_cents"))
+        .groupBy("diff_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("b_cents") - F.col("a_cents")).alias("cents_delta"),
+        )
+    )
+
+
+_DRIFT_BINS = 10
+
+_DRIFT_SQL = f"""
+WITH ev AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+thr AS (SELECT CEIL(quantile_cont(day, 0.5)) AS thr_day FROM ev),
+halves AS (SELECT cents, day < thr.thr_day AS is_ref FROM ev, thr),
+edges AS (SELECT min(cents) AS mn, max(cents) AS mx FROM halves WHERE is_ref),
+binned AS (
+  SELECT greatest(0, least({_DRIFT_BINS - 1},
+           ({_DRIFT_BINS} * (cents - mn)) // (mx - mn + 1))) AS bin,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ref_cnt,
+         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cur_cnt
+  FROM halves, edges GROUP BY 1
+),
+tot AS (SELECT sum(ref_cnt) AS ref_n, sum(cur_cnt) AS cur_n FROM binned)
+SELECT bin, ref_cnt, cur_cnt,
+       (1000000 * ref_cnt) // ref_n AS ref_ppm,
+       (1000000 * cur_cnt) // cur_n AS cur_ppm,
+       (1000000 * cur_cnt) // cur_n - (1000000 * ref_cnt) // ref_n AS delta_ppm
+FROM binned, tot
+"""
+
+
+@register(
+    "dq5_distribution_drift",
+    category="etl",
+    oracle=_DRIFT_SQL,
+)
+def dq5_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit (the PSI-style check behind model/data
+    monitoring): split events at the median day (quantile-derived, the
+    g3 ceil discipline — day numbers are small ints, exact in double),
+    bin `value` into 10 equi-width bins whose edges come from the
+    REFERENCE half's min/max cents (standard practice: the reference
+    window owns the binning), clamp the current half into the edge
+    bins, and emit per-bin counts + integer ppm rates + the rate delta.
+    Everything after the two scans is bin-count sized (10 rows); the
+    two scalar thresholds broadcast-cross, never collect. Integer
+    cents/ppm throughout, so the audit is engine-exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    thr = ev.agg(F.ceil(F.expr("percentile(day, 0.5)")).alias("thr_day"))
+    halves = ev.crossJoin(F.broadcast(thr)).withColumn(
+        "is_ref", F.col("day") < F.col("thr_day")
+    )
+    edges = halves.filter("is_ref").agg(
+        F.min("cents").alias("mn"), F.max("cents").alias("mx")
+    )
+    binned = (
+        halves.crossJoin(F.broadcast(edges))
+        .select(
+            "is_ref",
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(_DRIFT_BINS - 1),
+                    F.expr(f"(({_DRIFT_BINS} * (cents - mn)) div (mx - mn + 1))"),
+                ),
+            ).alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_cnt"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("cur_cnt"),
+        )
+    )
+    tot = binned.agg(
+        F.sum("ref_cnt").alias("ref_n"), F.sum("cur_cnt").alias("cur_n")
+    )
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "ref_cnt",
+            "cur_cnt",
+            F.expr("(1000000 * ref_cnt) div ref_n").alias("ref_ppm"),
+            F.expr("(1000000 * cur_cnt) div cur_n").alias("cur_ppm"),
+            (
+                F.expr("(1000000 * cur_cnt) div cur_n")
+                - F.expr("(1000000 * ref_cnt) div ref_n")
+            ).alias("delta_ppm"),
         )
     )

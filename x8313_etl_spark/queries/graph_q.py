@@ -1114,7 +1114,9 @@ def g9_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # G11: mutual k-NN graph (registered round 8; twin pre-verified in
-# tests/test_r7_candidates_b.py before registration — ROADMAP r8).
+# tests/test_r7_candidates_b.py — retired at registration; its
+# nontriviality guards live on in tests/test_registered_guards.py and
+# the record in ROADMAP's r8 summary).
 # ---------------------------------------------------------------------------
 
 _KNN_GRAPH_K = 5
@@ -1227,5 +1229,126 @@ def g11_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim",
             F.col("rn").cast("int").alias("rn"),
             F.coalesce(F.col("m"), F.lit(0)).cast("int").alias("mutual"),
+        )
+    )
+
+
+_G10_SQL = """
+WITH pairs AS MATERIALIZED (
+  SELECT s1, s2, count(DISTINCT ok) AS shared FROM (
+    SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, a.l_orderkey AS ok
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  ) GROUP BY s1, s2
+),
+t AS (SELECT CEIL(quantile_cont(shared, 0.8)) AS thr FROM pairs),
+eu AS MATERIALIZED (
+  SELECT s1 AS src, s2 AS dst FROM pairs, t WHERE shared >= thr
+  UNION ALL
+  SELECT s2 AS src, s1 AS dst FROM pairs, t WHERE shared >= thr
+),
+feats AS MATERIALIZED (
+  SELECT s.s_suppkey AS node,
+         CAST(round(s.s_acctbal * 100) AS BIGINT) AS f_bal,
+         CAST(coalesce(p.n_parts, 0) AS BIGINT) AS f_parts
+  FROM supplier s LEFT JOIN (
+    SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_suppkey) p
+  ON p.l_suppkey = s.s_suppkey
+),
+h1 AS MATERIALIZED (
+  SELECT eu.src AS node, CAST(count(*) AS BIGINT) AS degree,
+         CAST(SUM(f.f_bal) AS BIGINT) // CAST(count(*) AS BIGINT) AS h1_bal,
+         CAST(SUM(f.f_parts) AS BIGINT) // CAST(count(*) AS BIGINT) AS h1_parts
+  FROM eu JOIN feats f ON f.node = eu.dst
+  GROUP BY eu.src
+),
+h2 AS (
+  SELECT eu.src AS node,
+         CAST(SUM(h.h1_bal) AS BIGINT) // CAST(count(*) AS BIGINT) AS h2_bal,
+         CAST(SUM(h.h1_parts) AS BIGINT) // CAST(count(*) AS BIGINT) AS h2_parts
+  FROM eu JOIN h1 h ON h.node = eu.dst
+  GROUP BY eu.src
+)
+SELECT CAST(h1.node AS BIGINT) AS s_suppkey, h1.degree,
+       h1.h1_bal, h1.h1_parts, h2.h2_bal, h2.h2_parts
+FROM h1 JOIN h2 ON h2.node = h1.node
+"""
+
+
+@register(
+    "g10_neighbor_agg",
+    category="graph",
+    oracle=_G10_SQL,
+)
+def g10_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style neighbor feature aggregation — the sampling-free
+    mean aggregator that turns a graph + node features into GNN
+    training rows (Hamilton et al. 2017, public paper). Graph: the
+    shared quantile-thresholded supplier co-supply edges (g3/g5/g7's
+    _cosupply_edges). Features: integer supplier signals derived
+    in-plan (acctbal cents, distinct parts supplied). Layer 1 =
+    truncating integer mean of neighbor features; layer 2 = the same
+    aggregator over layer-1 outputs (the stacked-layer form). Scale:
+    per layer ONE edges-to-features equi-shuffle + a map-side-combined
+    mean — linear in |E|, the g1 round discipline without iteration
+    count concerns (2 fixed layers)."""
+    e = _cosupply_edges(spark, sf_dir, "g10.edges")
+    eu = e.select(F.col("s1").alias("src"), F.col("s2").alias("dst")).unionByName(
+        e.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = li.groupBy("l_suppkey").agg(
+        F.count_distinct("l_partkey").alias("n_parts")
+    )
+    feats = (
+        s.join(parts, s.s_suppkey == parts.l_suppkey, "left")
+        .select(
+            F.col("s_suppkey").alias("node"),
+            F.expr("cast(round(s_acctbal * 100) as bigint)").alias("f_bal"),
+            F.coalesce("n_parts", F.lit(0)).cast("bigint").alias("f_parts"),
+        )
+    )
+    h1 = (
+        eu.join(feats, eu.dst == feats.node)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("deg"),
+            F.sum("f_bal").alias("sb"),
+            F.sum("f_parts").alias("sp"),
+        )
+        .select(
+            F.col("src").alias("node"),
+            F.col("deg").cast("bigint").alias("degree"),
+            F.expr("sb div deg").alias("h1_bal"),
+            F.expr("sp div deg").alias("h1_parts"),
+        )
+    )
+    h2 = (
+        eu.join(
+            h1.select("node", "h1_bal", "h1_parts"), eu.dst == F.col("node")
+        )
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("deg"),
+            F.sum("h1_bal").alias("sb"),
+            F.sum("h1_parts").alias("sp"),
+        )
+        .select(
+            F.col("src").alias("node"),
+            F.expr("sb div deg").alias("h2_bal"),
+            F.expr("sp div deg").alias("h2_parts"),
+        )
+    )
+    return (
+        h1.join(h2, "node")
+        .select(
+            F.col("node").cast("bigint").alias("s_suppkey"),
+            "degree",
+            "h1_bal",
+            "h1_parts",
+            "h2_bal",
+            "h2_parts",
         )
     )

@@ -688,3 +688,177 @@ def j17_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_J18_TOL_US = 90 * 60 * 1_000_000  # ±90 min
+
+_J18_SQL = f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_tus
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, v_tus, view_id FROM (
+    SELECT user_id, epoch_us(ts) AS v_tus, event_id AS view_id,
+           row_number() OVER (
+             PARTITION BY user_id, epoch_us(ts) ORDER BY event_id DESC
+           ) AS rn
+    FROM events WHERE event_type = 'view'
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT p.purchase_id, p.user_id, v.view_id,
+         abs(p.p_tus - v.v_tus) AS dist_us,
+         CASE WHEN v.v_tus <= p.p_tus THEN 'backward' ELSE 'forward' END
+           AS direction,
+         row_number() OVER (
+           PARTITION BY p.purchase_id
+           ORDER BY abs(p.p_tus - v.v_tus),
+                    CASE WHEN v.v_tus <= p.p_tus THEN 0 ELSE 1 END
+         ) AS rn
+  FROM p JOIN v ON v.user_id = p.user_id
+   AND abs(p.p_tus - v.v_tus) <= {_J18_TOL_US}
+)
+SELECT p.purchase_id, p.user_id, r.view_id, r.dist_us,
+       coalesce(r.direction, 'none') AS direction
+FROM p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+  ON r.purchase_id = p.purchase_id
+"""
+
+
+@register(
+    "j18_asof_nearest",
+    category="joins",
+    oracle=_J18_SQL,
+)
+def j18_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of NEAREST with tolerance (pandas merge_asof
+    direction='nearest'): each purchase pairs with the view whose
+    timestamp is closest within ±90 min — ties prefer the BACKWARD
+    (at-or-before) side, the market-data convention. Composed from two
+    passes of the verified backward asof operator (operators/asof.py):
+    the forward direction is the same union+window pass on NEGATED
+    timestamps (latest −v_ts ≤ −p_ts ⇔ earliest v_ts ≥ p_ts) — still
+    one shuffle per pass, keyed by user, no join fan-out anywhere.
+    Views are deduped per (user, ts) keeping max view_id (j9's
+    convention) so both engines pick identical representatives.
+    Tie-prefers-backward pinned by a crafted-fixture guard
+    (tests/test_registered_guards.py); 10x sweep ~linear
+    (scripts/scale10x_r9.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("p_tus"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("v_tus"),
+        F.col("event_id").alias("view_id"),
+    )
+    v = keep_first(v, ["user_id", "v_tus"], [F.col("view_id").desc()])
+
+    back = asof_join(
+        p, v.select("user_id", "v_tus", F.col("view_id").alias("b_view_id"),
+                    F.col("v_tus").alias("b_tus")),
+        by=["user_id"], left_on="p_tus", right_on="v_tus",
+        value_cols=["b_view_id", "b_tus"],
+    )
+    # forward = backward on negated time axes
+    fwd = asof_join(
+        p.select("purchase_id", "user_id", (-F.col("p_tus")).alias("n_p")),
+        v.select("user_id", (-F.col("v_tus")).alias("n_v"),
+                 F.col("view_id").alias("f_view_id"),
+                 F.col("v_tus").alias("f_tus")),
+        by=["user_id"], left_on="n_p", right_on="n_v",
+        value_cols=["f_view_id", "f_tus"],
+    ).select("purchase_id", "f_view_id", "f_tus")
+
+    both = back.join(fwd, "purchase_id", "left")
+    b_d = F.col("p_tus") - F.col("b_tus")
+    f_d = F.col("f_tus") - F.col("p_tus")
+    b_ok = F.col("b_tus").isNotNull() & (b_d <= F.lit(_J18_TOL_US))
+    f_ok = F.col("f_tus").isNotNull() & (f_d <= F.lit(_J18_TOL_US))
+    pick_back = b_ok & (~f_ok | (b_d <= f_d))  # tie → backward
+    pick_fwd = f_ok & ~pick_back
+    return both.select(
+        "purchase_id",
+        "user_id",
+        F.when(pick_back, F.col("b_view_id"))
+        .when(pick_fwd, F.col("f_view_id"))
+        .alias("view_id"),
+        F.when(pick_back, b_d).when(pick_fwd, f_d).alias("dist_us"),
+        F.when(pick_back, F.lit("backward"))
+        .when(pick_fwd, F.lit("forward"))
+        .otherwise(F.lit("none"))
+        .alias("direction"),
+    )
+
+
+def _j19_sql() -> str:
+    from .windows import _W9_SQL
+
+    return f"""
+WITH dim AS MATERIALIZED ({_W9_SQL})
+SELECT f.event_id AS purchase_id, f.user_id,
+       CAST(round(f.value * 100) AS BIGINT) AS cents,
+       d.event_type AS state,
+       d.valid_from AS version_from
+FROM events f
+JOIN dim d ON d.user_id = f.user_id
+  AND d.valid_from <= f.ts
+  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+WHERE f.event_type = 'purchase'
+"""
+
+
+@register(
+    "j19_scd2_lookup",
+    category="joins",
+    oracle=_j19_sql(),
+)
+def j19_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 temporal dimension LOOKUP — the classic warehouse temporal
+    join w9 builds the dimension for: each fact (purchase) joins the
+    dimension version whose [valid_from, valid_to) interval contains
+    its timestamp, answering 'what state was this user in when the
+    purchase happened'. Every purchase lands in EXACTLY one version
+    (w9's intervals partition each user's timeline from their first
+    event, and the first event is always a change row), so the output
+    is fact-sized — the join is an equi-join on the dimension key with
+    a bounded per-key interval predicate, never a blow-up; at scale
+    both sides shuffle once on user_id (or the dim broadcasts: SCD2
+    dimensions are versions-per-entity small). The twin composes the
+    verified _W9_SQL constant (the named-constant rule). Exactly-one-
+    version-per-fact pinned in tests/test_registered_guards.py; 10x
+    sweep 1.6x wall for 10x facts (scripts/scale10x_r9.py)."""
+    from .windows import w9_scd2_intervals
+
+    dim = w9_scd2_intervals(spark, sf_dir).select(
+        F.col("user_id").alias("d_user_id"),
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+    )
+    facts = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    return facts.join(
+        dim,
+        (F.col("user_id") == F.col("d_user_id"))
+        & (F.col("valid_from") <= F.col("p_ts"))
+        & (F.col("valid_to").isNull() | (F.col("p_ts") < F.col("valid_to"))),
+    ).select(
+        "purchase_id",
+        "user_id",
+        "cents",
+        "state",
+        F.col("valid_from").alias("version_from"),
+    )

@@ -1257,7 +1257,9 @@ def p_er_blocked_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Incremental (production-ingest) dedup + ER golden record (registered
 # round 8; twins pre-verified through the real compare in
-# tests/test_r7_candidates_b.py before registration — ROADMAP r8).
+# tests/test_r7_candidates_b.py — retired at registration; its
+# nontriviality guards live on in tests/test_registered_guards.py and
+# the record in ROADMAP's r8 summary).
 # ---------------------------------------------------------------------------
 
 _DELTA_MOD = 5  # doc_id % 5 == 0 is the arriving batch; the rest is the index
@@ -1300,6 +1302,9 @@ LEFT JOIN best ON best.new_id = d.doc_id
 @register(
     "p_incremental_dedup",
     category="pipeline",
+    bench=True,  # r9 bench-set addition: the ingest-dedup growth story
+    # gets a per-round floor like the rest of the near-dup family
+    # (r8 verdict item 8; BASELINE.md bench-set-change note)
     oracle=_incremental_dedup_sql(),
 )
 def p_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1539,4 +1544,69 @@ def p_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         ).alias("n_chars_covered"),
+    )
+
+
+_NS_K, _NS_OVER, _NS_QMOD = 4, 2, 10
+
+_NS_SQL = f"""
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM part),
+c AS (SELECT p_partkey AS cand_id,
+             row_number() OVER (ORDER BY p_partkey) - 1 AS idx
+      FROM part),
+q AS (SELECT o_orderkey AS qid FROM orders WHERE o_orderkey % {_NS_QMOD} = 0),
+d AS (
+  SELECT qid, i AS draw,
+         (CAST(CONCAT('0x', substr(md5(CAST(qid AS VARCHAR) || ':' ||
+                                        CAST(i AS VARCHAR)), 1, 15))
+               AS BIGINT) % 2147483647) % (SELECT n FROM n) AS idx
+  FROM q, unnest(generate_series(0, {_NS_OVER * _NS_K - 1})) AS t(i)
+),
+j AS (
+  SELECT d.qid, c.cand_id, min(d.draw) AS first_draw
+  FROM d JOIN c USING (idx)
+  WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = d.qid AND l.l_partkey = c.cand_id)
+  GROUP BY d.qid, c.cand_id
+)
+SELECT qid, cand_id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY first_draw)
+            AS BIGINT) AS draw_rank
+FROM j
+QUALIFY draw_rank <= {_NS_K}
+"""
+
+
+@register(
+    "p_negative_samples",
+    category="pipeline",
+    oracle=_NS_SQL,
+)
+def p_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training
+    (operators/negsample.py — word2vec/SGNS, DPR-style retrieval
+    training): every 10th order is a query; each draws k=4 parts NOT
+    among its own lineitems, by md5-derived draw-hash indices into the
+    globally dense-ranked candidate pool. Linear and engine-exact where
+    the naive form is query × pool with per-pair random(): a bounded
+    explode of over_factor·k draw slots per query, one equi-join on
+    the pool index, one anti-join against positives — no RNG state,
+    reproducible in any engine (the oracle replays the identical md5
+    algebra). The pool index comes from the two-phase global rank
+    (never a sort-to-one); the pool-size scalar is a one-row
+    broadcast."""
+    from ..operators.negsample import negative_samples
+
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    q = orders.filter(F.col("o_orderkey") % _NS_QMOD == 0).select("o_orderkey")
+    pos = li.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_partkey").alias("p_partkey"),
+    )
+    return negative_samples(
+        q, part.select("p_partkey"), pos, _NS_K,
+        q_col="o_orderkey", cand_col="p_partkey",
+        rank_key="negsample.idx", over_factor=_NS_OVER,
     )

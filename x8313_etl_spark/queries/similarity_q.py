@@ -1479,8 +1479,8 @@ def p_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # sim_mmr_rerank + sim_pca_power (registered round 8; twins
-# pre-verified in tests/test_r7_candidates_b.py before registration —
-# ROADMAP r8).
+# pre-verified in the retired tests/test_r7_candidates_b.py; guards now
+# in tests/test_registered_guards.py, record in ROADMAP's r8 summary).
 # ---------------------------------------------------------------------------
 
 _MMR_N = 10  # candidate budget per probe (the re-rank window)
@@ -1713,3 +1713,86 @@ def sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         ledger_key="sim_pca.power",
     )
     return v.select(F.col("i").cast("int").alias("i"), "v")
+
+
+_RRF_SCALE, _RRF_C, _RRF_TOPK = 10**12, 60, 5
+
+
+def _rrf_sql() -> str:
+    from .corpus_q import _BM25_SQL, BM25_N_QUERIES
+
+    cos = sql_cosine("p.embedding", "x.embedding")
+    return f"""
+WITH lex AS MATERIALIZED ({_BM25_SQL}),
+sem AS MATERIALIZED (
+  SELECT q_id, doc_id, r FROM (
+    SELECT p.vec_id AS q_id, x.vec_id AS doc_id,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY {cos} DESC, x.vec_id) AS r
+    FROM embeddings p, embeddings x
+    WHERE p.vec_id < {BM25_N_QUERIES} AND x.vec_id != p.vec_id)
+  WHERE r <= {_RRF_TOPK}),
+u AS (
+  SELECT q_id, doc_id, {_RRF_SCALE} // ({_RRF_C} + rn) AS c FROM lex
+  UNION ALL
+  SELECT q_id, doc_id, {_RRF_SCALE} // ({_RRF_C} + r) AS c FROM sem),
+f AS (
+  SELECT q_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_score,
+         CAST(COUNT(*) AS BIGINT) AS n_lists
+  FROM u GROUP BY q_id, doc_id)
+SELECT q_id, doc_id, rrf_score, n_lists, fused_rank FROM (
+  SELECT f.*, CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS fused_rank
+  FROM f)
+WHERE fused_rank <= {_RRF_TOPK}
+"""
+
+
+@register(
+    "sim_hybrid_rrf",
+    category="similarity",
+    oracle=_rrf_sql(),
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval fusion by Reciprocal Rank Fusion (Cormack,
+    Clarke & Buettcher 2009): the lexical ranking (registered
+    p_bm25_topk) and the semantic ranking (brute-force cosine top-k
+    over the same 10-query probe set) are fused per (query, doc) by
+    Σ 1/(C + rank) with C=60 — the standard hybrid-search combiner
+    (completes the retrieval stack: rank → FUSE → MMR → pack).
+    Engine-exact: contributions are integer 10¹²-scaled truncating
+    divisions (rank is small, so 10¹² div (60+r) is collision-free
+    across realistic rank gaps); the fused score is an exact BIGINT
+    sum. Scale: both input rankings are (queries × k)-bounded, the
+    union/groupBy shuffles only ranked rows; the twin embeds the
+    verified _BM25_SQL constant (the named-constant rule). 10x corpus
+    sweep 3.4x wall — the cosine probe term, linear in corpus at fixed
+    probes (scripts/scale10x_r9.py)."""
+    from ..operators.annscan import cosine_probe_topk
+    from .corpus_q import BM25_N_QUERIES, p_bm25_topk
+
+    lex = p_bm25_topk(spark, sf_dir).select(
+        "q_id", "doc_id", F.col("rn").alias("r")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    sem = cosine_probe_topk(
+        e, e.filter(F.col("vec_id") < BM25_N_QUERIES), k=_RRF_TOPK
+    ).select(
+        F.col("probe_id").alias("q_id"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("rn").cast("bigint").alias("r"),
+    )
+    contrib = F.expr(f"{_RRF_SCALE} div ({_RRF_C} + r)")
+    u = lex.select("q_id", "doc_id", contrib.alias("c")).unionByName(
+        sem.select("q_id", "doc_id", contrib.alias("c"))
+    )
+    f = u.groupBy("q_id", "doc_id").agg(
+        F.sum("c").cast("bigint").alias("rrf_score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("rrf_score").desc(), "doc_id")
+    return (
+        f.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("fused_rank") <= _RRF_TOPK)
+        .select("q_id", "doc_id", "rrf_score", "n_lists", "fused_rank")
+    )

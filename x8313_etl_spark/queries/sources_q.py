@@ -604,3 +604,176 @@ def s19_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.format("xml").option("rowTag", "supplier").schema(
         "s_suppkey long, s_name string, s_nationkey long, s_acctbal double"
     ).load(path)
+
+
+# ---------------------------------------------------------------------------
+# s21: Spark 4 STREAMING Python DataSource (DataSourceStreamReader)
+# ---------------------------------------------------------------------------
+
+
+def _s21_sql() -> str:
+    from ..functions.numeric import sql_dsum
+    from ..python_ds import N_SENSORS, STREAM_ROWS_PER_TICK, STREAM_TICKS
+
+    total_rows = STREAM_TICKS * STREAM_ROWS_PER_TICK
+    reading = (
+        "round((CAST(CONCAT('0x', substr(md5('s21-' || CAST(seq AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) % 1000000) / 1000000.0, 6)"
+    )
+    return f"""
+WITH g AS (SELECT unnest(generate_series(0, {total_rows - 1})) AS seq),
+r AS (
+  SELECT CAST(seq % {N_SENSORS} AS INTEGER) AS sensor_id, seq,
+         {reading} AS reading
+  FROM g
+)
+SELECT sensor_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(seq) AS INTEGER) AS seq_min,
+       CAST(max(seq) AS INTEGER) AS seq_max,
+       {sql_dsum('reading')} AS total
+FROM r GROUP BY sensor_id
+"""
+
+
+@register(
+    "s21_python_stream_source",
+    category="streaming",
+    oracle=_s21_sql(),
+)
+def s21_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A custom STREAMING source through the Spark 4 Python DataSource
+    API (DataSourceStreamReader — the partition-planned form whose
+    read() runs executor-side; SimpleDataSourceStreamReader is the
+    documented driver-side lightweight variant, deliberately not used).
+    The source serves STREAM_TICKS deterministic micro-batches of
+    md5-derived sensor readings and then holds its offset, so the
+    stream goes idle exactly like a caught-up queue; the query polls
+    the memory sink to the known row count and stops. The aggregate on
+    top proves streamed rows flow through the normal relational
+    pipeline; the twin regenerates the identical table from
+    generate_series + the same md5 algebra. Completes the Python
+    DataSource triangle with s17 (batch read) and x13 (stream write);
+    restart safety pinned by the sidecar unit + live-checkpoint drills
+    in tests/test_registered_guards.py."""
+    import time as _time
+    import tempfile
+    import uuid as _uuid
+
+    from ..functions.numeric import dsum
+    from ..python_ds import (
+        STREAM_ROWS_PER_TICK,
+        STREAM_TICKS,
+        SensorStreamDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SensorStreamDataSource)
+    except Exception:
+        pass  # already registered in this session — idempotent use
+    run_id = _uuid.uuid4().hex[:8]
+    sink = f"s21_sink_{run_id}"
+    # per-run durable offset sidecar: the reader's served-tick
+    # high-water survives a checkpoint restart (see SensorStreamReader's
+    # restart-safety note) — a fresh file per run restarts the feed
+    progress = os.path.join(tempfile.gettempdir(), f"s21_progress_{run_id}")
+    df = (
+        spark.readStream.format("x8313_sensor_stream")
+        .option("progressDir", progress)
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    want = STREAM_TICKS * STREAM_ROWS_PER_TICK
+    try:
+        deadline = _time.time() + 180
+        while _time.time() < deadline:
+            if spark.table(sink).count() >= want:
+                break
+            _time.sleep(0.5)
+        else:
+            raise TimeoutError("s21 stream did not serve all ticks in 180s")
+    finally:
+        q.stop()
+    got = spark.table(sink)
+    return got.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("seq").alias("seq_min"),
+        F.max("seq").alias("seq_max"),
+        dsum("reading").alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# s22: binaryFile scan — the media-file front door of the multimodal path
+# ---------------------------------------------------------------------------
+
+_S22_N_FILES = 24
+
+
+def _s22_payload(i: int) -> bytes:
+    """Deterministic pseudo-media payload: i's md5 digest repeated
+    (i % 7 + 1) times — variable lengths, exact bytes both engines can
+    regenerate."""
+    import hashlib
+
+    return hashlib.md5(f"s22-{i}".encode()).digest() * (i % 7 + 1)
+
+
+def _s22_sql() -> str:
+    import hashlib
+
+    rows = []
+    for i in range(_S22_N_FILES):
+        p = _s22_payload(i)
+        rows.append(
+            f"('m{i:03d}.bin', {len(p)}, '{hashlib.md5(p).hexdigest()}', "
+            f"'{p[0]:02X}')"
+        )
+    values = ",\n".join(rows)
+    return f"""
+SELECT * FROM (VALUES
+{values}
+) AS t(fname, n_bytes, content_md5, first_byte_hex)
+"""
+
+
+@register(
+    "s22_binaryfile_scan",
+    category="sources",
+    oracle=_s22_sql(),
+)
+def s22_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``binaryFile`` source — Spark's ingestion path for media
+    FILES (images/audio dropped in object storage), the front door of
+    the multimodal pipeline whose column-side plumbing x7–x9 cover:
+    each file becomes (path, modificationTime, length, content:binary).
+    A deterministic corpus of pseudo-media files is written once per
+    fixture dir, scanned via format('binaryFile'), and digested
+    JVM-side (length + md5 of content + first byte) — so the twin
+    (driver-computed VALUES from the same generator — legitimate
+    because the thing under test is Spark's file→row boundary, not a
+    relational computation) proves bytes survived the file→row
+    boundary intact. Scale: one file = one row; the scan parallelizes
+    per file exactly like any file source, and pushing length/path
+    filters down (pathGlobFilter, the documented knob) prunes before
+    content IO."""
+    d = scratch(f"s22_binfiles_{_tag(sf_dir)}")
+    if not os.path.isdir(d) or len(os.listdir(d)) != _S22_N_FILES:
+        os.makedirs(d, exist_ok=True)
+        for i in range(_S22_N_FILES):
+            with open(os.path.join(d, f"m{i:03d}.bin"), "wb") as f:
+                f.write(_s22_payload(i))
+    df = spark.read.format("binaryFile").load(d)
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+        # first BYTE as hex text (binary has no element access; a
+        # string cast would mangle non-UTF8 media bytes)
+        F.hex(F.expr("substring(content, 1, 1)")).alias("first_byte_hex"),
+    )

@@ -968,7 +968,9 @@ def t17_stream_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # t18_stream_ingest_dedup (registered round 8; twin pre-verified in
-# tests/test_r7_candidates_b.py before registration — ROADMAP r8).
+# tests/test_r7_candidates_b.py — retired at registration; its
+# nontriviality guards live on in tests/test_registered_guards.py and
+# the record in ROADMAP's r8 summary).
 # ---------------------------------------------------------------------------
 
 _T18_DELTA_MOD = 5  # pipeline_q's batch/index split, shared convention
@@ -1112,3 +1114,63 @@ def t18_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("t18 ingest-dedup stream did not finish in 180s")
     return sink.read_verdicts(spark)
+
+
+_T19_SQL = """
+SELECT e.user_id, e.event_id AS view_id, CAST(e.ts AS TIMESTAMP) AS view_ts
+FROM events e
+WHERE e.event_type = 'view'
+  AND EXISTS (
+    SELECT 1 FROM events c
+    WHERE c.event_type = 'click' AND c.user_id = e.user_id
+      AND c.ts > e.ts AND c.ts <= e.ts + INTERVAL 60 MINUTE
+  )
+"""
+
+
+@register(
+    "t19_stream_semi_join",
+    category="streaming",
+    oracle=_T19_SQL,
+)
+def t19_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI join: each view is emitted AT MOST ONCE —
+    iff some click by the same user lands in (view_ts, view_ts+60min] —
+    and unmatched views are dropped at state eviction instead of
+    null-padded (t12's louter form). This is the 'which impressions
+    converted' shape: an inner join fans out per matching click and
+    then needs a distinct; the semi join keeps state bounded the same
+    way (two-sided watermark + time-range bound) but emits existence.
+    The final availableNow sink state equals batch EXISTS semantics —
+    the twin — independent of micro-batch splits. Pre-verified in the
+    retired r9 candidate module; registered round 9 (state-probe volume
+    measured ~flat at 10x events, scripts/scale10x_r9.py)."""
+    views = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").cast("timestamp").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        on=[
+            F.col("user_id") == F.col("c_user_id"),
+            F.col("click_ts") > F.col("view_ts"),
+            F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 60 MINUTES"),
+        ],
+        how="left_semi",
+    )
+    return run_to_memory(spark, joined, "t19_semi_join", "append")

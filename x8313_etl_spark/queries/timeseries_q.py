@@ -883,3 +883,178 @@ def ts_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, series_col="user_id", order_cols=["ts", "event_id"],
         value_col="value", slack_cents=_CU_SLACK, h_cents=_CU_H,
     )
+
+
+_TWA_SQL = """
+WITH dd AS (
+  SELECT series, tus, cents FROM (
+    SELECT event_type AS series, epoch_us(ts) AS tus,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           row_number() OVER (
+             PARTITION BY event_type, epoch_us(ts) ORDER BY event_id DESC
+           ) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+seg AS (
+  SELECT series, cents, tus,
+         lead(tus) OVER (PARTITION BY series ORDER BY tus) AS t_next
+  FROM dd
+)
+SELECT series,
+       CAST(sum(CAST(cents * (t_next - tus) AS HUGEINT))
+            // CAST(sum(t_next - tus) AS HUGEINT) AS BIGINT) AS twa_cents,
+       CAST(sum(t_next - tus) AS BIGINT) AS span_us,
+       CAST(count(*) + 1 AS BIGINT) AS n_obs
+FROM seg WHERE t_next IS NOT NULL
+GROUP BY series
+"""
+
+
+@register(
+    "ts_twa",
+    category="timeseries",
+    oracle=_TWA_SQL,
+)
+def ts_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per series (left-constant / previous-tick
+    weighting over [t0, tN]): TWA = Σ value_i·(t_{i+1}−t_i) / (tN−t0) —
+    the irregular-sampling mean every monitoring and market-data store
+    ships (a burst of readings must not out-vote a quiet hour, which is
+    exactly what the row-mean a1 computes). Duplicate timestamps are
+    deduped per (series, ts) keeping the max event_id row (the j9
+    keep_first convention). Exactness: cents(int) × dt_µs(int) summed
+    in DECIMAL(38,0) — an integer grid, so the irregular-weight sum is
+    order-free and engine-exact; the output TWA is a truncating integer
+    division back to cents. One window shuffle keyed by series."""
+    from ..operators.dedup import keep_first
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("series"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        "event_id",
+    )
+    ev = keep_first(
+        ev, ["series", "tus"], [F.col("event_id").desc()]
+    ).drop("event_id")
+    w = Window.partitionBy("series").orderBy("tus")
+    seg = ev.withColumn("t_next", F.lead("tus").over(w)).filter(
+        F.col("t_next").isNotNull()
+    )
+    wsum = F.sum(
+        (F.col("cents") * (F.col("t_next") - F.col("tus"))).cast("decimal(38,0)")
+    )
+    return (
+        seg.groupBy("series")
+        .agg(
+            wsum.alias("wsum"),
+            F.sum(F.col("t_next") - F.col("tus")).alias("span_us"),
+            (F.count(F.lit(1)) + 1).alias("n_obs"),
+        )
+        .select(
+            "series",
+            # `div`, not `/`+CAST: decimal `/` rounds HALF_UP at result
+            # scale BEFORE a cast could truncate, so a ratio just under
+            # an integer boundary would round up where DuckDB's `//`
+            # floors — `div` is the integral division both engines agree on
+            F.expr("CAST(wsum div span_us AS BIGINT)").alias("twa_cents"),
+            F.col("span_us").cast("bigint").alias("span_us"),
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+        )
+    )
+
+
+_ACF_LAGS = (1, 2, 3)
+
+
+def _acf_sql() -> str:
+    lag_selects = []
+    for l in _ACF_LAGS:
+        lag_selects.append(f"""
+  SELECT series, CAST({l} AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+         CAST(SUM(dev * dev_{l}) AS BIGINT) AS num,
+         CAST(SUM(dev * dev) AS BIGINT) AS den
+  FROM lagged GROUP BY series, n""")
+    union = "\n  UNION ALL\n".join(lag_selects)
+    leads = ", ".join(
+        f"lead(dev, {l}) OVER (PARTITION BY series ORDER BY ts, event_id)"
+        f" AS dev_{l}"
+        for l in _ACF_LAGS
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT CAST(user_id AS BIGINT) AS series, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS yc
+  FROM events),
+stats AS (
+  SELECT series, CAST(SUM(yc) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY series),
+d AS (
+  SELECT b.series, b.ts, b.event_id, s.n, b.yc - (s.tot // s.n) AS dev
+  FROM base b JOIN stats s ON s.series = b.series),
+lagged AS MATERIALIZED (
+  SELECT series, n, dev, {leads} FROM d)
+{union}
+"""
+
+
+@register(
+    "ts_acf",
+    category="timeseries",
+    oracle=_acf_sql(),
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series autocorrelation at fixed lags — the
+    seasonality/persistence diagnostic a forecasting pipeline (ts_holt,
+    ts_seasonal_decompose) reads first. Engine-exact by the CUSUM
+    discipline: values quantized to integer cents, the per-series mean
+    is the TRUNCATING division tot div n, and the ACF is returned as
+    exact integer (numerator, denominator) pairs rather than a float
+    ratio — num_l = sum (y_t - mu)(y_{t+l} - mu), den = sum (y_t - mu)²
+    over the (ts, event_id)-ordered stream. One window pass per lag on
+    the same series partitioning (a single shuffle, WindowExec reuses
+    the sort); integer sums are order-free."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("user_id").cast("bigint").alias("series"),
+        "ts",
+        "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("yc"),
+    )
+    stats = base.groupBy("series").agg(
+        F.sum("yc").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    d = base.join(stats, "series").select(
+        "series", "ts", "event_id", "n",
+        (F.col("yc") - F.expr("tot div n")).alias("dev"),
+    )
+    w = Window.partitionBy("series").orderBy("ts", "event_id")
+    lagged = d.select(
+        "series",
+        "n",
+        "dev",
+        *[F.lead("dev", l).over(w).alias(f"dev_{l}") for l in _ACF_LAGS],
+    )
+    rows = []
+    for l in _ACF_LAGS:
+        rows.append(
+            lagged.groupBy("series")
+            .agg(
+                F.first("n").alias("n"),
+                F.sum(F.col("dev") * F.col(f"dev_{l}")).alias("num"),
+                F.sum(F.col("dev") * F.col("dev")).alias("den"),
+            )
+            .select(
+                "series",
+                F.lit(l).cast("bigint").alias("lag"),
+                F.col("n").cast("bigint").alias("n"),
+                F.col("num").cast("bigint").alias("num"),
+                F.col("den").cast("bigint").alias("den"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

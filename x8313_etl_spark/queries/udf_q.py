@@ -15,7 +15,11 @@ because the surface requires it); X2-X6 are Arrow-batched.
 
 # NOTE: no `from __future__ import annotations` here — pandas-UDF type
 # hints must be real objects for pyspark's signature inference, not the
-# postponed-evaluation strings that import turns them into.
+# postponed-evaluation strings that import turns them into. Iterator
+# lives at MODULE level for the same reason: pyspark resolves x14's
+# SCALAR_ITER hints in the function's globals.
+from typing import Iterator
+
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -373,4 +377,137 @@ def x12_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT v.doc_id, t.* FROM x12_docs v, "
         f"LATERAL x12_first_k_tokens(v.text, {_X12_K}) t"
+    )
+
+
+_X13_SQL = """
+SELECT user_id,
+       count(*) AS n_purchases,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_total,
+       min(event_id) AS first_event,
+       max(event_id) AS last_event
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id
+"""
+
+
+@register(
+    "x13_python_stream_sink",
+    category="streaming",
+    oracle=_X13_SQL,
+)
+def x13_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A custom streaming SINK through the Spark 4 Python DataSource
+    API (DataSourceStreamWriter): executor-side ``write(iterator)``
+    stages one JSON-lines file per task; driver-side
+    ``commit(messages, batchId)`` publishes the batch ATOMICALLY by
+    renaming the staged files into a ``v{batchId}`` dir, and a replayed
+    batchId is an idempotent no-op — the upsert_sink/verdir per-epoch
+    commit contract expressed through the extension point instead of
+    foreachBatch (t15's sibling). The purchases stream is written
+    through the sink, read back from the committed version dirs, and
+    aggregated per user — so the twin (batch SQL over events) verifies
+    the full write→publish→read-back loop including that every batch
+    committed exactly once. Completes the Python DataSource triangle
+    (s17 batch read / s21 stream read / x13 stream write); replay
+    idempotency unit-pinned in tests/test_registered_guards.py."""
+    import glob
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from ..io import stream_events
+    from ..python_ds import JsonDirStreamDataSource
+    from .sources_q import _tag, scratch
+
+    try:
+        spark.dataSource.register(JsonDirStreamDataSource)
+    except Exception:
+        pass  # idempotent re-register within a session
+    family = scratch(f"x13_jsonsink_{_tag(sf_dir)}")
+    work = os.path.join(family, _uuid.uuid4().hex[:12])
+    out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+    shutil.rmtree(work, ignore_errors=True)
+
+    s = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    q = (
+        s.writeStream.format("x8313_jsondir_sink")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("x13 sink stream did not finish in 180s")
+    files = glob.glob(os.path.join(out, "v*", "part-*.jsonl"))
+    back = spark.read.schema("event_id long, user_id long, cents long").json(
+        files
+    )
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").alias("cents_total"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+_X14_SALTS = 256
+
+_X14_SQL = f"""
+SELECT event_id,
+       (CAST(CONCAT('0x', substr(md5('x14-' ||
+            CAST(CAST(round(value * 100) AS BIGINT) % {_X14_SALTS} AS VARCHAR)
+        ), 1, 8)) AS BIGINT) % 1000000)
+       + CAST(round(value * 100) AS BIGINT) * 10000 AS enriched_micro
+FROM events
+"""
+
+
+@register(
+    "x14_scalar_iter_udf",
+    category="udf",
+    oracle=_X14_SQL,
+)
+def x14_scalar_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ITERATOR-of-series pandas UDF (SCALAR_ITER): same row
+    semantics as x2's scalar pandas UDF, but the function receives the
+    whole partition as an iterator of Arrow batches, so EXPENSIVE
+    ONE-TIME INIT (a model, a codec table) runs once per partition
+    instead of once per batch — the standard pattern for UDF-side model
+    scoring. Here the 'model' is a 256-entry md5-derived salt table
+    built once per partition; every batch then does vectorized integer
+    arithmetic only. Output stays on the exact integer grid
+    (salt + cents·10⁴ in micro-units), so the twin replays the identical
+    algebra from the same md5 bytes. Iterator/pd hints resolve at
+    MODULE level (pyspark signature detection, see the header note)."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def enrich(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # one-time per-partition init — the SCALAR_ITER point
+        salts = [
+            int(hashlib.md5(f"x14-{b}".encode()).hexdigest()[:8], 16)
+            % 1_000_000
+            for b in range(_X14_SALTS)
+        ]
+        for cents in batches:
+            yield (cents % _X14_SALTS).map(lambda b: salts[int(b)]) + cents * 10_000
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return ev.select(
+        "event_id", enrich(F.col("cents")).alias("enriched_micro")
     )

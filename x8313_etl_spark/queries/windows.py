@@ -741,8 +741,8 @@ def w15_gaps_and_islands_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # W16/W17: funnel conversion + last-touch attribution (registered round
-# 8; twins pre-verified in tests/test_r7_candidates_b.py before
-# registration — ROADMAP r8).
+# 8; twins pre-verified in the retired tests/test_r7_candidates_b.py;
+# guards now in tests/test_registered_guards.py, record in ROADMAP r8).
 # ---------------------------------------------------------------------------
 
 _FUNNEL = ("view", "click", "purchase")
