@@ -189,6 +189,3 @@ def test_vwap_bars_nontrivial(spark, sf_oracle_dir):
     rows = _vwap_fn(spark, sf_oracle_dir).collect()
     assert len(rows) >= 10  # multiple weekly bars
     assert all(r.vwap_cents > 0 for r in rows)
-
-
-    assert sum(1 for r in rows if r.cur_cnt > 0) >= 3

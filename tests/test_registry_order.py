@@ -102,8 +102,10 @@ def test_ordering_survives_direct_module_import():
     names = list(registry())
     assert tuple(names[: len(_REPAIRED_FAILURES)]) == _REPAIRED_FAILURES
     # batch unverified before streaming unverified, greens last
+    # (repaired names count as unverified even when an old green row
+    # exists — the r9 repaired-output policy)
     cats = [
-        (n in _DRIVER_GREEN) for n in names
+        (n in _DRIVER_GREEN and n not in _REPAIRED_FAILURES) for n in names
     ]
     assert cats == sorted(cats)
 

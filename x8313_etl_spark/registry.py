@@ -289,7 +289,7 @@ _REPAIRED_FAILURES: tuple[str, ...] = (
 
 def _priority(
     item: tuple[str, QuerySpec],
-) -> tuple[int, int, int, int, int, tuple[int, int]]:
+) -> tuple[int, int, int, int, int, int, tuple[int, int]]:
     """Sort key: driver-unverified first, already-green last. The
     repaired prior-round failures lead the ENTIRE window (ahead of all
     other unverified names, in _REPAIRED_FAILURES order); within the
@@ -298,7 +298,11 @@ def _priority(
     isn't starved by them. Within the GREEN block, queries whose last
     driver stamp is oldest sort first — the spare window slots rotate
     onto the stalest greens so a round-1 row is eventually re-earned
-    against today's code, not trusted forever. The six designed
+    against today's code, not trusted forever; staleness OUTRANKS the
+    streaming deprioritization there (r9 change: the r8 verdict's
+    flush-the-stalest item found three stamp-3 hash-checkable streaming
+    rows starved behind every stamp-4 batch row — within a stamp tier
+    streaming still sorts last). The six designed
     rows-only queries (oracle=None: the four engine-specific sketches
     a4/a9b/a13/ts_sliding_dau, whose correctness contract is their
     exact-error-bound unit tests, plus the unigram tokenizer pair
@@ -328,9 +332,10 @@ def _priority(
     return (
         group,
         repaired_rank,
-        int(spec.category == "streaming"),
+        int(group == 0 and spec.category == "streaming"),
         int(group == 1 and spec.oracle is None),
         _DRIVER_STAMP.get(name, 0) if group else 0,
+        int(group == 1 and spec.category == "streaming"),
         _ORDER[name],
     )
 
