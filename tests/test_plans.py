@@ -406,3 +406,32 @@ def test_w8_sessionize_single_exchange(spark, sf_dir):
     operators/sessionize.py documents)."""
     plan = _plan(spark, "w8_sessionize", sf_dir)
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_j19_scd2_lookup_joins_on_the_equi_key(spark, sf_dir):
+    """j19: the fact x dimension join must be keyed on user_id (a hash
+    or sort-merge EQUI join carrying the interval predicates as join
+    filters) — a nested-loop over the fact table would be the 100 TB
+    disaster the docstring rules out."""
+    plan = _plan(spark, "j19_scd2_lookup", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan), plan
+
+
+def test_j18_asof_nearest_has_no_join_fanout(spark, sf_dir):
+    """j18: both asof passes are union+window — the only joins in the
+    plan are the purchase-keyed equi assembly of the two passes; no
+    nested-loop/cartesian pair generator anywhere."""
+    plan = _plan(spark, "j18_asof_nearest", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_x14_scalar_iter_is_arrow_batched(spark, sf_dir):
+    """x14: the SCALAR_ITER pandas UDF must compile to ArrowEvalPython
+    (vectorized Arrow transfer), not BatchEvalPython (row-at-a-time
+    pickling) — the entire point of the iterator variant."""
+    plan = _plan(spark, "x14_scalar_iter_udf", sf_dir)
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan

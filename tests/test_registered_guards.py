@@ -701,3 +701,25 @@ def test_incremental_dedup_index_roundtrip(spark, sf_oracle_dir, tmp_path):
     # the compounding is exercised: some batch-2 dup has a batch-1
     # partner (only reachable through the appended index)
     assert any(r[1] and r[2] is not None and r[2] > c1 for r in got)
+
+
+def test_sim_hybrid_rrf_fusion_is_exercised(spark, sf_oracle_dir):
+    """Fusion must matter: BOTH retrieval lists contribute rows to the
+    fused output, and the fused top-1 disagrees with the lexical top-1
+    for at least one query. (No assertion that some doc appears in both
+    lists: the fixture's isotropic-embedding regime makes lexical and
+    semantic top-5 overlap near-chance — the measured recall caveat in
+    the SemDeDup family — so n_lists=2 rows are not guaranteed at this
+    sf; both-source contribution is.)"""
+    from x8313_etl_spark.queries.corpus_q import p_bm25_topk
+    from x8313_etl_spark.queries.similarity_q import sim_hybrid_rrf
+
+    fused = sim_hybrid_rrf(spark, sf_oracle_dir).collect()
+    lex = p_bm25_topk(spark, sf_oracle_dir).collect()
+    lexset = {(r.q_id, r.doc_id) for r in lex}
+    from_sem = sum(1 for r in fused if (r.q_id, r.doc_id) not in lexset)
+    from_lex = sum(1 for r in fused if (r.q_id, r.doc_id) in lexset)
+    assert from_sem > 0 and from_lex > 0
+    lex_top = {r.q_id: r.doc_id for r in lex if r.rn == 1}
+    fus_top = {r.q_id: r.doc_id for r in fused if r.fused_rank == 1}
+    assert any(fus_top[q] != lex_top.get(q) for q in fus_top)
