@@ -313,7 +313,10 @@ def test_w16_funnel_empty_when_no_view_click_sequence(spark, tmp_path):
     assert len(con.execute(_W16_SQL).fetchdf()) == 0
 
 
-def test_bm25_floor_boundary_margin(spark, sf_oracle_dir):
+@pytest.mark.parametrize(
+    "margin_sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_bm25_floor_boundary_margin(spark, margin_sf_dir):
     """The r9 hardening of p_bm25_topk / p_rag_context_pack quantizes
     each per-term BM25 contribution with FLOOR(t*1e6 + 0.5): the map is
     IEEE-identical across engines GIVEN an identical double t, so the
@@ -329,7 +332,7 @@ def test_bm25_floor_boundary_margin(spark, sf_oracle_dir):
     from x8313_etl_spark.io import load_table
     from x8313_etl_spark.queries.corpus_q import BM25_B, BM25_K1, BM25_N_QUERIES
 
-    d = load_table(spark, sf_oracle_dir, "documents")
+    d = load_table(spark, margin_sf_dir, "documents")
     tok = d.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("double").alias("dl"),
