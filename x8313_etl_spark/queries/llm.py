@@ -332,7 +332,8 @@ tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
 dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
 n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
 SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
-       CAST(CAST(CAST(tf.tf AS DOUBLE) * ln(n.n_docs / dfc.df) AS DECIMAL(25,6)) AS DOUBLE) AS tfidf
+       CAST(FLOOR(CAST(tf.tf AS DOUBLE) * ln(n.n_docs / dfc.df) * 1000000.0 + 0.5)
+            AS BIGINT) AS tfidf_u6
 FROM tf JOIN dfc USING (term) CROSS JOIN n
 WHERE tf.doc_id < 50
 """,
@@ -341,9 +342,13 @@ def l6_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L6: tf-idf as a pure agg/join composition (no ML-lib dependency):
     tf per (doc, term), df per term, idf = ln(N/df). The df table is
     broadcast (vocabulary ≪ corpus); N comes from an in-plan scalar agg
-    (never a driver collect). JVM and DuckDB ln() can differ by 1 ulp,
-    so tfidf is quantized through decimal(25,6) on both sides (a 1-ulp
-    difference survives a 1e-6 grid with p≈1e-10; functions/numeric.py)."""
+    (never a driver collect). Hardened round 9 alongside p_bm25_topk
+    (the same latent hazard class): the weight is emitted as integer
+    micro-units FLOOR(tf·idf·1e6 + 0.5) — IEEE-identical across engines
+    for an identical double — instead of a double→DECIMAL(25,6) cast,
+    which Spark performs via the shortest-repr string and DuckDB via
+    the exact binary expansion (they can disagree AT a half-grid
+    boundary even on the same value; the r8 p_rag_context_pack red)."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -358,10 +363,14 @@ def l6_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             "tf",
             "df",
-            (F.col("tf").cast("double") * F.log(F.col("n_docs") / F.col("df")))
-            .cast("decimal(25,6)")
-            .cast("double")
-            .alias("tfidf"),
+            F.floor(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs") / F.col("df"))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("tfidf_u6"),
         )
     )
 

@@ -764,6 +764,12 @@ def p_ngram_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PPL_KEEP_MAX = 60.0
+#: keep threshold in 1e-6 nll units: floor(ln(60)·1e6 + 0.5), computed
+#: ONCE in Python and inlined as the same integer literal on BOTH
+#: sides, so the engines never evaluate ln(60) independently (ln(60)·1e6
+#: sits 0.062 from the floor boundary — safe — but a shared literal
+#: removes even that). Part of the r9 floor-quantization hardening.
+_PPL_KEEP_U6 = 4094345
 
 
 @register(
@@ -780,17 +786,16 @@ ctx AS (SELECT w1, SUM(cnt) AS c1 FROM c GROUP BY w1),
 nll AS (
   SELECT b.doc_id,
          CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-         SUM(CAST(CAST(-ln(CAST(c.cnt AS DOUBLE) / CAST(ctx.c1 AS DOUBLE))
-                       AS DECIMAL(18,8)) AS DECIMAL(25,8))) AS nll_sum
+         CAST(SUM(CAST(FLOOR(-ln(CAST(c.cnt AS DOUBLE) / CAST(ctx.c1 AS DOUBLE))
+                             * 100000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS nll_sum_u8
   FROM b JOIN c ON b.w1 = c.w1 AND b.w2 = c.w2
          JOIN ctx ON ctx.w1 = b.w1
   GROUP BY b.doc_id
 )
 SELECT doc_id, n_bigrams,
-       CAST(CAST(CAST(nll_sum AS DOUBLE) / n_bigrams AS DECIMAL(18,6))
-            AS DOUBLE) AS avg_nll,
-       CAST(CAST(CAST(nll_sum AS DOUBLE) / n_bigrams AS DECIMAL(18,6))
-            AS DOUBLE) <= ln({_PPL_KEEP_MAX}) AS keep
+       nll_sum_u8 // (100 * n_bigrams) AS avg_nll_u6,
+       nll_sum_u8 // (100 * n_bigrams) <= {_PPL_KEEP_U6} AS keep
 FROM nll
 """,
 )
@@ -804,12 +809,16 @@ def p_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the natural consumer of the tokenize→count→LM chain: unusual word
     sequences score high and get dropped.
 
-    Determinism: each −ln(P) term is quantized to decimal(18,8) BEFORE
-    the per-doc sum (the p_bm25 ln()-ulp discipline; the sum of
-    quantized decimals is then exact and order-free), and the final
-    average is re-quantized at 1e-6. The keep threshold compares
-    avg_nll ≤ ln(60) — both engines compute ln(60) once on an exact
-    literal. Scale: the bigram aggregate and per-doc NLL sum share the
+    Determinism (hardened round 9, the p_bm25_topk floor discipline):
+    each −ln(P) term maps to integer 1e-8 units with
+    FLOOR(t·1e8 + 0.5) — IEEE-identical across engines for an identical
+    double, unlike the previous DECIMAL(18,8) cast whose rounding paths
+    differ (Spark: shortest-repr string; DuckDB: exact binary) — the
+    per-doc sum is an exact BIGINT, and the 1e-6-unit average is a
+    truncating integer division. The keep threshold is the SHARED
+    integer literal _PPL_KEEP_U6 = floor(ln(60)·1e6 + 0.5), computed
+    once in Python, so neither engine evaluates ln(60) at query time.
+    Scale: the bigram aggregate and per-doc NLL sum share the
     explode; counts table is vocab²-bounded and broadcast back; per-doc
     aggregation is one map-side-combined shuffle on doc_id."""
     d = load_table(spark, sf_dir, "documents")
@@ -827,30 +836,26 @@ def p_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = swap_persist("pipeline.ppl_bigrams", b)
     c = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     ctx = c.groupBy("w1").agg(F.sum("cnt").alias("c1"))
-    nll_term = (
+    nll_term = F.floor(
         -F.log(F.col("cnt").cast("double") / F.col("c1").cast("double"))
-    ).cast("decimal(18,8)").cast("decimal(25,8)")
+        * F.lit(100000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
     nll = (
         b.join(F.broadcast(c), ["w1", "w2"])
         .join(F.broadcast(ctx), "w1")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            F.sum(nll_term).alias("nll_sum"),
+            F.sum(nll_term).cast("bigint").alias("nll_sum_u8"),
         )
     )
-    avg_nll = (
-        (F.col("nll_sum").cast("double") / F.col("n_bigrams"))
-        .cast("decimal(18,6)")
-        .cast("double")
-    )
-    import math
-
+    avg_u6 = F.expr("nll_sum_u8 div (100 * n_bigrams)")
     return nll.select(
         "doc_id",
         "n_bigrams",
-        avg_nll.alias("avg_nll"),
-        (avg_nll <= F.lit(math.log(_PPL_KEEP_MAX))).alias("keep"),
+        avg_u6.alias("avg_nll_u6"),
+        (avg_u6 <= F.lit(_PPL_KEEP_U6)).alias("keep"),
     )
 
 
