@@ -425,6 +425,18 @@ def x13_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass  # idempotent re-register within a session
     family = scratch(f"x13_jsonsink_{_tag(sf_dir)}")
+    # age-prune older sibling runs (the t15 discipline: per-invocation
+    # unique dirs must not accumulate a JSON copy per sweep call)
+    import time as _time
+
+    cutoff = _time.time() - 1800
+    for sub in os.listdir(family) if os.path.isdir(family) else []:
+        p = os.path.join(family, sub)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
     work = os.path.join(family, _uuid.uuid4().hex[:12])
     out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
     shutil.rmtree(work, ignore_errors=True)
