@@ -726,3 +726,86 @@ def test_sim_hybrid_rrf_fusion_is_exercised(spark, sf_oracle_dir):
     lex_top = {r.q_id: r.doc_id for r in lex if r.rn == 1}
     fus_top = {r.q_id: r.doc_id for r in fused if r.fused_rank == 1}
     assert any(fus_top[q] != lex_top.get(q) for q in fus_top)
+
+
+@pytest.mark.parametrize(
+    "margin_sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_perplexity_floor_boundary_margin(spark, margin_sf_dir):
+    """p_perplexity_filter's r9 hardening quantizes each -ln(P) term
+    with FLOOR(t*1e8 + 0.5) — IEEE-identical across engines given an
+    identical double, so the only residual hazard is libm-ln last-ulp
+    divergence landing exactly on a floor boundary. This pins that
+    every distinct (cnt, c1) conditional on the fixture keeps a
+    distance from its nearest boundary of at least 32 ulps OF THE
+    LARGEST quantization input (measured r9: min distance 1.7e-4 at
+    sf0.01 vs ulp(max x) ~2.4e-7 — ~700 ulps), so a <=few-ulp
+    cross-libm wobble cannot flip any quantized term. The bigram
+    conditional vocabulary is the hazard population (one boundary roll
+    per DISTINCT probability, not per occurrence)."""
+    from x8313_etl_spark.io import load_table
+
+    d = load_table(spark, margin_sf_dir, "documents")
+    b = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr("slice(w, 1, size(w) - 1)")).alias("i", "w1"),
+            F.col("w"),
+        )
+        .select("doc_id", "w1", F.expr("w[i + 1]").alias("w2"))
+    )
+    c = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    ctx = c.groupBy("w1").agg(F.sum("cnt").alias("c1"))
+    x = -F.log(
+        F.col("cnt").cast("double") / F.col("c1").cast("double")
+    ) * F.lit(1e8) + F.lit(0.5)
+    frac = x - F.floor(x)
+    row = (
+        c.join(ctx, "w1")
+        .agg(
+            F.min(F.least(frac, 1 - frac)).alias("min_dist"),
+            F.max(F.abs(x)).alias("max_x"),
+        )
+        .collect()[0]
+    )
+    assert row.min_dist > 32 * (2.0 ** -52) * row.max_x, (
+        row.min_dist,
+        row.max_x,
+    )
+
+
+@pytest.mark.parametrize(
+    "margin_sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_tfidf_floor_boundary_margin(spark, margin_sf_dir):
+    """l6_tfidf's r9 hardening: same contract as the BM25/perplexity
+    margin guards — every (tf, df) weight input keeps >=32 ulps (of the
+    largest quantization input) of distance from its floor boundary, so
+    cross-libm ln wobble cannot flip a tfidf_u6 value. Population =
+    distinct (tf, df) pairs among the emitted doc_id < 50 rows."""
+    from x8313_etl_spark.io import load_table
+
+    d = load_table(spark, margin_sf_dir, "documents")
+    t = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = t.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    x = (
+        F.col("tf").cast("double") * F.log(F.col("n_docs") / F.col("df"))
+    ) * F.lit(1e6) + F.lit(0.5)
+    frac = x - F.floor(x)
+    row = (
+        tf.filter(F.col("doc_id") < 50)
+        .join(dfc, "term")
+        .crossJoin(n)
+        .agg(
+            F.min(F.least(frac, 1 - frac)).alias("min_dist"),
+            F.max(F.abs(x)).alias("max_x"),
+        )
+        .collect()[0]
+    )
+    assert row.min_dist > 32 * (2.0 ** -52) * row.max_x, (
+        row.min_dist,
+        row.max_x,
+    )
