@@ -478,3 +478,113 @@ def test_p_media_dedup_groups_are_nontrivial(spark, sf_oracle_dir):
     for r in rows:
         if r["is_dup"]:
             assert r["canonical"] != r["fname"]
+
+
+# ---------------------------------------------------------------------------
+# s23_csv_quoted_multiline — CSV round-trip with embedded delimiters,
+# quotes, and newlines (the classic CSV-edge-case trap)
+# ---------------------------------------------------------------------------
+
+
+def _s23_fn(spark, sf_dir):
+    """CSV round-trip under adversarial field content: document texts
+    are decorated IN-PLAN with embedded commas, double quotes, and a
+    literal newline, written as quoted CSV, and read back with
+    multiLine=true + escape='\"' (RFC-4180 double-quote doubling — the
+    mode real exports use). The aggregate digests text lengths and an
+    md5 per doc_id band, so ANY quoting/newline corruption (the classic
+    'row split at the embedded newline' failure) changes counts or
+    hashes loudly. The twin computes the same digest from the ORIGINAL
+    table — the compare proves the round-trip is lossless. Scale: CSV
+    multiLine forces whole-file parsing per file (no intra-file
+    splitting), which is exactly why the docstring-documented posture
+    at 100 TB is many medium files; the write keeps Spark's default
+    per-partition files so the read parallelizes per file."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from x8313_etl_spark.queries.sources_q import _tag, scratch
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit('pre,"fix"\n'),
+            F.col("text"),
+            F.lit(',"tail'),
+        ).alias("text"),
+    )
+    family = scratch(f"s23_csvq_{_tag(sf_dir)}")
+    # age-prune older sibling runs (t15 discipline) — the CURRENT run's
+    # dir must outlive this fn: the returned frame reads it lazily
+    import time as _time
+
+    cutoff = _time.time() - 1800
+    for sub in os.listdir(family) if os.path.isdir(family) else []:
+        pth = os.path.join(family, sub)
+        try:
+            if os.path.getmtime(pth) < cutoff:
+                shutil.rmtree(pth, ignore_errors=True)
+        except OSError:
+            pass
+    work = os.path.join(family, _uuid.uuid4().hex[:12])
+    shutil.rmtree(work, ignore_errors=True)
+    (
+        d.write.option("header", "true")
+        .option("quoteAll", "true")
+        .option("escape", '"')
+        .csv(work)
+    )
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .schema("doc_id long, lang string, text string")
+        .csv(work)
+    )
+    out = back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("chars_total"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.sort_array(F.collect_list(F.concat_ws(":", F.col("doc_id").cast("string"), F.md5("text")))),
+            )
+        ).alias("content_digest"),
+    )
+    return out
+
+
+_S23_SQL = r"""
+WITH d AS (
+  SELECT doc_id, lang,
+         'pre,"fix"' || chr(10) || text || ',"tail' AS text
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS chars_total,
+       md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text), '|'
+                      ORDER BY CAST(doc_id AS VARCHAR) || ':' || md5(text)))
+         AS content_digest
+FROM d GROUP BY lang
+"""
+
+
+def test_s23_csv_quoted_multiline_twin(spark, sf_oracle_dir):
+    spec = QuerySpec(
+        name="r11:s23_csv_quoted_multiline", fn=_s23_fn, oracle=_S23_SQL,
+        category="sources",
+    )
+    res = compare_query(spark, spec, sf_oracle_dir)
+    assert res.ok, res.detail
+
+
+def test_s23_decoration_is_adversarial(spark, sf_oracle_dir):
+    """The decorated text must actually contain the three hazards
+    (comma, doubled-quote material, embedded newline) — otherwise the
+    round-trip proves nothing about quoting."""
+    d = load_table(spark, sf_oracle_dir, "documents").limit(1).collect()[0]
+    decorated = 'pre,"fix"\n' + d["text"] + ',"tail'
+    assert "," in decorated and '"' in decorated and "\n" in decorated
