@@ -119,6 +119,51 @@ def _assert_no_decimal(spec: QuerySpec, schema) -> None:
     )
 
 
+#: DuckDB logical types whose pandas/arrow transport is NOT
+#: value-identical to any Spark output type: int128 renders as float64
+#: (fetchdf) or decimal128 (arrow), so a type-aware hash differs from
+#: Spark's int64 even when every value is equal. The r9 verdict traced
+#: both driver-red rows to exactly this (uncast DuckDB sum()).
+_INT128_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def oracle_int128_columns(rel) -> list[tuple[str, str]]:
+    """Columns of a DuckDB relation whose type is int128 — planning
+    only, nothing is executed."""
+    return [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t).upper() in _INT128_TYPES
+    ]
+
+
+def _strict_dtype_mismatch(sdf: pd.DataFrame, odf: pd.DataFrame) -> str:
+    """Strict-dtype gate (r9 verdict item 2): an int column on one side
+    transported as float on the other means the driver's type-aware
+    hash flips even when values coerce equal — the exact blind spot
+    that let dq5 through pre-verification. Nulls legitimately coerce a
+    nullable-int column to float64 in pandas, so a column is only
+    flagged when BOTH sides are null-free (a null-free float column
+    facing a null-free int column has no innocent explanation)."""
+    for c in sdf.columns:
+        if c not in odf.columns:
+            continue  # column-name mismatch is reported downstream
+        sk = sdf[c].dtype.kind
+        ok_ = odf[c].dtype.kind
+        if {sk, ok_} == {"f"} or sk == ok_:
+            continue
+        if sk in "iu" and ok_ == "f" or sk == "f" and ok_ in "iu":
+            if sdf[c].notna().all() and odf[c].notna().all():
+                return (
+                    f"strict-dtype mismatch col {c}: spark kind={sk!r} "
+                    f"oracle kind={ok_!r} with no nulls on either side — "
+                    "the transports disagree on int-vs-float, which flips "
+                    "the driver hash even when values coerce equal "
+                    "(CAST the oracle or the Spark column so both agree)"
+                )
+    return ""
+
+
 def compare_query(spark, spec: QuerySpec, sf_dir: str) -> CompareResult:
     out = spec.fn(spark, sf_dir)
     _assert_no_decimal(spec, out.schema)
@@ -128,10 +173,25 @@ def compare_query(spark, spec: QuerySpec, sf_dir: str) -> CompareResult:
         return CompareResult(spec.name, ok, f"rows-only: {len(sdf)} rows")
     con = duckdb_connect(sf_dir)
     try:
-        odf = con.execute(spec.oracle).fetchdf()
+        rel = con.sql(spec.oracle)
+        bad128 = oracle_int128_columns(rel)
+        if bad128:
+            return CompareResult(
+                spec.name,
+                False,
+                f"oracle int128 column(s) {bad128}: DuckDB sum() returns "
+                "HUGEINT, which every transport renders as a non-int64 "
+                "class (fetchdf float64, arrow decimal128) and flips the "
+                "driver value-hash — CAST(... AS BIGINT) in the oracle "
+                "(r9 verdict root cause for p_rag_context_pack + dq5)",
+            )
+        odf = rel.fetchdf()
     finally:
         con.close()
 
+    dtype_mismatch = _strict_dtype_mismatch(sdf, odf)
+    if dtype_mismatch:
+        return CompareResult(spec.name, False, dtype_mismatch)
     if len(sdf) != len(odf):
         return CompareResult(
             spec.name, False, f"row count: spark={len(sdf)} oracle={len(odf)}"

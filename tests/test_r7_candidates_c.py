@@ -85,9 +85,10 @@ c AS (
   FROM tr WHERE prev_type IS NOT NULL
   GROUP BY prev_type, event_type
 ),
-t AS (SELECT prev_type, sum(n_transitions) AS row_total FROM c GROUP BY prev_type)
+t AS (SELECT prev_type, CAST(sum(n_transitions) AS BIGINT) AS row_total
+      FROM c GROUP BY prev_type)
 SELECT c.prev_type, c.next_type, c.n_transitions,
-       (1000000 * c.n_transitions) // t.row_total AS prob_ppm
+       CAST((1000000 * c.n_transitions) // t.row_total AS BIGINT) AS prob_ppm
 FROM c JOIN t USING (prev_type)
 """
 
@@ -166,9 +167,9 @@ WITH x AS (
          CAST(l_quantity AS BIGINT) AS qty
   FROM lineitem
 )
-SELECT week, sum(qty) AS total_qty,
-       sum(cents * qty) AS notional_cents,
-       sum(cents * qty) // sum(qty) AS vwap_cents
+SELECT week, CAST(sum(qty) AS BIGINT) AS total_qty,
+       CAST(sum(cents * qty) AS BIGINT) AS notional_cents,
+       CAST(sum(cents * qty) // sum(qty) AS BIGINT) AS vwap_cents
 FROM x GROUP BY week
 """
 

@@ -1200,10 +1200,10 @@ toks AS (
 ),
 packed AS (
   SELECT r.q_id, r.rn, r.doc_id, t.n_tokens,
-         sum(t.n_tokens) OVER (
+         CAST(sum(t.n_tokens) OVER (
            PARTITION BY r.q_id ORDER BY r.rn
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) AS cum_tokens
+         ) AS BIGINT) AS cum_tokens
   FROM ret r JOIN toks t ON t.doc_id = r.doc_id
 )
 SELECT q_id, rn, doc_id, n_tokens, cum_tokens

@@ -1215,15 +1215,17 @@ edges AS (SELECT min(cents) AS mn, max(cents) AS mx FROM halves WHERE is_ref),
 binned AS (
   SELECT greatest(0, least({_DRIFT_BINS - 1},
            ({_DRIFT_BINS} * (cents - mn)) // (mx - mn + 1))) AS bin,
-         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ref_cnt,
-         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cur_cnt
+         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cur_cnt
   FROM halves, edges GROUP BY 1
 ),
-tot AS (SELECT sum(ref_cnt) AS ref_n, sum(cur_cnt) AS cur_n FROM binned)
+tot AS (SELECT CAST(sum(ref_cnt) AS BIGINT) AS ref_n,
+               CAST(sum(cur_cnt) AS BIGINT) AS cur_n FROM binned)
 SELECT bin, ref_cnt, cur_cnt,
-       (1000000 * ref_cnt) // ref_n AS ref_ppm,
-       (1000000 * cur_cnt) // cur_n AS cur_ppm,
-       (1000000 * cur_cnt) // cur_n - (1000000 * ref_cnt) // ref_n AS delta_ppm
+       CAST((1000000 * ref_cnt) // ref_n AS BIGINT) AS ref_ppm,
+       CAST((1000000 * cur_cnt) // cur_n AS BIGINT) AS cur_ppm,
+       CAST((1000000 * cur_cnt) // cur_n - (1000000 * ref_cnt) // ref_n
+            AS BIGINT) AS delta_ppm
 FROM binned, tot
 """
 
