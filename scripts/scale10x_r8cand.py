@@ -40,17 +40,19 @@ DST = "/root/repo/.scratch/replica10x_bench"
 
 
 def run():
-    from tests.test_r8_candidates import (
-        _containment_fn,
-        _embed_outliers_fn,
-        _g12_fn,
-    )
+    # the candidate fns were registered in round 10 (candidate module
+    # retired per protocol); the registered copies are verbatim, so the
+    # historical sweep re-runs against them — scripts/scale10x_r10.py
+    # is the registration-dated re-measurement
+    from x8313_etl_spark.queries.graph_q import g12_node_jaccard
+    from x8313_etl_spark.queries.pipeline_q import p_shingle_containment
+    from x8313_etl_spark.queries.similarity_q import p_embed_outliers
     from x8313_etl_spark.session import get_spark
 
     fns = {
-        "g12_node_jaccard": _g12_fn,
-        "p_shingle_containment": _containment_fn,
-        "p_embed_outliers": _embed_outliers_fn,
+        "g12_node_jaccard": g12_node_jaccard,
+        "p_shingle_containment": p_shingle_containment,
+        "p_embed_outliers": p_embed_outliers,
     }
     spark = get_spark("scale10x-r8cand", cpus=32)
     spark.sparkContext.setLogLevel("ERROR")

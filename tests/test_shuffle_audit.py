@@ -237,6 +237,13 @@ ALLOWED: dict[str, tuple[dict[str, int], str]] = {
         "broadcast (p_bm25_topk's entry verbatim); the fusion itself is "
         "a union + groupBy over (queries x k)-bounded ranked rows",
     ),
+    "dq6_k_anonymity": (
+        {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
+        "the quantile-derived k IS a single-row scalar agg over the "
+        "|nations|x|segments|-sized cells table, broadcast-crossed back "
+        "into the violation flag (the h11 share-of-total idiom) — "
+        "cohort-cardinality-sized, never row-sized",
+    ),
 }
 
 #: materialization-ledger allowlist: persist/checkpoint KEY -> (flag
@@ -370,6 +377,22 @@ ALLOWED_LEDGER: dict[str, tuple[dict[str, int], str]] = {
         {"Exchange SinglePartition": 3},
         "three global funnel-step counts — single-row aggregates over "
         "the checkpointed per-user stage tables (a16's entry)",
+    ),
+    "g12.edges": (
+        {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
+        "same quantile-threshold scalar broadcast as g3.edges (shared "
+        "_cosupply_edges construction, g12's own checkpoint for the "
+        "wedge join + is_edge back-join)",
+    ),
+    "embout.round": (
+        {"BroadcastNestedLoopJoin": 1},
+        "p_embed_outliers' own kmeans rounds — same bounded k=8 "
+        "centroid broadcast as sim_kmeans.round (operator shared, keys "
+        "per query so first-build plans stay separately audited)",
+    ),
+    "embout.final": (
+        {"BroadcastNestedLoopJoin": 1},
+        "same as sim_kmeans.final under p_embed_outliers' key",
     ),
 }
 

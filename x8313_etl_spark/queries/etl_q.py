@@ -1294,3 +1294,141 @@ def dq5_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("delta_ppm"),
         )
     )
+
+
+_M11_INS_MOD = 3  # l_orderkey % 3 == 0 rows arrive as inserts
+_M11_DEL_MOD = 13  # base rows with l_partkey % 13 == 0 are deleted
+
+_M11_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS qty_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem
+WHERE NOT (l_orderkey % {_M11_INS_MOD} <> 0 AND l_partkey % {_M11_DEL_MOD} = 0)
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "m11_incremental_view_maintenance",
+    category="etl",
+    oracle=_M11_SQL,
+)
+def m11_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (IVM): a SUM/COUNT materialized view
+    is advanced by a signed delta instead of a recompute — the
+    warehouse op that keeps a 100 TB fact table's rollup fresh with
+    delta-sized work. Base state = lineitem without the insert slice;
+    the delta carries +1 rows (the arriving slice) and −1 rows (base
+    rows deleted by predicate). The MV algebra: aggregate the SIGNED
+    delta per group (sign·1 for counts, sign·cents for sums — all
+    int64), full-outer-merge with the standing MV on the group key, add
+    componentwise, drop groups whose count reaches zero. The twin
+    recomputes the final state from scratch, so the compare proves the
+    delta algebra ≡ recompute. Scale: delta-sized scan + one MV-sized
+    merge (the MV is groups-sized, tiny); the recompute the operator
+    replaces is the full-fact-table aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_orderkey",
+        "l_partkey",
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty_c"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+    )
+    base = li.filter(F.col("l_orderkey") % _M11_INS_MOD != 0)
+    ins = li.filter(F.col("l_orderkey") % _M11_INS_MOD == 0)
+    dels = base.filter(F.col("l_partkey") % _M11_DEL_MOD == 0)
+
+    def agg(df, sign):
+        s = F.lit(sign)
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(s).cast("bigint").alias("dn"),
+            F.sum(s * F.col("qty_c")).cast("bigint").alias("dqty"),
+            F.sum(s * F.col("price_c")).cast("bigint").alias("dprice"),
+        )
+
+    mv = base.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("qty_c").cast("bigint").alias("qty_cents"),
+        F.sum("price_c").cast("bigint").alias("price_cents"),
+    )
+    delta = (
+        agg(ins, 1)
+        .unionByName(agg(dels, -1))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("dn").cast("bigint").alias("dn"),
+            F.sum("dqty").cast("bigint").alias("dqty"),
+            F.sum("dprice").cast("bigint").alias("dprice"),
+        )
+    )
+    merged = mv.join(delta, ["l_returnflag", "l_linestatus"], "full_outer")
+    z = F.lit(0).cast("bigint")
+    return (
+        merged.select(
+            "l_returnflag",
+            "l_linestatus",
+            (F.coalesce("n_rows", z) + F.coalesce("dn", z)).alias("n_rows"),
+            (F.coalesce("qty_cents", z) + F.coalesce("dqty", z)).alias("qty_cents"),
+            (F.coalesce("price_cents", z) + F.coalesce("dprice", z)).alias(
+                "price_cents"
+            ),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+
+
+_DQ6_SQL = """
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS n
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+t AS (SELECT CAST(FLOOR(quantile_cont(n, 0.25)) AS BIGINT) AS k FROM cells)
+SELECT c_nationkey, c_mktsegment, CAST(n AS BIGINT) AS n, t.k,
+       n <= t.k AS is_violation
+FROM cells, t
+"""
+
+
+@register(
+    "dq6_k_anonymity",
+    category="etl",
+    oracle=_DQ6_SQL,
+)
+def dq6_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification (k-anonymity) audit — the privacy governance
+    gate (Sweeney's k-anonymity, public) the dq family lacks:
+    p_pii_redact scrubs direct identifiers, but quasi-identifier
+    COMBINATIONS re-identify when their cohort is small. Cohort sizes
+    per quasi-identifier combination (nation × market segment on
+    customer — the release-shaped columns), flagged against k. k is
+    QUANTILE-DERIVED (floor of the 25th-percentile cohort size,
+    violation = n ≤ k — the g3 non-constant-threshold rule, so the
+    audit flags SOME but not ALL cohorts at every fixture sf including
+    the one where the quartile equals the minimum; production passes
+    the policy constant, classically n < 5). One single-row scalar
+    broadcast (the h11 share-of-total idiom) — cells table is
+    |nations|·|segments|-sized, never row-sized.
+
+    Scale: ONE map-side-combined groupBy of the release table; the
+    audit output is cohort-cardinality-sized. The production follow-up
+    (generalization / suppression to repair violations) consumes
+    exactly this table."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    k = cells.agg(
+        F.floor(F.expr("percentile(n, 0.25)")).cast("bigint").alias("k")
+    )
+    return cells.crossJoin(F.broadcast(k)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("n").cast("bigint").alias("n"),
+        "k",
+        (F.col("n") <= F.col("k")).alias("is_violation"),
+    )

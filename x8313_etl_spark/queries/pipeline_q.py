@@ -1615,3 +1615,301 @@ def p_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_col="o_orderkey", cand_col="p_partkey",
         rank_key="negsample.idx", over_factor=_NS_OVER,
     )
+
+
+_WINS_LO, _WINS_HI = 0.05, 0.95
+
+_WINS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT source,
+         CAST(ceil(quantile_cont(n_tokens, {_WINS_LO})) AS BIGINT) AS lo,
+         CAST(ceil(quantile_cont(n_tokens, {_WINS_HI})) AS BIGINT) AS hi
+  FROM d GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_tokens, b.lo, b.hi,
+       least(greatest(d.n_tokens, b.lo), b.hi) AS clamped,
+       least(greatest(d.n_tokens, b.lo), b.hi) <> d.n_tokens AS was_clamped
+FROM d JOIN b ON b.source = d.source
+"""
+
+
+@register(
+    "p_winsorize",
+    category="pipeline",
+    oracle=_WINS_SQL,
+)
+def p_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clamp per-source token counts into the
+    [p05, p95] band — the curation step that stops length outliers
+    (boilerplate dumps, truncated fragments) from dominating
+    length-sensitive statistics. Thresholds are the g3 CEIL(quantile)
+    integer discipline: exact percentile over int64 token counts, CEIL
+    to an integer bound — quantile-derived, so the operator stays
+    nontrivially exercised at every sf. One groupBy for the per-source
+    bounds (sources-sized, broadcast back), one map-side clamp."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    bounds = d.groupBy("source").agg(
+        F.ceil(F.expr(f"percentile(n_tokens, {_WINS_LO})")).alias("lo"),
+        F.ceil(F.expr(f"percentile(n_tokens, {_WINS_HI})")).alias("hi"),
+    )
+    out = d.join(F.broadcast(bounds), "source")
+    clamped = F.least(F.greatest(F.col("n_tokens"), F.col("lo")), F.col("hi"))
+    return out.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.col("lo").cast("bigint").alias("lo"),
+        F.col("hi").cast("bigint").alias("hi"),
+        clamped.cast("bigint").alias("clamped"),
+        (clamped != F.col("n_tokens")).alias("was_clamped"),
+    )
+
+
+_MARKOV_SQL = """
+WITH tr AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+  FROM tr WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+t AS (SELECT prev_type, CAST(sum(n_transitions) AS BIGINT) AS row_total
+      FROM c GROUP BY prev_type)
+SELECT c.prev_type, c.next_type, c.n_transitions,
+       CAST((1000000 * c.n_transitions) // t.row_total AS BIGINT) AS prob_ppm
+FROM c JOIN t USING (prev_type)
+"""
+
+
+@register(
+    "p_markov_transitions",
+    category="pipeline",
+    oracle=_MARKOV_SQL,
+)
+def p_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (session path analysis / next-event model). The lag
+    window shuffles once on user_id — per-user state is bounded by
+    that user's event count — and the transition aggregate is
+    state-space sized (|event_type|^2 <= 25 here), so the output side
+    is a broadcast-scale table at ANY corpus size. prob_ppm is integer
+    floor division (Spark `div` == DuckDB `//`), so rows are
+    engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    c = tr.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    tot = c.groupBy("prev_type").agg(F.sum("n_transitions").alias("row_total"))
+    return (
+        c.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n_transitions",
+            F.expr("(1000000 * n_transitions) div row_total").alias("prob_ppm"),
+        )
+    )
+
+
+_CF_TOPK = 3
+
+_CF_SQL = f"""
+WITH bi AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+),
+cnt AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY p),
+pairs AS MATERIALIZED (
+  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS c_ab
+  FROM bi a JOIN bi b ON a.ok = b.ok AND a.p < b.p
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT pa AS item, pb AS other, c_ab FROM pairs
+  UNION ALL
+  SELECT pb AS item, pa AS other, c_ab FROM pairs
+),
+j AS (
+  SELECT s.item, s.other, s.c_ab, ci.c AS c_i, co.c AS c_o
+  FROM sym s JOIN cnt ci ON ci.p = s.item JOIN cnt co ON co.p = s.other
+)
+SELECT item, other, c_ab, c_i, c_o, rn FROM (
+  SELECT item, other, c_ab, c_i, c_o,
+         CAST(row_number() OVER (
+           PARTITION BY item
+           ORDER BY CAST(c_ab * c_ab AS DOUBLE) / CAST(c_i * c_o AS DOUBLE)
+                    DESC, other
+         ) AS BIGINT) AS rn
+  FROM j
+) WHERE rn <= {_CF_TOPK}
+"""
+
+
+@register(
+    "p_item_cf",
+    category="pipeline",
+    bench=True,
+    oracle=_CF_SQL,
+)
+def p_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence similarity (the co-purchase statistic:
+    'users who bought X also bought Y'; the same shape scores term
+    co-occurrence in corpus analysis): baskets are orders, items are
+    parts. Co-occurrence counts c_ab come from the basket self-join
+    (a < b, then symmetrized); each item ranks its neighbors by cosine
+    over basket-incidence vectors, cos² = c_ab²/(c_a·c_b). The score
+    is ONE IEEE division of exact int64s — engines given identical
+    integers produce the identical double, so the ORDER BY is
+    engine-exact (no sums of libm terms anywhere); the OUTPUT carries
+    only the integer evidence (c_ab, c_a, c_b) + rank. Scale: the
+    self-join's pair volume is Σ basket² — baskets are order-sized
+    (≤7 lineitems), so the term is linear in orders; the top-k is a
+    WindowGroupLimit. 10×-swept before registration (PERF.md: 3.1×,
+    the linear Σ basket² law) and re-swept at registration (r10)."""
+    bi = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    cnt = bi.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = bi.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = bi.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    )
+    sym = pairs.select(
+        F.col("pa").alias("item"), F.col("pb").alias("other"), "c_ab"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("item"), F.col("pa").alias("other"), "c_ab"
+        )
+    )
+    j = (
+        sym.join(
+            cnt.select(F.col("l_partkey").alias("item"), F.col("c").alias("c_i")),
+            "item",
+        )
+        .join(
+            cnt.select(F.col("l_partkey").alias("other"), F.col("c").alias("c_o")),
+            "other",
+        )
+    )
+    score = (F.col("c_ab") * F.col("c_ab")).cast("double") / (
+        F.col("c_i") * F.col("c_o")
+    ).cast("double")
+    rk = Window.partitionBy("item").orderBy(score.desc(), F.col("other"))
+    return (
+        j.withColumn("rn", F.row_number().over(rk).cast("bigint"))
+        .filter(F.col("rn") <= _CF_TOPK)
+        .select("item", "other", "c_ab", "c_i", "c_o", "rn")
+    )
+
+
+_CONT_NUM, _CONT_DEN = 1, 2  # τ = 1/2 (integer cross-multiplication)
+
+_CONTAINMENT_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - 2, 0)),
+           i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS toks
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+f AS (SELECT doc_id, toks FROM s WHERE len(toks) > 0)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+       CAST(len(a.toks) AS BIGINT) AS size_a,
+       CAST(len(b.toks) AS BIGINT) AS size_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(a.toks)
+         AS containment
+FROM f a JOIN f b ON a.doc_id != b.doc_id
+WHERE len(list_intersect(a.toks, b.toks)) * {_CONT_DEN}
+      >= len(a.toks) * {_CONT_NUM}
+"""
+
+
+def _containment_over(docs: DataFrame) -> DataFrame:
+    """C(A→B) over word-3-shingle sets of an arbitrary (doc_id, text)
+    frame — split out so the crafted subset-direction unit test
+    (tests/test_registered_guards.py) can drive it with a constructed
+    corpus."""
+    from ..operators.minhash import shingle_table
+
+    sh = shingle_table(docs, "doc_id", "text", 3).filter(F.size("sh") > 0)
+    sizes = sh.select("doc_id", F.size("sh").alias("sz"))
+    post = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    pairs = (
+        post.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(post.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")),
+            "doc_b",
+        )
+        .filter(F.col("inter") * _CONT_DEN >= F.col("size_a") * _CONT_NUM)
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("inter").cast("bigint").alias("inter"),
+        F.col("size_a").cast("bigint").alias("size_a"),
+        F.col("size_b").cast("bigint").alias("size_b"),
+        (F.col("inter").cast("double") / F.col("size_a")).alias("containment"),
+    )
+
+
+@register(
+    "p_shingle_containment",
+    category="pipeline",
+    oracle=_CONTAINMENT_SQL,
+)
+def p_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric set containment C(A→B) = |A∩B| / |A| over word-3-
+    shingle SETS (Broder's containment from the original resemblance
+    paper, public): doc_a is flagged when τ of its shingles appear in
+    doc_b — catches a doc quoted or embedded inside a larger one, which
+    symmetric Jaccard (l2/l11) misses when |B| >> |A|. Candidates from
+    the inverted-index posting self-join (the l2c Σ df² shape; a df cap
+    is the documented hot-shingle dial); verification is integer
+    cross-multiplication — no fp threshold. Asymmetric: both (a,b) and
+    (b,a) can appear. The twin is DELIBERATELY brute-force all-pairs
+    (the l11 precedent): candidate generation must be invisible in the
+    answer.
+
+    10× sweep (scripts/scale10x_r8cand.py, near-duplicated replica):
+    6.4 s → 435 s is an OUTPUT-DENSITY artifact, not a law violation —
+    qualifying pairs grew 979× (every 10-copy near-dup group mutually
+    contains) while wall per output row IMPROVED 14×. Production dials
+    when containment output is dense: the hot-shingle df cap, and the
+    prefix-filter upgrade (setjoin's AllPairs machinery specialized to
+    the asymmetric bound ⌊(1−τ)|A|⌋+1) — documented, not implemented."""
+    return _containment_over(load_table(spark, sf_dir, "documents"))

@@ -1796,3 +1796,93 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fused_rank") <= _RRF_TOPK)
         .select("q_id", "doc_id", "rrf_score", "n_lists", "fused_rank")
     )
+
+
+_EO_PCT_NUM, _EO_PCT_DEN = 9, 10  # flag beyond the per-cluster p90
+
+
+def _embed_outliers_sql() -> str:
+    """Twin built on the verified kmeans chain: the _KMEANS_SQL prefix
+    (seeding + rounds + final assignment) feeds an exact per-cluster
+    rank threshold."""
+    prefix = _KMEANS_SQL.split("mem AS (")[0].rstrip().rstrip(",")
+    return f"""{prefix},
+d AS MATERIALIZED (
+  SELECT a.vec_id, a.cid, CAST(SUM((q.q - c.q) * (q.q - c.q)) AS BIGINT) AS d2
+  FROM afin a JOIN q USING (vec_id)
+  JOIN c{_KM_ROUNDS} c ON c.cid = a.cid AND c.idx = q.idx
+  GROUP BY a.vec_id, a.cid),
+r AS (
+  SELECT vec_id, cid, d2,
+         row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS rn,
+         count(*) OVER (PARTITION BY cid) AS n
+  FROM d),
+thr AS (SELECT cid, d2 AS thr FROM r
+        WHERE rn = ({_EO_PCT_NUM} * n + {_EO_PCT_DEN - 1}) // {_EO_PCT_DEN})
+SELECT r.vec_id, CAST(r.cid AS BIGINT) AS cid, r.d2, r.d2 > t.thr AS is_outlier
+FROM r JOIN thr t ON t.cid = r.cid
+"""
+
+
+@register(
+    "p_embed_outliers",
+    category="pipeline",
+    oracle=_embed_outliers_sql(),
+)
+def p_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier filter (distance-to-centroid quality
+    gate — the kmeans composition SemDeDup's sibling curation step
+    uses; cluster-based outlier scoring is standard public practice):
+    integer d² of each vector to ITS final centroid (the
+    sim_kmeans_lloyd loop — engine-exact), then a PER-CLUSTER exact
+    rank threshold: the d² at ceil(0.9·n) in (d², vec_id) order; rows
+    strictly above it are outliers. All integer (ceil as (9n+9) div 10
+    — no float 0.9·n, whose representation error flips ceil at n=10).
+    The curation consumer drops is_outlier rows before training —
+    embeddings far from every cluster are mislabeled/noise candidates
+    (the standard cluster-distance quality gate).
+
+    Scale: one broadcast N×k assignment (k const), one map-only d²
+    pass, one window keyed by cid (k partitions — bounded; for huge
+    clusters the two-phase globalrank core swaps in, documented)."""
+    from ..operators.kmeans import lloyd_kmeans, quantize_vectors
+
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assign, cents = lloyd_kmeans(
+        vecs, k=_KM_K, rounds=_KM_ROUNDS, ledger_key="embout"
+    )
+    qv = quantize_vectors(vecs)
+    d2 = (
+        assign.join(qv, "vec_id")
+        .join(cents, "cid")
+        .select(
+            "vec_id",
+            "cid",
+            F.aggregate(
+                F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("cid").orderBy("d2", "vec_id")
+    ranked = d2.select(
+        "vec_id",
+        "cid",
+        "d2",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("cid")).alias("n"),
+    )
+    thr = ranked.filter(
+        F.col("rn")
+        == F.expr(f"({_EO_PCT_NUM} * n + {_EO_PCT_DEN - 1}) div {_EO_PCT_DEN}")
+    ).select("cid", F.col("d2").alias("thr"))
+    return (
+        ranked.join(thr, "cid")
+        .select(
+            "vec_id",
+            F.col("cid").cast("bigint").alias("cid"),
+            F.col("d2").cast("bigint").alias("d2"),
+            (F.col("d2") > F.col("thr")).alias("is_outlier"),
+        )
+    )

@@ -1174,3 +1174,80 @@ def t19_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="left_semi",
     )
     return run_to_memory(spark, joined, "t19_semi_join", "append")
+
+
+_T20_TOPK = 3
+
+_T20_SQL = f"""
+WITH c AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT wstart, event_type, n_events, rn FROM (
+  SELECT wstart, event_type, n_events,
+         CAST(row_number() OVER (PARTITION BY wstart
+                                 ORDER BY n_events DESC, event_type)
+              AS BIGINT) AS rn
+  FROM c
+) WHERE rn <= {_T20_TOPK}
+"""
+
+
+@register(
+    "t20_stream_windowed_topk",
+    category="streaming",
+    oracle=_T20_SQL,
+)
+def t20_stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous per-window leaderboard: tumbling 1-hour counts per
+    event type in UPDATE mode over a REAL 4-micro-batch feed (t15's
+    split-file pattern), then the final top-k per window. Update mode
+    emits one row per (key, updating batch); counts are MONOTONE per
+    key, so max(n) per key is the final state no matter how the feed
+    splits into batches (batch-split invariance by algebra, not by
+    luck) — the rank then runs on that reduced state. The twin is the
+    batch tumbling top-k. Scale: the streaming agg state is keys-sized;
+    the final rank is a WindowGroupLimit over the windows×types
+    table."""
+    import os
+    import shutil
+    import time as _time
+    import uuid as _uuid
+
+    from ..schemas import SCHEMAS
+    from .sources_q import _tag, scratch
+
+    family = scratch(f"t20_topk_{_tag(sf_dir)}")
+    cutoff = _time.time() - 1800
+    for sub in os.listdir(family) if os.path.isdir(family) else []:
+        p = os.path.join(family, sub)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    work = os.path.join(family, _uuid.uuid4().hex[:12])
+    src_dir = os.path.join(work, "src")
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    agg = stream.groupBy(
+        F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    sink = run_to_memory(spark, agg, "t20_topk", "update")
+    final = sink.groupBy(F.col("w.start").alias("wstart"), "event_type").agg(
+        F.max("n").cast("bigint").alias("n_events")
+    )
+    rk = Window.partitionBy("wstart").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        final.withColumn("rn", F.row_number().over(rk).cast("bigint"))
+        .filter(F.col("rn") <= _T20_TOPK)
+        .select("wstart", "event_type", "n_events", "rn")
+    )

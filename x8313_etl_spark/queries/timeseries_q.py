@@ -1058,3 +1058,125 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+_ZS_W = 20  # rolling window (preceding rows, current row excluded)
+_ZS_K2 = 9  # k² for the k=3σ rule
+
+_ZS_SQL = f"""
+WITH r AS (
+  SELECT event_type AS series, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         count(*) OVER w AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS s1,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN {_ZS_W} PRECEDING AND 1 PRECEDING)
+)
+SELECT series, event_id, cents,
+       ({_ZS_W} * cents - s1) * ({_ZS_W} * cents - s1) AS dev2,
+       {_ZS_K2} * ({_ZS_W} * s2 - s1 * s1) AS k2var,
+       ({_ZS_W} * cents - s1) * ({_ZS_W} * cents - s1)
+         > {_ZS_K2} * ({_ZS_W} * s2 - s1 * s1) AS is_anomaly
+FROM r WHERE n = {_ZS_W}
+"""
+
+
+@register(
+    "ts_zscore_anomaly",
+    category="timeseries",
+    oracle=_ZS_SQL,
+)
+def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags per series: a reading is anomalous
+    when |x − μ| > kσ over the W preceding observations (current row
+    excluded — the standard 'compare against recent history' form).
+    ENGINE-EXACT BY CONSTRUCTION: with integer cents, n = W,
+    S1 = Σ cents, S2 = Σ cents², the rule |x−μ| > kσ is equivalent to
+    (W·x − S1)² > k²·(W·S2 − S1²) — every quantity an int64 (bounds:
+    cents ≤ ~10⁴, W = 20 → dev² ≤ 1.6e11, W·S2 ≤ 4e10), so there is no
+    sqrt, no division, and no fp at any point; the twin replays the
+    identical integer algebra. Rows with fewer than W predecessors are
+    warm-up and not emitted. One window shuffle keyed by series; the
+    two rolling sums share the single (series, ts, event_id) sort."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("series"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("series")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_ZS_W, -1)
+    )
+    r = ev.select(
+        "series",
+        "event_id",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cents").over(w).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("s2"),
+    ).filter(F.col("n") == _ZS_W)
+    dev = _ZS_W * F.col("cents") - F.col("s1")
+    var_n = _ZS_W * F.col("s2") - F.col("s1") * F.col("s1")
+    return r.select(
+        "series",
+        "event_id",
+        "cents",
+        (dev * dev).cast("bigint").alias("dev2"),
+        (F.lit(_ZS_K2) * var_n).cast("bigint").alias("k2var"),
+        (dev * dev > _ZS_K2 * var_n).alias("is_anomaly"),
+    )
+
+
+_VWAP_SQL = """
+WITH x AS (
+  SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+)
+SELECT week, CAST(sum(qty) AS BIGINT) AS total_qty,
+       CAST(sum(cents * qty) AS BIGINT) AS notional_cents,
+       CAST(sum(cents * qty) // sum(qty) AS BIGINT) AS vwap_cents
+FROM x GROUP BY week
+"""
+
+
+@register(
+    "ts_vwap_bars",
+    category="timeseries",
+    oracle=_VWAP_SQL,
+)
+def ts_vwap_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly VWAP bars over lineitem: vwap = sum(price*qty)/sum(qty)
+    in exact integer cents (floor division). Quantities in the TPC-H
+    shape are integral doubles, so the bigint cast is exact; prices
+    quantize via the ROUND(x*100) cents idiom (j15's). One map pass +
+    one week-keyed aggregate — partial aggregation map-side, ~52
+    groups/year at any scale. Int64 headroom: cents*qty <= ~5*10^8 per
+    row, so a week's sum overflows only past ~2*10^10 rows/week; at
+    that scale the sum would move to decimal(38,0) — documented, not
+    needed at fixture sfs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.date_trunc("week", "l_shipdate").cast("date").alias("week"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+        .groupBy("week")
+        .agg(
+            F.sum("qty").alias("total_qty"),
+            F.sum(F.col("cents") * F.col("qty")).alias("notional_cents"),
+        )
+        .select(
+            "week",
+            "total_qty",
+            "notional_cents",
+            F.expr("notional_cents div total_qty").alias("vwap_cents"),
+        )
+    )
