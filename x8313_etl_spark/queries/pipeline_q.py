@@ -1718,15 +1718,17 @@ def p_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = tr.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
         F.count(F.lit(1)).alias("n_transitions")
     )
-    tot = c.groupBy("prev_type").agg(F.sum("n_transitions").alias("row_total"))
-    return (
-        c.join(F.broadcast(tot), "prev_type")
-        .select(
-            "prev_type",
-            "next_type",
-            "n_transitions",
-            F.expr("(1000000 * n_transitions) div row_total").alias("prob_ppm"),
-        )
+    # row totals as a whole-partition WINDOW over the state-space-sized
+    # count table — the aggregate-then-join-back form re-executed the
+    # events scan + lag window once per reference (measured, no
+    # ReusedExchange; the p_item_cf r10 lesson)
+    return c.withColumn(
+        "row_total", F.sum("n_transitions").over(Window.partitionBy("prev_type"))
+    ).select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.expr("(1000000 * n_transitions) div row_total").alias("prob_ppm"),
     )
 
 

@@ -1013,9 +1013,17 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the TRUNCATING division tot div n, and the ACF is returned as
     exact integer (numerator, denominator) pairs rather than a float
     ratio — num_l = sum (y_t - mu)(y_{t+l} - mu), den = sum (y_t - mu)²
-    over the (ts, event_id)-ordered stream. One window pass per lag on
-    the same series partitioning (a single shuffle, WindowExec reuses
-    the sort); integer sums are order-free."""
+    over the (ts, event_id)-ordered stream.
+
+    Plan shape (reworked r10, the p_item_cf lesson generalized): the
+    original one-branch-per-lag union re-executed the events scan SIX
+    times (measured — no ReusedExchange fires across the branches),
+    and the mean came from a join-back aggregate that re-scanned the
+    base. Now the per-series mean is a whole-partition WINDOW over the
+    one scan (no join), all lags are leads off the SAME (ts, event_id)
+    sort, ONE groupBy computes every (num_l, den) together, and the
+    per-lag rows come from an inline explode — 6 scans → 1, same
+    output rows."""
     ev = load_table(spark, sf_dir, "events")
     base = ev.select(
         F.col("user_id").cast("bigint").alias("series"),
@@ -1023,41 +1031,54 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.expr("cast(round(value * 100) as bigint)").alias("yc"),
     )
-    stats = base.groupBy("series").agg(
-        F.sum("yc").alias("tot"), F.count(F.lit(1)).alias("n")
-    )
-    d = base.join(stats, "series").select(
-        "series", "ts", "event_id", "n",
+    w_all = Window.partitionBy("series")
+    w = Window.partitionBy("series").orderBy("ts", "event_id")
+    d = base.select(
+        "series",
+        "ts",
+        "event_id",
+        "yc",
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("yc").over(w_all).alias("tot"),
+    ).select(
+        "series",
+        "ts",
+        "event_id",
+        "n",
         (F.col("yc") - F.expr("tot div n")).alias("dev"),
     )
-    w = Window.partitionBy("series").orderBy("ts", "event_id")
     lagged = d.select(
         "series",
         "n",
         "dev",
         *[F.lead("dev", l).over(w).alias(f"dev_{l}") for l in _ACF_LAGS],
     )
-    rows = []
-    for l in _ACF_LAGS:
-        rows.append(
-            lagged.groupBy("series")
-            .agg(
-                F.first("n").alias("n"),
-                F.sum(F.col("dev") * F.col(f"dev_{l}")).alias("num"),
-                F.sum(F.col("dev") * F.col("dev")).alias("den"),
-            )
-            .select(
-                "series",
+    agg = lagged.groupBy("series").agg(
+        F.first("n").alias("n"),
+        F.sum(F.col("dev") * F.col("dev")).alias("den"),
+        *[
+            F.sum(F.col("dev") * F.col(f"dev_{l}")).alias(f"num_{l}")
+            for l in _ACF_LAGS
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
                 F.lit(l).cast("bigint").alias("lag"),
-                F.col("n").cast("bigint").alias("n"),
-                F.col("num").cast("bigint").alias("num"),
-                F.col("den").cast("bigint").alias("den"),
+                F.col(f"num_{l}").cast("bigint").alias("num"),
             )
+            for l in _ACF_LAGS
+        ]
+    )
+    return (
+        agg.select(
+            "series",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("den").cast("bigint").alias("den"),
+            F.explode(pairs).alias("e"),
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+        .select("series", F.col("e.lag").alias("lag"), "n", F.col("e.num").alias("num"), "den")
+    )
 
 
 _ZS_W = 20  # rolling window (preceding rows, current row excluded)
