@@ -224,12 +224,12 @@ ALLOWED: dict[str, tuple[dict[str, int], str]] = {
         "operators/globalrank.py) — fact rows never funnel",
     ),
     "dq5_distribution_drift": (
-        {"BroadcastNestedLoopJoin": 7, "Exchange SinglePartition": 7},
-        "three chained one-row scalars (median-day threshold, reference "
-        "bin edges, the two half totals) broadcast-crossed in sequence; "
-        "counts > 3 are plan-string re-expansions of the upstream scalar "
-        "subtrees inside each later branch — every crossed table is ONE "
-        "row, the binned table is 10 rows",
+        {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
+        "the totals scalar (one row) broadcast-crossed into the final "
+        "ppm select over the CHECKPOINTED 10-row bin table; the "
+        "upstream threshold/edges scalar chain is audited under the "
+        "dq5.binned ledger key (r10 rework: the unmaterialized chain "
+        "re-executed the events scan 8x)",
     ),
     "sim_hybrid_rrf": (
         {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
@@ -393,6 +393,15 @@ ALLOWED_LEDGER: dict[str, tuple[dict[str, int], str]] = {
     "embout.final": (
         {"BroadcastNestedLoopJoin": 1},
         "same as sim_kmeans.final under p_embed_outliers' key",
+    ),
+    "dq5.binned": (
+        {"BroadcastNestedLoopJoin": 3, "Exchange SinglePartition": 3},
+        "the bin table's first-build plan: three chained one-row "
+        "scalars (median-day threshold, reference bin edges' min/max, "
+        "and their plan-string re-expansions) broadcast-crossed in "
+        "sequence — every crossed table is ONE row; the checkpoint "
+        "exists so the 10-row result is built once instead of once per "
+        "downstream reference",
     ),
 }
 

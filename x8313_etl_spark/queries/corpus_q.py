@@ -981,10 +981,15 @@ def p_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     is unioned with an id-offset copy (l1's trick) so the dedup stage
     provably removes rows at every sf."""
     d0 = load_table(spark, sf_dir, "documents")
-    u = d0.select("doc_id", "text", "lang", "n_chars").unionByName(
-        d0.select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang", "n_chars"
-        )
+    # offset copy via map-side explode — a self-union re-scans the
+    # parquet once per branch (r10 plan sweep; l1's fix shared)
+    u = d0.select(
+        F.explode(
+            F.array(F.col("doc_id"), F.col("doc_id") + 1_000_000)
+        ).alias("doc_id"),
+        "text",
+        "lang",
+        "n_chars",
     )
     q = u.filter(
         F.col("lang").isin("en", "de")

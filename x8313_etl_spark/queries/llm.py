@@ -78,7 +78,14 @@ def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest; at 100 TB this never compares full texts.
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    u = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    # the offset copy comes from a map-side explode, not a self-union —
+    # a union re-scans the parquet once per branch (r10 plan sweep)
+    u = d.select(
+        F.explode(
+            F.array(F.col("doc_id"), F.col("doc_id") + 1_000_000)
+        ).alias("doc_id"),
+        "text",
+    )
     return exact_dedup_normalized(u, "text", "doc_id").select("doc_id", "text_sha")
 
 
