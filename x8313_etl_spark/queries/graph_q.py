@@ -205,8 +205,18 @@ def g2_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the labels table stays node-sized; frontier rounds equal
     the graph diameter, and each round's cost tracks the ACTIVE
     frontier, not the full edge set, once most labels stop improving —
-    the standard Pregel-style cost model."""
-    from pyspark import StorageLevel
+    the standard Pregel-style cost model.
+
+    Materialization (reworked r10): the original raw per-round
+    ``persist`` calls bypassed the audit ledger, were never released,
+    and left the returned plan re-printing the full lineage once per
+    cached reference (128 FileScans in the plan string — string noise,
+    but unauditable). Now the edge table, node set, and each round's
+    labels go through ``audited_checkpoint`` (g1's discipline): plans
+    recorded under g2.* ledger keys, lineage truncated, nothing left
+    pinned in executor storage after the query returns; the symmetric
+    edge set comes from a map-side explode rather than a self-union."""
+    from ..audit import audited_checkpoint
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -218,11 +228,21 @@ def g2_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ed = e.unionAll(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    nodes = ed.select(F.col("src").alias("node")).distinct().persist(
-        StorageLevel.MEMORY_AND_DISK
+    ed = audited_checkpoint(
+        "g2.edges",
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("p")
+        ).select("p.src", "p.dst"),
+    )
+    nodes = audited_checkpoint(
+        "g2.nodes", ed.select(F.col("src").alias("node")).distinct()
     )
     seeds = [f"S{i}" for i in range(5)]
     labels = nodes.filter(F.col("node").isin(seeds)).select(
@@ -232,11 +252,11 @@ def g2_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         expanded = ed.join(labels, ed.src == labels.node).select(
             F.col("dst").alias("node"), (F.col("hop") + 1).alias("hop")
         )
-        labels = (
+        labels = audited_checkpoint(
+            "g2.round",
             labels.unionByName(expanded)
             .groupBy("node")
-            .agg(F.min("hop").alias("hop"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .agg(F.min("hop").alias("hop")),
         )
     return nodes.join(labels, "node", "left").select(
         "node", F.coalesce(F.col("hop"), F.lit(-1)).cast("int").alias("hops")
