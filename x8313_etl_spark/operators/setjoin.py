@@ -128,6 +128,7 @@ def similarity_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int | None = None,
+    ledger_key: str | None = None,
 ) -> DataFrame:
     """All pairs with Jaccard ≥ t_num/t_den over distinct token sets:
     (doc_a, doc_b, inter, uni, jaccard). Membership is decided by the
@@ -163,6 +164,19 @@ def similarity_join(
         F.min("doc_id").alias("gid"),
         F.sort_array(F.collect_list("doc_id")).alias("members"),
     )
+    # `groups` feeds SEVEN plan branches (dsets→cand/sa/sb, ma, mb,
+    # within) and nothing downstream shrinks it — without
+    # materialization every branch re-derived the whole shingle +
+    # df-rank + collect_list chain (14 corpus scans measured in the r10
+    # plan sweep; 2 after). Checkpoint through the audited ledger when
+    # the caller supplies a key (registered queries), plain eager
+    # localCheckpoint otherwise (unit/property tests on crafted frames).
+    if ledger_key is not None:
+        from ..audit import audited_checkpoint
+
+        groups = audited_checkpoint(f"{ledger_key}.groups", groups)
+    else:
+        groups = groups.localCheckpoint(eager=True)
     dsets = groups.select(F.col("gid").alias("doc_id"), "toks", "n")
     cand = prefix_candidates(dsets, t_num, t_den)
     sa = dsets.select(

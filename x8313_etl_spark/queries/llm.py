@@ -512,4 +512,4 @@ def l11_setjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.setjoin import similarity_join
 
     docs = load_table(spark, sf_dir, "documents")
-    return similarity_join(docs, 1, 2, shingle_k=3)
+    return similarity_join(docs, 1, 2, shingle_k=3, ledger_key="l11")
