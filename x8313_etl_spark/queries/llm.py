@@ -355,15 +355,25 @@ def l6_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     for an identical double — instead of a double→DECIMAL(25,6) cast,
     which Spark performs via the shortest-repr string and DuckDB via
     the exact binary expansion (they can disagree AT a half-grid
-    boundary even on the same value; the r8 p_rag_context_pack red)."""
+    boundary even on the same value; the r8 p_rag_context_pack red).
+
+    Plan shape (reworked r10): df used to come from a SECOND
+    scan+explode branch (t.distinct().groupBy(term)) — true
+    re-execution, no ReusedExchange. Since tf holds exactly one row
+    per (doc, term), df IS the per-term row count of tf: a term-keyed
+    window over the one aggregated table. One scan+explode and two
+    exchanges replace two scans+explodes and three."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfc = t.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tfdf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     return (
-        tf.filter(F.col("doc_id") < 50)
-        .join(F.broadcast(dfc), "term")
+        tfdf.filter(F.col("doc_id") < 50)
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
