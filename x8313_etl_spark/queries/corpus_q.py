@@ -887,7 +887,11 @@ def p_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded on bench doc id so benchmark members are judged only
     against OTHER docs' shingles (a benchmark doc flagged here means
     the corpus carries a copy of it — exactly what decontamination
-    must catch)."""
+    must catch). The broadcast is pre-aggregated UNIQUE PER GRAM
+    (holder count + single-holder id) rather than per (gram, bench_id):
+    same probe semantics, smaller hash table, and a gram held by k
+    bench docs no longer fans each corpus row out k ways before the
+    distinct-count shuffle (the overlap-score discipline, r10)."""
     d = load_table(spark, sf_dir, "documents")
     g = d.select(
         "doc_id", F.array_distinct(_rx_ngrams(F.col("text"), DECON_NGRAM)).alias("grams")
@@ -895,20 +899,19 @@ def p_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = (
         g.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
         .select(F.col("doc_id").alias("bench_id"), F.explode("grams").alias("gram"))
-        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_bench"), F.min("bench_id").alias("b_min"))
     )
     corpus = g.select("doc_id", F.explode("grams").alias("gram"))
+    is_hit = (F.col("n_bench") >= 2) | (F.col("b_min") != F.col("doc_id"))
     hits = (
-        corpus.join(
-            F.broadcast(bench),
-            (corpus["gram"] == bench["gram"])
-            & (corpus["doc_id"] != bench["bench_id"]),
-        )
-        .groupBy(corpus["doc_id"])
-        .agg(F.count_distinct(corpus["gram"]).alias("n_hit_grams"))
+        corpus.join(F.broadcast(bench), "gram")
+        .filter(is_hit)
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_hit_grams"))
     )
     return (
-        g.select("doc_id")
+        d.select("doc_id")
         .join(hits, "doc_id", "left")
         .select(
             "doc_id",
@@ -1084,33 +1087,46 @@ def p_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     Membership is hash-thresholded per (epoch, doc) — the epoch salt
     makes epochs INDEPENDENT samples (a doc kept in epoch 0 carries no
     information about epoch 2), deterministic, repartition-stable, and
-    resumable, none of which an RNG gives. Map-only: each epoch is a
-    filter over the scan, unioned — no shuffle at any scale; the
-    schedule table (epoch, doc_id, source, weight) is exactly what a
-    training-data loader consumes."""
+    resumable, none of which an RNG gives. Map-only, ONE scan: the
+    epoch schedule is a literal array exploded per row (a union of
+    per-epoch filters re-executed the documents scan once per epoch —
+    the p_item_cf/l1 self-union lesson, fixed r10); the schedule table
+    (epoch, doc_id, source, weight) is exactly what a training-data
+    loader consumes."""
     d = load_table(spark, sf_dir, "documents")
     hi = F.col("source").isin("src0", "src1", "src2", "src3")
-    parts = []
-    for e, w_hi, w_lo in _MIX_EPOCHS:
-        weight = F.when(hi, F.lit(w_hi)).otherwise(F.lit(w_lo)).cast("double")
-        bucket = _hash_bucket(
-            F.concat(F.lit(f"epoch{e}-"), F.col("doc_id").cast("string")), 10000
-        )
-        parts.append(
-            d.select(
+    epochs = F.array(
+        *[
+            F.struct(
                 F.lit(e).alias("epoch"),
-                "doc_id",
-                "source",
-                weight.alias("weight"),
-                bucket.alias("__b"),
+                F.lit(w_hi).alias("w_hi"),
+                F.lit(w_lo).alias("w_lo"),
             )
-            .filter(F.col("__b") < F.col("weight") * 10000)
-            .drop("__b")
+            for e, w_hi, w_lo in _MIX_EPOCHS
+        ]
+    )
+    weight = F.when(hi, F.col("ep.w_hi")).otherwise(F.col("ep.w_lo")).cast("double")
+    bucket = _hash_bucket(
+        F.concat(
+            F.lit("epoch"),
+            F.col("ep.epoch").cast("string"),
+            F.lit("-"),
+            F.col("doc_id").cast("string"),
+        ),
+        10000,
+    )
+    return (
+        d.select("doc_id", "source", F.explode(epochs).alias("ep"))
+        .select(
+            F.col("ep.epoch").alias("epoch"),
+            "doc_id",
+            "source",
+            weight.alias("weight"),
+            bucket.alias("__b"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        .filter(F.col("__b") < F.col("weight") * 10000)
+        .drop("__b")
+    )
 
 
 @register(
@@ -1148,11 +1164,18 @@ def p_contamination_overlap_score(spark: SparkSession, sf_dir: str) -> DataFrame
     decontamination policy thresholds on (drop at high overlap,
     down-weight at partial, keep incidental collisions). Same
     corpus-vs-constant shape: the benchmark shingle set broadcasts, the
-    corpus explodes map-only and probes it, only matching pairs reach
-    the per-doc distinct-hit shuffle; the denominator rides the gram
-    array already built (no second pass). Score is one exact int/int
-    double division. Self-matches excluded on bench doc id, as in
-    p_decontaminate."""
+    corpus explodes map-only and probes it. The denominator rides the
+    SAME explode: grams is already array_distinct, so the per-doc
+    exploded row count IS len(grams) — computing n_grams from a second
+    g branch re-ran the full-corpus tokenization per plan branch
+    (measured, scripts/scan_triage.py r10). To keep that count exact
+    the bench side is pre-aggregated UNIQUE PER GRAM (n_bench, min/max
+    bench_id) before the left probe — a per-bench_id bench table would
+    multiply corpus rows — and the self-match exclusion becomes
+    "some OTHER bench doc holds it": n_bench ≥ 2, or the single holder
+    isn't this doc. Zero-gram docs (shorter than the n-gram window)
+    are reinstated by a doc_id-only join back to the scan, which reads
+    no text. Score is one exact int/int double division."""
     d = load_table(spark, sf_dir, "documents")
     g = d.select(
         "doc_id",
@@ -1161,28 +1184,35 @@ def p_contamination_overlap_score(spark: SparkSession, sf_dir: str) -> DataFrame
     bench = (
         g.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
         .select(F.col("doc_id").alias("bench_id"), F.explode("grams").alias("gram"))
-        .distinct()
+        .groupBy("gram")
+        .agg(
+            F.count("*").alias("n_bench"),
+            F.min("bench_id").alias("b_min"),
+        )
     )
     corpus = g.select("doc_id", F.explode("grams").alias("gram"))
-    hits = (
-        corpus.join(
-            F.broadcast(bench),
-            (corpus["gram"] == bench["gram"])
-            & (corpus["doc_id"] != bench["bench_id"]),
+    is_hit = F.col("n_bench").isNotNull() & (
+        (F.col("n_bench") >= 2) | (F.col("b_min") != F.col("doc_id"))
+    )
+    scored = (
+        corpus.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(is_hit, True)).alias("n_hit"),
         )
-        .groupBy(corpus["doc_id"])
-        .agg(F.count_distinct(corpus["gram"]).alias("n_hit"))
     )
     n_hit = F.coalesce("n_hit", F.lit(0))
+    n_grams = F.coalesce("n_grams", F.lit(0))
     return (
-        g.select("doc_id", F.size("grams").cast("bigint").alias("n_grams"))
-        .join(hits, "doc_id", "left")
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
         .select(
             "doc_id",
-            "n_grams",
+            n_grams.cast("bigint").alias("n_grams"),
             n_hit.cast("bigint").alias("n_hit"),
-            F.when(F.col("n_grams") == 0, F.lit(0.0))
-            .otherwise(n_hit.cast("double") / F.col("n_grams"))
+            F.when(n_grams == 0, F.lit(0.0))
+            .otherwise(n_hit.cast("double") / n_grams)
             .alias("overlap_score"),
         )
     )

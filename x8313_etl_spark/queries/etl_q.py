@@ -293,15 +293,25 @@ GROUP BY 1, 2, s.cohort_n
 def a14_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14: cohort retention — users grouped by first-seen day, activity
     counted per day offset (the product-analytics retention matrix).
-    Three aggs sharing the user_id shuffle (first-seen and distinct
-    activity co-partition), then a count per (cohort, offset) whose
-    cardinality is days² — tiny regardless of input size. The cohort
-    size joins back on cohort_day (broadcast: one row per day)."""
+    ONE scan of events: the distinct (user, day) activity table is
+    pooled (swap_persist) and everything else derives from it —
+    first-seen is min(day) over the distinct days (identical to min
+    over raw events), cohort sizes count the pooled first table. The
+    raw three-branch form re-scanned and re-aggregated events once per
+    branch (measured 3 live scans, scripts/scan_triage.py r10). The
+    final count per (cohort, offset) has days² cardinality — tiny
+    regardless of input size; the cohort size joins back on cohort_day
+    (broadcast: one row per day)."""
+    from ..operators.cachepool import swap_persist
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     )
-    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    activity = ev.distinct()
+    activity = swap_persist("a14.activity", ev.distinct())
+    first = swap_persist(
+        "a14.first",
+        activity.groupBy("user_id").agg(F.min("day").alias("cohort_day")),
+    )
     sizes = first.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_n"))
     off = F.datediff(F.col("day"), F.col("cohort_day"))
     return (

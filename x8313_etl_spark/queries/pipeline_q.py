@@ -1232,13 +1232,19 @@ def p_er_blocked_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-level form measured 388s where the interned form took 1.5s at
     10×): distinct names block/verify once, probe rows join back by
     equi-key. Pair work is Σ block² over the union of block families,
-    never names². Operators: operators/blocking.py."""
+    never names². The two interned name tables are POOLED
+    (swap_persist): each feeds BOTH blocker families, and without the
+    persist Spark re-executes the distinct/groupBy aggregation once per
+    family — measured 5 full `part` scans in the returned plan
+    (scripts/scan_triage.py, r10) vs 1 live + cached after pooling.
+    Operators: operators/blocking.py."""
     from ..operators.blocking import (
         band_block_pairs,
         best_match,
         multikey_candidates,
         qgram_block_pairs,
     )
+    from ..operators.cachepool import swap_persist
 
     part = load_table(spark, sf_dir, "part")
     dirty = part.filter(F.col("p_partkey") % 10 == 0).select(
@@ -1248,8 +1254,13 @@ def p_er_blocked_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(CASE WHEN p_partkey % 20 = 0 THEN 1 ELSE 2 END))"
         ).alias("dirty_name"),
     )
-    dnames = dirty.select("dirty_name").distinct()
-    cnames = part.groupBy("p_name").agg(F.min("p_partkey").alias("cand_id"))
+    dnames = swap_persist(
+        "er_multikey.dnames", dirty.select("dirty_name").distinct()
+    )
+    cnames = swap_persist(
+        "er_multikey.cnames",
+        part.groupBy("p_name").agg(F.min("p_partkey").alias("cand_id")),
+    )
     pairs = multikey_candidates(
         band_block_pairs(dnames, cnames), qgram_block_pairs(dnames, cnames)
     )
