@@ -181,7 +181,14 @@ def l2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs is a hot posting (df² pairs). Production composes the same
     guards — drop top-df grams (prefix filtering keeps exactness above a
     threshold) or fall back to l2's banded MinHash.
+
+    The gram table is POOLED (swap_persist): it feeds both posting-join
+    sides AND both size joins, and without the persist the trigram
+    tokenization re-executed once per branch (measured 4 live scans,
+    scripts/scan_triage.py r10).
     """
+    from ..operators.cachepool import swap_persist
+
     d = load_table(spark, sf_dir, "documents").filter(
         (F.col("doc_id") < 300) & (F.length("text") >= 3)
     )
@@ -191,7 +198,7 @@ def l2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.col("text").substr(i, F.lit(3)),
         )
     )
-    g = d.select("doc_id", grams.alias("grams"))
+    g = swap_persist("l2c.grams", d.select("doc_id", grams.alias("grams")))
     sizes = g.select("doc_id", F.size("grams").alias("n"))
     post = g.select("doc_id", F.explode("grams").alias("gram"))
     common = (

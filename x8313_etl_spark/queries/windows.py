@@ -615,7 +615,13 @@ def w14_pattern_quantifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     run table — three self-equi-joins of a table that is RUNS-sized,
     not events-sized. One exchange on user_id feeds both window passes
     and the run aggregate; the adjacency joins reuse the same key. All
-    tiebreaks pinned (ts, event_id); run identity is integer math."""
+    tiebreaks pinned (ts, event_id); run identity is integer math.
+    The run table is POOLED (swap_persist): it feeds the three pattern
+    branches (view/click/purchase), and without the persist each branch
+    re-executed both window passes and the run aggregate from the raw
+    scan (measured 3 live events scans, scripts/scan_triage.py r10)."""
+    from ..operators.cachepool import swap_persist
+
     e = load_table(spark, sf_dir, "events")
     wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wtype = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
@@ -633,8 +639,11 @@ def w14_pattern_quantifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("rk").alias("rk0"),
         F.min("event_id").alias("first_id"),
     )
-    ordered = runs.withColumn(
-        "rn", F.row_number().over(Window.partitionBy("user_id").orderBy("rk0"))
+    ordered = swap_persist(
+        "w14.runs",
+        runs.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("user_id").orderBy("rk0"))
+        ),
     )
     v = ordered.filter(F.col("event_type") == "view").select(
         "user_id",
