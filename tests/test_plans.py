@@ -291,7 +291,10 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     would shuffle every corpus shingle at 100 TB."""
     plan = _plan(spark, "p_decontaminate", sf_dir)
     probe = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
-    assert probe and "gram" in probe[0], plan
+    # the gram probe need not be the TOPMOST broadcast join — the r10
+    # rewrite's doc_id-only join back to the scan may also broadcast —
+    # but it must BE a broadcast somewhere
+    assert probe and any("gram" in line for line in probe), plan
     # the only permissible shuffle joins are on doc_id (the final
     # hit-count attach) — never on the exploded gram column
     for line in plan.splitlines():

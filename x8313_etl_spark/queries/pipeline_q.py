@@ -1796,11 +1796,18 @@ def p_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join's pair volume is Σ basket² — baskets are order-sized
     (≤7 lineitems), so the term is linear in orders; the top-k is a
     WindowGroupLimit. 10×-swept before registration (PERF.md: 3.1×,
-    the linear Σ basket² law) and re-swept at registration (r10)."""
-    bi = (
+    the linear Σ basket² law) and re-swept at registration (r10).
+    The basket-incidence table is POOLED (swap_persist): it feeds the
+    item-count aggregate AND both self-join sides, and without the
+    persist the distinct shuffle re-executed once per consumer
+    (measured 4 live lineitem scans, scripts/scan_triage.py r10)."""
+    from ..operators.cachepool import swap_persist
+
+    bi = swap_persist(
+        "icf.bi",
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .distinct(),
     )
     cnt = bi.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     a = bi.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
@@ -1884,10 +1891,17 @@ def _containment_over(docs: DataFrame) -> DataFrame:
     """C(A→B) over word-3-shingle sets of an arbitrary (doc_id, text)
     frame — split out so the crafted subset-direction unit test
     (tests/test_registered_guards.py) can drive it with a constructed
-    corpus."""
+    corpus. The shingle table is POOLED (swap_persist): it feeds both
+    posting-join sides AND both size joins, and without the persist
+    the tokenization re-executed once per branch (measured 4 live
+    documents scans, scripts/scan_triage.py r10 — the l2c lesson)."""
+    from ..operators.cachepool import swap_persist
     from ..operators.minhash import shingle_table
 
-    sh = shingle_table(docs, "doc_id", "text", 3).filter(F.size("sh") > 0)
+    sh = swap_persist(
+        "contain.sh",
+        shingle_table(docs, "doc_id", "text", 3).filter(F.size("sh") > 0),
+    )
     sizes = sh.select("doc_id", F.size("sh").alias("sz"))
     post = sh.select("doc_id", F.explode("sh").alias("shingle"))
     pairs = (
