@@ -78,6 +78,20 @@ ALLOWED_REEXEC = {
 }
 
 
+def _cold(spark):
+    """Cold-cache measurement context: empty the keyed pool AND the
+    session CacheManager. The gate measures each query's own FIRST
+    build (the audit semantics); after a long test session the
+    CacheManager holds hundreds of ambient entries whose plan
+    substitution interacts with the fns' internal persist() calls
+    order-dependently (observed: l2_near_dup_pairs printed 16 bare
+    scans mid-suite but is clean cold — its raw persists no-op'd
+    against ambient equal-plan entries that were no longer
+    substituted). A cold manager makes the count deterministic."""
+    clear_pool(forget_ledger=False)
+    spark.catalog.clearCache()
+
+
 @pytest.mark.usefixtures("spark")
 def test_no_unadjudicated_true_reexecution(spark, sf_dir):
     tag = os.path.basename(sf_dir.rstrip("/"))
@@ -85,7 +99,7 @@ def test_no_unadjudicated_true_reexecution(spark, sf_dir):
     for name, spec in registry().items():
         if spec.category in ("streaming", "timeseries"):
             continue  # their fns execute real microbatch jobs
-        clear_pool(forget_ledger=False)
+        _cold(spark)
         plan = (
             spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         )
@@ -115,7 +129,7 @@ def test_allowlist_entries_still_reexecute(spark, sf_dir):
     stale = []
     for name, table in ALLOWED_REEXEC.items():
         spec = registry()[name]
-        clear_pool(forget_ledger=False)
+        _cold(spark)
         plan = (
             spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         )
