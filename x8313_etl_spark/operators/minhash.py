@@ -240,10 +240,17 @@ def near_dup_pairs(
     sigs = signature_table(docs, id_col, text_col, k)
     sh = shingle_table(docs, id_col, text_col, k)
     if cache:
-        from pyspark import StorageLevel
+        # Through the keyed swap-pool, not raw persist: raw persists
+        # here are never released (the returned plan still references
+        # them), so every invocation leaked cache entries for the
+        # session lifetime, and they bypassed the materialization
+        # ledger (found via the r10 re-execution gate's ambient-cache
+        # flake). One live table per key; repeat invocations on the
+        # same corpus reuse them, a new corpus swaps them out.
+        from .cachepool import swap_persist
 
-        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sigs = swap_persist("minhash.sigs", sigs)
+        sh = swap_persist("minhash.sh", sh)
 
     banded = sigs.select(
         "doc_id",
@@ -254,9 +261,9 @@ def near_dup_pairs(
         # top of the join's two sides). Persist the slim exploded table
         # — (id, band, key) only, bands× rows but narrow — so band keys
         # are computed once and the guard's extra pass reads cached rows.
-        from pyspark import StorageLevel
+        from .cachepool import swap_persist
 
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        banded = swap_persist("minhash.banded", banded)
     if on_hot not in ("drop", "salt"):
         raise ValueError(f"on_hot must be 'drop' or 'salt', got {on_hot!r}")
     if on_hot == "salt" and max_bucket_size is not None:
