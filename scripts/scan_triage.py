@@ -27,8 +27,8 @@ TRIAGE = [
     "sim_rerank_two_stage", "sim_lsh_neardup", "sim_ivfpq_topk",
     "p_rag_context_pack", "p_bm25_topk", "p_er_blocked_multikey",
     # 3-4x tier
-    "dq3_accuracy_check", "p_ngram_lm_kneser_ney", "m3_incremental_agg",
-    "l2c_cluster_assign", "w14_sessionize_gap", "a14_cohort_retention",
+    "dq3_constraint_audit", "p_ngram_lm_kneser_ney", "m3_incremental_refresh",
+    "l2c_ngram_jaccard", "w14_pattern_quantifiers", "a14_cohort_retention",
     "p_mix_schedule", "p_contamination_overlap_score", "l6_tfidf",
     "p_perplexity_filter", "p_negative_samples", "m1_merge_upsert",
     "p_decontaminate", "p_unigram_encode",
@@ -81,11 +81,15 @@ def run() -> None:
             print(f"ERR {name}: {type(exc).__name__}")
             continue
         live = strip_cached(plan)
+        # finditer + whole-match span: with a bare groupless alternative,
+        # findall would return '' for every .scratch hit and conflate all
+        # scratch tables under one Counter key (ADVICE r10)
+        pat = re.compile(rf"{re.escape(tag)}/(\w+)\.parquet|\.scratch/[\w/]+")
         raw_tabs = Counter(
-            re.findall(rf"{re.escape(tag)}/(\w+)\.parquet|\.scratch/[\w/]+", plan)
+            m.group(1) or m.group(0) for m in pat.finditer(plan)
         )
         live_tabs = Counter(
-            re.findall(rf"{re.escape(tag)}/(\w+)\.parquet|\.scratch/[\w/]+", live)
+            m.group(1) or m.group(0) for m in pat.finditer(live)
         )
         raw_dup = {t: k for t, k in raw_tabs.items() if k >= 2}
         true_dup = {t: k for t, k in live_tabs.items() if k >= 2}
