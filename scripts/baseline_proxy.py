@@ -11,6 +11,13 @@ meaningful single-node bar (Spark pays JVM/scheduling fixed costs DuckDB
 doesn't; Spark's win is the scale-out axis the proxy cannot measure).
 
 Usage: python scripts/baseline_proxy.py [sf_dir] (default /root/testdata/sf0.1)
+       python scripts/baseline_proxy.py [sf_dir] --only name1,name2
+           top-up mode: time only the named twins and MERGE them into
+           the existing BASELINE_PROXY.json (new registrations join the
+           recorded proxy without re-running the other ~285 oracles —
+           their numbers stay comparable because the protocol and
+           sf_dir are unchanged; total_sec is recomputed over the
+           merged set)
 """
 
 from __future__ import annotations
@@ -34,7 +41,12 @@ TABLES = [
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only: set[str] | None = None
+    for i, a in enumerate(sys.argv[1:]):
+        if a == "--only":
+            only = set(sys.argv[1:][i + 1].split(","))
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -42,7 +54,7 @@ def main() -> None:
         )
     out: dict[str, float] = {}
     for name, spec in sorted(registry().items()):
-        if spec.oracle is None:
+        if spec.oracle is None or (only is not None and name not in only):
             continue
         times = []
         for _ in range(3):
@@ -56,6 +68,13 @@ def main() -> None:
                 break
         out[name] = round(statistics.median(times), 4)
         print(f"{name}: {out[name]:.3f}s ({len(times)} runs)", file=sys.stderr, flush=True)
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "BASELINE_PROXY.json")
+    if only is not None and os.path.exists(path):
+        prev = json.load(open(path))
+        merged = dict(prev.get("queries", {}))
+        merged.update(out)
+        out = merged
     payload = {
         "engine": f"duckdb {duckdb.__version__}",
         "sf_dir": sf_dir,
@@ -64,8 +83,6 @@ def main() -> None:
         "total_sec": round(sum(out.values()), 4),
         "queries": out,
     }
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "BASELINE_PROXY.json")
     with open(path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
     print(json.dumps({"total_sec": payload["total_sec"], "n": len(out)}))

@@ -10,8 +10,10 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 import pytest
+from pyspark.sql import Window
 
 from x8313_etl_spark import audit
+from x8313_etl_spark.io import load_table
 
 
 @pytest.fixture(autouse=True, scope="module")
@@ -1000,3 +1002,89 @@ def test_dq6_flags_some_but_not_all(spark, sf_dir, sf_oracle_dir):
         got = {r["is_violation"]: r["count"] for r in rows}
         assert got.get(True, 0) > 0, d
         assert got.get(False, 0) > 0, d
+
+
+# --- batch I (registered r11) ---------------------------------------------
+
+
+def test_g13_lcc_spans_open_and_closed_neighborhoods(spark, sf_oracle_dir):
+    """The fixture graph must exercise the ratio: some node with
+    lcc < 1 (an open wedge) and some node with lcc > 0 (a closed
+    triangle) — a graph that is one clique, or triangle-free, tests
+    only a constant."""
+    from x8313_etl_spark.queries.graph_q import g13_local_clustering
+
+    rows = g13_local_clustering(spark, sf_oracle_dir).collect()
+    assert any(r["tri2"] > 0 for r in rows)
+    assert any(r["tri2"] < r["wedges"] for r in rows)
+
+
+def test_w18_rank_actually_cuts(spark, sf_oracle_dir):
+    """More distinct paths must exist than the top-k keeps, and counts
+    must not be all-tied (otherwise the ordering is untested)."""
+    from x8313_etl_spark.queries.windows import _W18_TOPK, w18_event_paths
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_oracle_dir, "events")
+    n_paths = (
+        ev.select(
+            F.col("event_type").alias("t1"),
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+            "user_id", "ts", "event_id",
+        )
+        .filter(F.col("t3").isNotNull())
+        .select(F.concat_ws(">", "t1", "t2", "t3").alias("path"))
+        .distinct()
+        .count()
+    )
+    assert n_paths > _W18_TOPK
+    rows = w18_event_paths(spark, sf_oracle_dir).collect()
+    assert len({r["n"] for r in rows}) > 1
+
+
+def test_p_query_expansion_terms_are_new(spark, sf_oracle_dir):
+    """Every expansion term must be absent from its query's own term
+    set (the anti-join contract), and every query must receive the
+    full complement of expansion terms at this sf."""
+    from x8313_etl_spark.queries.corpus_q import (
+        _QE_TERMS,
+        BM25_N_QUERIES,
+        p_query_expansion,
+    )
+
+    out = p_query_expansion(spark, sf_oracle_dir).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["q_id"], []).append(r["term"])
+    assert len(per_q) == BM25_N_QUERIES
+    assert all(len(v) == _QE_TERMS for v in per_q.values())
+    d = load_table(spark, sf_oracle_dir, "documents")
+    qtext = {
+        r["doc_id"]: set(r["text"].split(" "))
+        for r in d.filter(F.col("doc_id") < BM25_N_QUERIES).collect()
+    }
+    for q, terms in per_q.items():
+        assert not (set(terms) & qtext[q])
+
+
+def test_p_media_dedup_groups_are_nontrivial(spark, sf_oracle_dir):
+    """Duplicate AND singleton groups must both exist (the planted
+    structure), and dup verdicts must point at a different file."""
+    from x8313_etl_spark.queries.pipeline_q import p_media_dedup
+
+    rows = p_media_dedup(spark, sf_oracle_dir).collect()
+    assert any(r["n_copies"] > 1 for r in rows)
+    assert any(r["n_copies"] == 1 for r in rows)
+    for r in rows:
+        if r["is_dup"]:
+            assert r["canonical"] != r["fname"]
+
+
+def test_s23_decoration_is_adversarial(spark, sf_oracle_dir):
+    """The decorated text must actually contain the three hazards
+    (comma, doubled-quote material, embedded newline) — otherwise the
+    round-trip proves nothing about quoting."""
+    d = load_table(spark, sf_oracle_dir, "documents").limit(1).collect()[0]
+    decorated = 'pre,"fix"\n' + d["text"] + ',"tail'
+    assert "," in decorated and '"' in decorated and "\n" in decorated

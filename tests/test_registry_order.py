@@ -69,11 +69,14 @@ def test_green_block_rotates_stalest_first():
     assert set(greens) <= set(_DRIVER_STAMP)
 
 
-def test_rows_only_sketches_yield_window_slots():
-    """The 4 designed rows-only sketches sort after every hash-checkable
-    green in their (batch/streaming) sub-block — a driver window slot
-    spent on a rows-only re-check re-proves nothing the sketch unit
-    tests don't already pin (r6 verdict "what's wrong" #3)."""
+def test_rows_only_sketches_yield_window_slots_within_a_stamp_tier():
+    """The designed rows-only sketches sort after every hash-checkable
+    green OF THE SAME STAMP TIER in their (batch/streaming) sub-block —
+    a slot spent on a rows-only re-check re-proves little the sketch
+    unit tests don't already pin (r6 verdict "what's wrong" #3) — but
+    staleness outranks that demotion (r11 policy change, per the r10
+    verdict's rotation item: the absolute demotion permanently starved
+    a13's r3 / ts_sliding_dau's r4 stamps out of every window)."""
     specs = registry()
     names = list(specs)
     greens = [n for n in names if n in _DRIVER_GREEN]
@@ -82,8 +85,19 @@ def test_rows_only_sketches_yield_window_slots():
             n for n in greens
             if (specs[n].category == "streaming") == want_streaming
         ]
-        flags = [specs[n].oracle is None for n in block]
-        assert flags == sorted(flags), "rows-only greens must sort last"
+        # overall: stamp-first (non-decreasing across the sub-block)
+        stamps = [_DRIVER_STAMP[n] for n in block]
+        assert stamps == sorted(stamps), "staleness must outrank all else"
+        # within each stamp tier: hash-checkable before rows-only
+        for tier in set(stamps):
+            flags = [
+                specs[n].oracle is None
+                for n in block
+                if _DRIVER_STAMP[n] == tier
+            ]
+            assert flags == sorted(flags), (
+                f"rows-only greens must sort last within stamp tier {tier}"
+            )
 
 
 def test_ordering_is_deterministic():

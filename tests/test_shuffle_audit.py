@@ -176,6 +176,14 @@ ALLOWED: dict[str, tuple[dict[str, int], str]] = {
         {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
         "avg-doclen single-row scalar broadcast into the score expression",
     ),
+    "p_query_expansion": (
+        {"BroadcastNestedLoopJoin": 2, "Exchange SinglePartition": 2},
+        "one pair inherited verbatim from the embedded p_bm25_topk "
+        "ranking (avg-doclen scalar, p_rag_context_pack's pattern) + "
+        "this query's own n_docs single-row scalar crossed into the "
+        "tf·idf expansion weight — both crossed tables are ONE row; "
+        "the feedback join, term scoring, and top-k stay key-partitioned",
+    ),
     "p_ngram_lm_kneser_ney": (
         {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
         "bigram-type-count single-row scalar crossed into the KN "
@@ -393,6 +401,12 @@ ALLOWED_LEDGER: dict[str, tuple[dict[str, int], str]] = {
     "embout.final": (
         {"BroadcastNestedLoopJoin": 1},
         "same as sim_kmeans.final under p_embed_outliers' key",
+    ),
+    "g13.edges": (
+        {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
+        "same quantile-threshold scalar broadcast as g3.edges/g12.edges "
+        "(shared _cosupply_edges construction, g13's own checkpoint for "
+        "the wedge/triangle joins)",
     ),
     "dq5.binned": (
         {"BroadcastNestedLoopJoin": 3, "Exchange SinglePartition": 3},

@@ -1169,7 +1169,7 @@ def p_contamination_overlap_score(spark: SparkSession, sf_dir: str) -> DataFrame
     exploded row count IS len(grams) — computing n_grams from a second
     g branch re-ran the full-corpus tokenization per plan branch
     (measured, scripts/scan_triage.py r10). To keep that count exact
-    the bench side is pre-aggregated UNIQUE PER GRAM (n_bench, min/max
+    the bench side is pre-aggregated UNIQUE PER GRAM (n_bench, min
     bench_id) before the left probe — a per-bench_id bench table would
     multiply corpus rows — and the self-match exclusion becomes
     "some OTHER bench doc holds it": n_bench ≥ 2, or the single holder
@@ -1332,4 +1332,110 @@ def p_docstats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(n_tokens, 0.5)").alias("tokens_p50"),
         F.max("n_tokens").alias("tokens_max"),
         F.sum("n_chars").alias("chars_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# p_query_expansion: RM3-style pseudo-relevance feedback (registered r11)
+# ---------------------------------------------------------------------------
+
+_QE_FB_DOCS = BM25_TOP_K  # pseudo-relevant depth = BM25's k
+_QE_TERMS = 3  # expansion terms per query
+
+_QE_SQL = f"""
+WITH ret AS MATERIALIZED ({_BM25_SQL}),
+t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM t GROUP BY 1, 2),
+dfc AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM t GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+qterms AS (
+  SELECT DISTINCT doc_id AS q_id, term FROM t WHERE doc_id < {BM25_N_QUERIES}
+),
+scored AS (
+  SELECT r.q_id, tf.term,
+         CAST(SUM(CAST(FLOOR(tf.tf * ln(n.n_docs / dfc.df) * 1000000.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS weight_u6
+  FROM ret r
+  JOIN tf ON tf.doc_id = r.doc_id
+  JOIN dfc ON dfc.term = tf.term
+  CROSS JOIN n
+  WHERE NOT EXISTS (SELECT 1 FROM qterms q
+                    WHERE q.q_id = r.q_id AND q.term = tf.term)
+  GROUP BY 1, 2
+)
+SELECT q_id, term, weight_u6, rn FROM (
+  SELECT q_id, term, weight_u6,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY weight_u6 DESC, term)
+              AS BIGINT) AS rn
+  FROM scored
+) WHERE rn <= {_QE_TERMS}
+"""
+
+
+@register(
+    "p_query_expansion",
+    category="pipeline",
+    oracle=_QE_SQL,
+)
+def p_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (RM3 family, public
+    IR literature): for each BM25 query, take its top-{_QE_FB_DOCS}
+    retrieved docs as pseudo-relevant, score every term of those docs
+    by Σ tf·ln(N/df) over the feedback set, drop terms already in the
+    query, and emit the top-{_QE_TERMS} expansion terms — the missing
+    arrow of the retrieval stack (rank → EXPAND → fuse → rerank →
+    pack). Weights follow the r9 floor-micro-unit discipline: each
+    tf·idf contribution maps to FLOOR(t·1e6 + 0.5) BIGINT before the
+    exact integer sum, so no cross-engine fp surface survives into the
+    ranking. Scale: the feedback set is (queries × k) docs — their tf
+    rows semi-join-prune the corpus tf table exactly like BM25's query
+    terms; df/N are corpus aggregates shared with l6. Rank ties break
+    on the term string. 10×-swept at authoring (5.3→21.6 s — the BM25
+    corpus-explode law) and re-swept at registration
+    (scripts/scale10x_r11.py). The documents scan is POOLED
+    (swap_persist): four consumers (tf, df, query terms, N) would
+    otherwise each re-execute it per plan branch — the explode stays
+    un-materialized, re-run map-only from the cached scan per consumer
+    (caught at registration by tests/test_scan_reexec.py: 6 live
+    scans pre-pool)."""
+    from ..operators.cachepool import swap_persist
+
+    d = swap_persist(
+        "qe.docs", load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    t = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfc = t.distinct().groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+
+    fb = p_bm25_topk(spark, sf_dir).select("q_id", "doc_id")
+    qterms = (
+        t.filter(F.col("doc_id") < BM25_N_QUERIES)
+        .select(F.col("doc_id").alias("q_id"), "term")
+        .distinct()
+    )
+    contrib_u6 = F.floor(
+        F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        fb.join(tf, "doc_id")
+        .join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("q_id", "term")
+        .agg(F.sum(contrib_u6).cast("bigint").alias("weight_u6"))
+        .join(qterms, ["q_id", "term"], "left_anti")
+    )
+    rk = Window.partitionBy("q_id").orderBy(
+        F.col("weight_u6").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(rk).cast("bigint"))
+        .filter(F.col("rn") <= _QE_TERMS)
+        .select("q_id", "term", "weight_u6", "rn")
     )

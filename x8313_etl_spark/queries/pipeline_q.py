@@ -1958,3 +1958,91 @@ def p_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-filter upgrade (setjoin's AllPairs machinery specialized to
     the asymmetric bound ⌊(1−τ)|A|⌋+1) — documented, not implemented."""
     return _containment_over(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# p_media_dedup: exact dedup over binary media ingest (registered r11)
+# ---------------------------------------------------------------------------
+
+_MD_N_FILES = 32
+_MD_DISTINCT = 20  # files 20..31 duplicate the contents of files 0..11
+
+
+def _md_payload(i: int) -> bytes:
+    """Deterministic pseudo-media bytes with PLANTED duplicate groups:
+    content is keyed by i % _MD_DISTINCT, so files 20..31 are exact
+    byte-for-byte copies of files 0..11 (the s22 generator never
+    repeats a payload — dedup there would be vacuous, the g3 rule)."""
+    import hashlib
+
+    g = i % _MD_DISTINCT
+    return hashlib.md5(f"md-{g}".encode()).digest() * (g % 5 + 1)
+
+
+def _media_dedup_sql() -> str:
+    import hashlib
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    meta = {}
+    for i in range(_MD_N_FILES):
+        p = _md_payload(i)
+        h = hashlib.md5(p).hexdigest()
+        groups[h].append(f"f{i:03d}.bin")
+        meta[f"f{i:03d}.bin"] = (h, len(p))
+    rows = []
+    for fname, (h, nb) in sorted(meta.items()):
+        fam = sorted(groups[h])
+        rows.append(
+            f"('{fname}', '{h}', {nb}, '{fam[0]}', {len(fam)}, "
+            f"{str(fname != fam[0]).upper()})"
+        )
+    values = ",\n".join(rows)
+    return f"""
+SELECT * FROM (VALUES
+{values}
+) AS t(fname, content_md5, n_bytes, canonical, n_copies, is_dup)
+"""
+
+
+@register(
+    "p_media_dedup",
+    category="pipeline",
+    oracle=_media_dedup_sql(),
+)
+def p_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup — the first pass of any image/audio corpus
+    pipeline (byte-identical re-uploads, mirrored files): binaryFile
+    scan → group by content digest → every file gets a verdict row
+    (canonical = min filename in its group, is_dup for the rest) —
+    the l1_exact_dedup shape applied to the s22 ingest path, closing
+    ingest → dedup for the multimodal family. Scale: one shuffle keyed
+    by the 128-bit digest; groups are duplicate-cluster sized; no
+    byte-level comparison ever happens after the per-file md5 (which
+    rides the scan). The twin regenerates the identical table from the
+    same generator algebra (legitimate for file→row boundary checks —
+    the s22 precedent)."""
+    import os
+
+    from .sources_q import _tag, scratch
+
+    d = scratch(f"p_media_dedup_{_tag(sf_dir)}")
+    if not os.path.isdir(d) or len(os.listdir(d)) != _MD_N_FILES:
+        os.makedirs(d, exist_ok=True)
+        for i in range(_MD_N_FILES):
+            with open(os.path.join(d, f"f{i:03d}.bin"), "wb") as f:
+                f.write(_md_payload(i))
+    files = spark.read.format("binaryFile").load(d).select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+        F.md5(F.col("content")).alias("content_md5"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+    )
+    w = Window.partitionBy("content_md5")
+    return files.select(
+        "fname",
+        "content_md5",
+        "n_bytes",
+        F.min("fname").over(w).alias("canonical"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_copies"),
+        (F.col("fname") != F.min("fname").over(w)).alias("is_dup"),
+    )

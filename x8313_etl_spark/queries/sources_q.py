@@ -777,3 +777,100 @@ def s22_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         # string cast would mangle non-UTF8 media bytes)
         F.hex(F.expr("substring(content, 1, 1)")).alias("first_byte_hex"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S23: CSV round-trip with embedded delimiters/quotes/newlines
+# (registered r11, batch I)
+# ---------------------------------------------------------------------------
+
+_S23_SQL = r"""
+WITH d AS (
+  SELECT doc_id, lang,
+         'pre,"fix"' || chr(10) || text || ',"tail' AS text
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS chars_total,
+       md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text), '|'
+                      ORDER BY CAST(doc_id AS VARCHAR) || ':' || md5(text)))
+         AS content_digest
+FROM d GROUP BY lang
+"""
+
+
+@register(
+    "s23_csv_quoted_multiline",
+    category="sources",
+    oracle=_S23_SQL,
+)
+def s23_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S23: CSV round-trip under adversarial field content: document
+    texts are decorated IN-PLAN with embedded commas, double quotes,
+    and a literal newline, written as quoted CSV, and read back with
+    multiLine=true + escape='\"' (RFC-4180 double-quote doubling — the
+    mode real exports use). The aggregate digests text lengths and an
+    md5 per doc_id band, so ANY quoting/newline corruption (the classic
+    'row split at the embedded newline' failure) changes counts or
+    hashes loudly. The twin computes the same digest from the ORIGINAL
+    table — the compare proves the round-trip is lossless. Scale: CSV
+    multiLine forces whole-file parsing per file (no intra-file
+    splitting), which is exactly why the documented posture at 100 TB
+    is many medium files; the write keeps Spark's default per-partition
+    files so the read parallelizes per file."""
+    import shutil
+    import time as _time
+    import uuid as _uuid
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit('pre,"fix"\n'),
+            F.col("text"),
+            F.lit(',"tail'),
+        ).alias("text"),
+    )
+    family = scratch(f"s23_csvq_{_tag(sf_dir)}")
+    # age-prune older sibling runs (t15 discipline) — the CURRENT run's
+    # dir must outlive this fn: the returned frame reads it lazily
+    cutoff = _time.time() - 1800
+    for sub in os.listdir(family) if os.path.isdir(family) else []:
+        pth = os.path.join(family, sub)
+        try:
+            if os.path.getmtime(pth) < cutoff:
+                shutil.rmtree(pth, ignore_errors=True)
+        except OSError:
+            pass
+    work = os.path.join(family, _uuid.uuid4().hex[:12])
+    shutil.rmtree(work, ignore_errors=True)
+    (
+        d.write.option("header", "true")
+        .option("quoteAll", "true")
+        .option("escape", '"')
+        .csv(work)
+    )
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .schema("doc_id long, lang string, text string")
+        .csv(work)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("chars_total"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.sort_array(
+                    F.collect_list(
+                        F.concat_ws(
+                            ":", F.col("doc_id").cast("string"), F.md5("text")
+                        )
+                    )
+                ),
+            )
+        ).alias("content_digest"),
+    )

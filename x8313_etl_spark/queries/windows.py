@@ -976,3 +976,71 @@ def w17_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum("cents").alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W18: top-k frequent 3-step event-type paths (registered r11, batch I)
+# ---------------------------------------------------------------------------
+
+_W18_TOPK = 10
+
+_W18_SQL = f"""
+WITH p AS (
+  SELECT t1 || '>' || t2 || '>' || t3 AS path FROM (
+    SELECT event_type AS t1,
+           lead(event_type, 1) OVER w AS t2,
+           lead(event_type, 2) OVER w AS t3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ) WHERE t3 IS NOT NULL
+),
+c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY path)
+SELECT path, n, rn FROM (
+  SELECT path, n,
+         CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rn
+  FROM c
+) WHERE rn <= {_W18_TOPK}
+"""
+
+
+@register(
+    "w18_event_paths",
+    category="windows",
+    oracle=_W18_SQL,
+)
+def w18_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W18: user-journey path mining — the top-{_W18_TOPK} most
+    frequent 3-step event-type paths across all user streams (each
+    user's events ordered by (ts, event_id); every consecutive triple
+    is a path occurrence). The n-gram refinement of
+    p_markov_transitions' pairwise matrix (registered r10) —
+    'view>view>purchase vs view>purchase' is the distinction a funnel
+    owner actually reads. One window pass per user (two leads share
+    the sort), a path-keyed count, and a global top-k through one
+    final rank on the tiny path-vocabulary table (|event_types|³ ≤ 125
+    rows — the single-partition window is vocabulary-bounded, never
+    row-bounded)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    paths = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("t1"),
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+        )
+        .filter(F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "t1", "t2", "t3").alias("path"),
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    rk = Window.orderBy(F.col("n").desc(), F.col("path"))
+    return (
+        paths.withColumn("rn", F.row_number().over(rk).cast("bigint"))
+        .filter(F.col("rn") <= _W18_TOPK)
+        .select("path", "n", "rn")
+    )
