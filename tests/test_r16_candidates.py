@@ -338,7 +338,7 @@ def test_ts_ewma_tracks_and_smooths(spark, sf_oracle_dir):
 # g15_harmonic_centrality — landmark-bounded, floor-micro-unit exact
 # ---------------------------------------------------------------------------
 
-_G15_LM_MOD = 4  # landmarks = nodes with suppkey % mod == 0
+_G15_LANDMARKS = 25  # FIXED landmark budget (the 25 lowest node ids)
 _G15_ROUNDS = 4  # BFS depth bound
 
 
@@ -347,14 +347,23 @@ def _g15_fn(spark, sf_dir):
     landmark sampling is the public scalable estimator family —
     HyperANF's exact small-graph cousin): for each node of the
     quantile-thresholded co-supply graph, Σ over reachable landmarks
-    (suppkey % {_G15_LM_MOD} == 0) within {_G15_ROUNDS} hops of
-    FLOOR(1000000 / d) — integer micro-units, integer division, no fp
-    anywhere (1/3 has no exact double; the floor unit does). Fixed
-    round count on both sides, so no convergence detection. Scale:
-    BFS state is (node, landmark) pairs — |V|·|L| bounded by the
-    landmark fraction (the dial), per round one edge⋈frontier shuffle
-    keyed on node; the same frontier pattern as g2 with a landmark
-    dimension along for the ride."""
+    within {_G15_ROUNDS} hops of FLOOR(1000000 / d) — integer
+    micro-units, integer division, no fp anywhere (1/3 has no exact
+    double; the floor unit does). Fixed round count on both sides, so
+    no convergence detection. The landmark set is a FIXED BUDGET (the
+    {_G15_LANDMARKS} lowest node ids — deterministic in both
+    engines), NOT a fixed fraction: the first authoring sweep used
+    node % 4 == 0 and measured 67 → 786 s at 10× because |L| grew
+    with the graph, making BFS state |V|·|L| quadratic-ish in graph
+    size — with |L| pinned, state is |V|·k and per-round work is one
+    |E|⋈frontier shuffle keyed on node (the g2 frontier pattern with
+    a bounded landmark dimension along for the ride; re-swept FLAT,
+    20→23 s at 10×); estimator accuracy then scales by CHOICE of k,
+    not accidentally with data. Placement is md5-rank (the
+    p_sample_stratified discipline) rather than lowest-id, so the
+    budget SPREADS across components — lowest-id landmarks all landed
+    in one replica component on the 10× fixture and left every other
+    component uncovered."""
     from x8313_etl_spark.audit import audited_checkpoint
     from x8313_etl_spark.queries.graph_q import _cosupply_edges
 
@@ -371,8 +380,10 @@ def _g15_fn(spark, sf_dir):
         ).select("p.src", "p.dst"),
     )
     nodes = ed.select(F.col("src").alias("node")).distinct()
-    lm = nodes.filter(F.col("node") % _G15_LM_MOD == 0).select(
-        F.col("node").alias("lm")
+    lm = (
+        nodes.orderBy(F.md5(F.col("node").cast("string")), "node")
+        .limit(_G15_LANDMARKS)
+        .select(F.col("node").alias("lm"))
     )
     labels = lm.select(F.col("lm").alias("node"), "lm", F.lit(0).alias("hop"))
     for _ in range(_G15_ROUNDS):
@@ -433,7 +444,8 @@ e AS MATERIALIZED (SELECT s1, s2 FROM pairs, t WHERE shared >= thr),
 ed AS MATERIALIZED (
   SELECT s1 AS src, s2 AS dst FROM e UNION ALL SELECT s2, s1 FROM e
 ),
-lm AS (SELECT DISTINCT src AS lm FROM ed WHERE src % {_G15_LM_MOD} = 0),
+lm AS (SELECT lm FROM (SELECT DISTINCT src AS lm FROM ed)
+       ORDER BY md5(CAST(lm AS VARCHAR)), lm LIMIT {_G15_LANDMARKS}),
 h0 AS (SELECT lm AS node, lm, 0 AS hop FROM lm),
 {chain}
 SELECT CAST(node AS BIGINT) AS s_suppkey,
@@ -455,12 +467,12 @@ def test_g15_harmonic_centrality_twin(spark, sf_oracle_dir):
 def test_g15_multi_hop_paths_exist(spark, sf_oracle_dir):
     """The graph must exercise the 1/d weighting: some node must reach
     a landmark at hop ≥ 2 (harmonic_u6 not a multiple of 1000000 —
-    i.e. NOT every reachable landmark adjacent), and landmark rows
-    themselves must appear (they reach each other)."""
+    i.e. NOT every reachable landmark adjacent), and non-landmark
+    nodes must appear (the BFS actually expands past the seed set)."""
     rows = _g15_fn(spark, sf_oracle_dir).collect()
     assert rows
     assert any(r["harmonic_u6"] % 1000000 != 0 for r in rows)
-    assert any(r["s_suppkey"] % _G15_LM_MOD == 0 for r in rows)
+    assert len(rows) > _G15_LANDMARKS
 
 
 # ---------------------------------------------------------------------------
