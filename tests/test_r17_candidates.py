@@ -60,7 +60,13 @@ def _scrub_ledger_keys():
 _MAT_PREFIX = 16  # coarse stage scores the first 16 of 64 dims
 _MAT_CAND = 20  # candidates kept per probe after the coarse stage
 _MAT_TOPK = 5
-_MAT_PROBE_MOD = 50  # capped probe set (the l10/sim_pq posture)
+_MAT_PROBE_MOD = 50
+_MAT_PROBE_CAP = 10_000  # probe ids < cap: budget FIXED as the corpus grows
+#: the first authoring sweep used the mod rule alone and measured
+#: 1.8 → 66 s at 10× (probes grew with the corpus → 100× coarse pairs
+#: — the exact sim_pq_topk trap the r5 sweep caught); with the id cap
+#: the probe set is a fixed workload and the coarse scan is
+#: corpus-linear
 
 
 def _matryoshka_fn(spark, sf_dir):
@@ -83,7 +89,10 @@ def _matryoshka_fn(spark, sf_dir):
     from x8313_etl_spark.functions.vector import dot, norm
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    probes = e.filter(F.col("vec_id") % _MAT_PROBE_MOD == 0).select(
+    probes = e.filter(
+        (F.col("vec_id") % _MAT_PROBE_MOD == 0)
+        & (F.col("vec_id") < _MAT_PROBE_CAP)
+    ).select(
         F.col("vec_id").alias("probe_id"),
         F.slice("embedding", 1, _MAT_PREFIX).alias("p_pre"),
         F.col("embedding").alias("p_emb"),
@@ -127,7 +136,7 @@ WITH coarse AS (
          {sql_dot(pre_a, pre_b)} AS coarse,
          {sql_cosine('a.embedding', 'b.embedding')} AS cos
   FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
-  WHERE a.vec_id % {_MAT_PROBE_MOD} = 0
+  WHERE a.vec_id % {_MAT_PROBE_MOD} = 0 AND a.vec_id < {_MAT_PROBE_CAP}
 ),
 cand AS (
   SELECT probe_id, vec_id, cos,
@@ -164,7 +173,10 @@ def test_matryoshka_rerank_recall_at_least_prefix(spark, sf_oracle_dir):
     e = load_table(spark, sf_oracle_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    probes = e.filter(F.col("vec_id") % _MAT_PROBE_MOD == 0).select(
+    probes = e.filter(
+        (F.col("vec_id") % _MAT_PROBE_MOD == 0)
+        & (F.col("vec_id") < _MAT_PROBE_CAP)
+    ).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
     )
     corpus = e.select("vec_id", F.col("embedding").alias("c_emb"))
