@@ -28,6 +28,18 @@ below $SPARK_GRAFT_LOAD_GATE (default 2.0); if it never does, run
 anyway (the driver contract is one JSON line, exit 0) but stamp
 ``"load_gate": {"comparable": false}`` so cross-round comparisons know
 to discount the run.
+
+A PIN-RELATIVE COMPARABILITY STAMP (r11 verdict item 1) closes the
+start-gate's blind spot: the r11 driver bench passed the start gate and
+still drifted uniformly 1.1-2.1x on every slot (sustained-compute host
+regime change mid-run). Every run's in-run host_norm DuckDB pin is
+divided by the recorded quiet-host reference pin
+(BASELINE_PROXY.json's ``host_pin``, recorded by
+scripts/record_host_pin.py); the JSON ships ``"comparability":
+{"drift_factor": ..., "comparable_pins": bool}``. Cross-round readers
+divide per-query deltas by drift_factor before reading anything into
+them; per-query criteria (e.g. BASELINE.md's p_item_cf waiver) are
+stated pin-normalized.
 """
 
 from __future__ import annotations
@@ -77,11 +89,18 @@ def _host_norm(spark, sf_dir: str, runs: int) -> dict:
         )
         con.execute(spec.oracle).fetchall()  # warm-up
         duck_s = []
-        for _ in range(runs):
+        # at least 5 samples: the pin's drift verdict compares MINIMA —
+        # q1 DuckDB samples swing ~1.5x (0.095-0.145s measured on one
+        # quiet host within seconds) from transient contention, which
+        # pollutes upper samples and the median but not the attainable
+        # floor; a sustained host-regime change (the thing the
+        # comparability stamp exists to catch) raises the floor itself
+        for _ in range(max(runs, 5)):
             t0 = time.perf_counter()
             con.execute(spec.oracle).fetchall()
             duck_s.append(time.perf_counter() - t0)
         out["q1_duckdb_sec"] = round(statistics.median(duck_s), 4)
+        out["q1_duckdb_min_sec"] = round(min(duck_s), 4)
         out["spark_over_duckdb"] = round(
             out["q1_spark_sec"] / out["q1_duckdb_sec"], 3
         )
@@ -94,6 +113,73 @@ def _host_norm(spark, sf_dir: str, runs: int) -> dict:
 
         traceback.print_exc(file=sys.stderr)
         out["error"] = f"{type(exc).__name__}: {exc}"
+    return out
+
+
+#: in-run pin drift beyond this factor (either direction) marks the run
+#: non-comparable — r11's lesson: a run can pass the START loadavg gate
+#: and still drift ~1.2x on every slot (sustained-compute host regime),
+#: which only the in-run pins can see. ~1.15x is the r11 verdict's
+#: suggested band; the builder's quiet-host repro runs sat within
+#: 0.86-1.12x of each other.
+PIN_DRIFT_TOL = 1.15
+
+#: where the quiet-host reference pin lives (recorded by
+#: scripts/record_host_pin.py; preserved by scripts/baseline_proxy.py)
+PROXY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BASELINE_PROXY.json")
+
+
+def _pin_drift(host_norm: dict, proxy_path: str = PROXY_PATH) -> dict:
+    """Pin-relative comparability stamp (r11 verdict item 1): the
+    start-only load gate is insufficient — the driver's r11 bench
+    passed it (ambient 1.61 < 2.0) and still ran uniformly 1.1-2.1x
+    slower on every slot, because the host entered a slower sustained-
+    compute regime AFTER the gate. The in-run host_norm pins catch
+    this: both engines time the SAME q1 on the SAME parquet every run,
+    so dividing this run's DuckDB pin by the recorded quiet-host
+    reference pin separates host drift from plan regressions (DuckDB
+    leads the stamp because its pin has no JVM/scheduling variance;
+    the Spark-side drift ships alongside for corroboration).
+    ``comparable_pins`` is the machine-readable verdict; a cross-round
+    reader (gen_perf, the judge) divides per-query deltas by
+    ``drift_factor`` before reading anything into them.
+
+    The drift compares sample MINIMA (q1_duckdb_min_sec) when both
+    sides carry them: transient contention pollutes upper samples and
+    the median (measured ~1.5x swing across 10 back-to-back samples on
+    one quiet host) but not the attainable floor, while the sustained
+    host-regime change the stamp exists to catch raises the floor
+    itself."""
+    try:
+        pin = json.load(open(proxy_path)).get("host_pin") or {}
+    except (OSError, ValueError):
+        pin = {}
+    ref_duck = pin.get("q1_duckdb_min_sec") or pin.get("q1_duckdb_sec")
+    ref_spark = pin.get("q1_spark_sec")
+    got_duck = host_norm.get("q1_duckdb_min_sec") or host_norm.get(
+        "q1_duckdb_sec"
+    )
+    got_spark = host_norm.get("q1_spark_sec")
+    out: dict = {
+        "pin_q1_duckdb_sec": ref_duck,
+        "pin_q1_spark_sec": ref_spark,
+        "tolerance": PIN_DRIFT_TOL,
+    }
+    if not ref_duck or not got_duck:
+        # no recorded pin (or no DuckDB this run): stamp unknown rather
+        # than vacuously true — the reader must not mistake "could not
+        # check" for "checked and clean"
+        out["drift_factor"] = None
+        out["comparable_pins"] = None
+        return out
+    drift = got_duck / ref_duck
+    out["drift_factor"] = round(drift, 3)
+    if ref_spark and got_spark:
+        out["drift_spark"] = round(got_spark / ref_spark, 3)
+    out["comparable_pins"] = bool(
+        1.0 / PIN_DRIFT_TOL <= drift <= PIN_DRIFT_TOL
+    )
     return out
 
 
@@ -172,6 +258,7 @@ def main() -> None:
         load_end = None
 
     total = round(sum(timings.values()), 4)
+    host_norm = _host_norm(spark, sf_dir, runs)
     print(
         json.dumps(
             {
@@ -182,10 +269,11 @@ def main() -> None:
                 "spread": spread,
                 "loadavg_1m": {"start": load_start, "end": load_end},
                 "load_gate": gate,
+                "comparability": _pin_drift(host_norm),
                 "sf": sf,
                 "cpus": cpus,
                 "runs_per_query": runs,
-                "host_norm": _host_norm(spark, sf_dir, runs),
+                "host_norm": host_norm,
             }
         )
     )

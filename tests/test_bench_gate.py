@@ -57,3 +57,65 @@ def test_gate_tolerates_missing_getloadavg(monkeypatch):
     out = bench._load_gate()
     assert out["comparable"] is True
     assert out["start"] is None
+
+
+# --- pin-relative comparability stamp (r12, r11 verdict item 1) ------------
+
+
+def _write_pin(tmp_path, pin):
+    import json
+
+    p = tmp_path / "proxy.json"
+    p.write_text(json.dumps({"queries": {}, "host_pin": pin}))
+    return str(p)
+
+
+def test_pin_drift_comparable_within_band(tmp_path):
+    path = _write_pin(tmp_path, {"q1_duckdb_sec": 0.10, "q1_spark_sec": 1.0})
+    out = bench._pin_drift(
+        {"q1_duckdb_sec": 0.11, "q1_spark_sec": 1.2}, proxy_path=path
+    )
+    assert out["comparable_pins"] is True
+    assert out["drift_factor"] == 1.1
+    assert out["drift_spark"] == 1.2
+    assert out["pin_q1_duckdb_sec"] == 0.10
+
+
+def test_pin_drift_flags_sustained_regime(tmp_path):
+    """The r11 failure shape: both engines ~1.2x slower mid-run while
+    the start gate passed — the pin stamp must say non-comparable."""
+    path = _write_pin(tmp_path, {"q1_duckdb_sec": 0.102, "q1_spark_sec": 1.09})
+    out = bench._pin_drift({"q1_duckdb_sec": 0.124}, proxy_path=path)
+    assert out["comparable_pins"] is False
+    assert out["drift_factor"] > bench.PIN_DRIFT_TOL
+
+
+def test_pin_drift_flags_too_fast_too(tmp_path):
+    """A run FASTER than the pin beyond the band is equally
+    non-comparable — a future quiet-era pin recorded under load would
+    otherwise make every honest run look like a regression."""
+    path = _write_pin(tmp_path, {"q1_duckdb_sec": 0.20})
+    out = bench._pin_drift({"q1_duckdb_sec": 0.10}, proxy_path=path)
+    assert out["comparable_pins"] is False
+
+
+def test_pin_drift_unknown_without_pin(tmp_path):
+    """No recorded pin (or no DuckDB in the run) must stamp None — the
+    reader must not mistake 'could not check' for 'checked clean'."""
+    import json
+
+    p = tmp_path / "proxy.json"
+    p.write_text(json.dumps({"queries": {}}))
+    out = bench._pin_drift({"q1_duckdb_sec": 0.1}, proxy_path=str(p))
+    assert out["comparable_pins"] is None
+    assert out["drift_factor"] is None
+    path = _write_pin(tmp_path, {"q1_duckdb_sec": 0.10})
+    out2 = bench._pin_drift({}, proxy_path=path)
+    assert out2["comparable_pins"] is None
+
+
+def test_pin_drift_tolerates_missing_proxy_file(tmp_path):
+    out = bench._pin_drift(
+        {"q1_duckdb_sec": 0.1}, proxy_path=str(tmp_path / "nope.json")
+    )
+    assert out["comparable_pins"] is None

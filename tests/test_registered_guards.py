@@ -1088,3 +1088,147 @@ def test_s23_decoration_is_adversarial(spark, sf_oracle_dir):
     d = load_table(spark, sf_oracle_dir, "documents").limit(1).collect()[0]
     decorated = 'pre,"fix"\n' + d["text"] + ',"tail'
     assert "," in decorated and '"' in decorated and "\n" in decorated
+
+
+# --- batch J (registered r12) ----------------------------------------------
+
+
+def test_ts_changepoint_split_is_interior_and_varied(spark, sf_oracle_dir):
+    """Splits must not degenerate to a constant position (k=1 or k=n−1
+    everywhere would mean the gain term never discriminates), and the
+    two segment means must differ for some series (a split with equal
+    means detects nothing)."""
+    from x8313_etl_spark.queries.timeseries_q import ts_changepoint
+
+    rows = ts_changepoint(spark, sf_oracle_dir).collect()
+    assert rows
+    ks = {r.k_split for r in rows}
+    assert len(ks) >= 3
+    assert any(r.mu_l_cents != r.mu_r_cents for r in rows)
+    assert all(1 <= r.k_split < r.n for r in rows)
+
+
+def test_ts_changepoint_recovers_planted_shift(spark):
+    """A crafted series with a level shift at position 10 must split
+    exactly there — the semantic contract, independent of fixtures."""
+    import pandas as pd
+
+    rows = [(1, i, i, 100.0 if i <= 10 else 500.0) for i in range(1, 25)]
+    df = pd.DataFrame(rows, columns=["user_id", "event_id", "tick", "value"])
+    df["ts"] = pd.to_datetime(df["tick"], unit="s")
+    sdf = spark.createDataFrame(df[["user_id", "ts", "event_id", "value"]])
+    # same expressions as the registered fn, over the crafted frame
+    ev = sdf.select(
+        F.col("user_id").alias("series"), "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w_ord = (
+        Window.partitionBy("series").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_seq = Window.partitionBy("series").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("series")
+    r = ev.select(
+        "series",
+        F.row_number().over(w_seq).cast("bigint").alias("k"),
+        F.sum("cents").over(w_ord).alias("a"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("cents").over(w_all).alias("t"),
+    ).filter(F.col("k") < F.col("n"))
+    b = F.col("t") - F.col("a")
+    num = (F.col("a") * F.col("a") * (F.col("n") - F.col("k")) + b * b * F.col("k"))
+    den = F.col("k") * (F.col("n") - F.col("k"))
+    best = Window.partitionBy("series").orderBy(
+        (num.cast("double") / den.cast("double")).desc(), F.col("k")
+    )
+    got = (
+        r.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select("k")
+        .collect()
+    )
+    assert got[0]["k"] == 10
+
+
+def test_a27_weighted_differs_from_unweighted(spark, sf_oracle_dir):
+    """The quantity weighting must MOVE the median for some group —
+    otherwise the fixture never exercises the weighted path (a
+    degenerate all-equal-weights table would pass the twin)."""
+    from x8313_etl_spark.queries.aggregates import a27_weighted_median
+
+    li = load_table(spark, sf_oracle_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    unweighted = {
+        r["l_returnflag"]: r["m"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(cents, 0.5)").alias("m"))
+        .collect()
+    }
+    weighted = {
+        r["l_returnflag"]: r["median_cents"]
+        for r in a27_weighted_median(spark, sf_oracle_dir).collect()
+    }
+    assert any(
+        abs(weighted[k] - unweighted[k]) > 0 for k in weighted
+    ), (weighted, unweighted)
+
+
+def test_radius_is_selective_but_nonempty(spark, sf_dir, sf_oracle_dir):
+    """τ must keep SOME pairs and reject MOST in-bucket pairs at every
+    fixture sf — an always-empty or always-full radius verifies
+    nothing."""
+    from x8313_etl_spark.queries.similarity_q import (
+        _RADIUS_PROBE_MOD,
+        _ivf_assign,
+        sim_radius_neighbors,
+    )
+
+    for d in (sf_dir, sf_oracle_dir):
+        kept = sim_radius_neighbors(spark, d).count()
+        assign = _ivf_assign(spark, d)
+        probes = assign.filter(
+            F.col("vec_id") % _RADIUS_PROBE_MOD == 0
+        ).select(F.col("vec_id").alias("probe_id"), "cent_id")
+        bucket_pairs = (
+            assign.join(probes, "cent_id")
+            .filter(F.col("vec_id") != F.col("probe_id"))
+            .count()
+        )
+        assert kept > 0, d
+        assert kept * 5 < bucket_pairs, (d, kept, bucket_pairs)
+
+
+def test_systematic_sample_is_proportional(spark, sf_oracle_dir):
+    """Each source draws between 1 and k docs, the total draw is a
+    small fraction of the corpus, and long docs are over-represented
+    vs short (the PPS property: selected mean n_tokens > corpus
+    mean)."""
+    from x8313_etl_spark.queries.pipeline_q import _SYS_K, p_systematic_sample
+
+    out = p_systematic_sample(spark, sf_oracle_dir)
+    per = {r["source"]: r["cnt"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert per and all(1 <= v <= _SYS_K for v in per.values())
+    d = load_table(spark, sf_oracle_dir, "documents")
+    n_docs = d.count()
+    n_sel = out.count()
+    assert n_sel * 4 < n_docs, (n_sel, n_docs)
+    mean_all = d.select(
+        F.avg(F.size(F.split(F.col("text"), " "))).alias("m")
+    ).collect()[0]["m"]
+    mean_sel = out.select(F.avg("n_tokens").alias("m")).collect()[0]["m"]
+    assert mean_sel > mean_all, (mean_sel, mean_all)
+
+
+def test_dq8_flags_some_but_not_all(spark, sf_dir, sf_oracle_dir):
+    """The rank-derived threshold must leave BOTH stale and fresh keys
+    at every fixture sf (~25% stale by construction, modulo ties)."""
+    from x8313_etl_spark.queries.etl_q import dq8_freshness
+
+    for d in (sf_dir, sf_oracle_dir):
+        rows = dq8_freshness(spark, d).groupBy("is_stale").count().collect()
+        got = {r["is_stale"]: r["count"] for r in rows}
+        assert got.get(True, 0) > 0, d
+        assert got.get(True, 0) < got.get(False, 0), d

@@ -177,12 +177,13 @@ ALLOWED: dict[str, tuple[dict[str, int], str]] = {
         "avg-doclen single-row scalar broadcast into the score expression",
     ),
     "p_query_expansion": (
-        {"BroadcastNestedLoopJoin": 2, "Exchange SinglePartition": 2},
-        "one pair inherited verbatim from the embedded p_bm25_topk "
-        "ranking (avg-doclen scalar, p_rag_context_pack's pattern) + "
+        {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
         "this query's own n_docs single-row scalar crossed into the "
-        "tf·idf expansion weight — both crossed tables are ONE row; "
-        "the feedback join, term scoring, and top-k stay key-partitioned",
+        "tf·idf expansion weight (the l6/p_bm25 pattern); the embedded "
+        "p_bm25_topk ranking's scalar pair moved under the qe.fbt "
+        "ledger key when the feedback-tf table was checkpointed (r12 "
+        "rework — the df table is now pruned to the feedback "
+        "vocabulary, so no unbounded-cardinality broadcast remains)",
     ),
     "p_ngram_lm_kneser_ney": (
         {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
@@ -244,6 +245,23 @@ ALLOWED: dict[str, tuple[dict[str, int], str]] = {
         "the embedded p_bm25_topk ranking's avg-doclen single-row scalar "
         "broadcast (p_bm25_topk's entry verbatim); the fusion itself is "
         "a union + groupBy over (queries x k)-bounded ranked rows",
+    ),
+    "sim_radius_neighbors": (
+        {"BroadcastNestedLoopJoin": 2},
+        "the pooled IVF assignment's bounded K=16 seed cross re-expands "
+        "in the plan string once per assignment reference (corpus + "
+        "probe side — sim_ivf_topk's entry verbatim); the bucket radius "
+        "search itself is a broadcast HASH join on cent_id",
+    ),
+    "dq8_freshness": (
+        {"BroadcastNestedLoopJoin": 5, "Exchange SinglePartition": 5},
+        "every crossed table is ONE row (the high-water-mark scalar and "
+        "the rank-derived p75 threshold scalar) and every single-"
+        "partition stage is either the hwm scalar agg or the globalrank "
+        "core's bounded per-partition count window (o1's entry); counts "
+        ">1 are plan-string re-expansions of the pooled rank table, "
+        "printed once per reference (threshold branch + flag branch) — "
+        "per-key lag rows stay range-partitioned (dq4's shape)",
     ),
     "dq6_k_anonymity": (
         {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
@@ -407,6 +425,21 @@ ALLOWED_LEDGER: dict[str, tuple[dict[str, int], str]] = {
         "same quantile-threshold scalar broadcast as g3.edges/g12.edges "
         "(shared _cosupply_edges construction, g13's own checkpoint for "
         "the wedge/triangle joins)",
+    ),
+    "qe.fbt": (
+        {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
+        "the checkpointed feedback-tf table embeds the whole p_bm25_topk "
+        "ranking, whose avg-doclen single-row scalar broadcast is "
+        "p_bm25_topk's own entry verbatim; the checkpoint exists so the "
+        "two consumers (term scoring + the feedback-vocabulary df prune) "
+        "read it instead of re-executing the BM25 subtree per branch",
+    ),
+    "dq8.rank": (
+        {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
+        "the pooled rank input embeds the one-row high-water-mark "
+        "scalar cross (BNLJ) and that scalar's single-row global max "
+        "agg — one row crosses each; the rank itself is range-"
+        "partitioned (globalrank core, o1's entry)",
     ),
     "dq5.binned": (
         {"BroadcastNestedLoopJoin": 3, "Exchange SinglePartition": 3},

@@ -1165,3 +1165,83 @@ def a26_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim, qscale = _a26_dims()
     emb = load_table(spark, sf_dir, "embeddings")
     return dim_comoment(emb, dim=dim, qscale=qscale)
+
+
+# ---------------------------------------------------------------------------
+# a27_weighted_median (registered round 12; twin pre-verified in the
+# batch-J candidate suite at both fixture sfs —
+# tests/test_r12_candidates.py, now retired)
+# ---------------------------------------------------------------------------
+
+_WMED_SQL = """
+WITH g AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT l_returnflag, cents,
+         CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cumw,
+         CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS totw
+  FROM g
+)
+SELECT l_returnflag, cents AS median_cents,
+       cumw AS cum_weight, totw AS total_weight
+FROM (
+  SELECT c.*, row_number() OVER (PARTITION BY l_returnflag ORDER BY cents)
+           AS rn
+  FROM c WHERE 2 * cumw >= totw
+) WHERE rn = 1
+"""
+
+
+@register(
+    "a27_weighted_median",
+    category="aggregates",
+    oracle=_WMED_SQL,
+)
+def a27_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median per group (quantity-weighted price per
+    return flag): the smallest price v whose cumulative weight reaches
+    half the total — 2·cumw ≥ totw in integer cross-multiplication, no
+    interpolation, no fp anywhere (the robust-statistics sibling of
+    a24's unweighted exact median). Values are AGGREGATED per (group,
+    cents) before the cumulative window, so the window input is
+    distinct-value-sized, not row-sized (the long tail of duplicate
+    prices collapses in the map-side combine); the per-group window is
+    |distinct prices|-bounded. Output carries the integer evidence
+    (total weight, cumulative weight at the median). The weighting-
+    moves-the-median nontriviality guard lives in
+    tests/test_registered_guards.py."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    g = li.groupBy("l_returnflag", "cents").agg(F.sum("qty").alias("w"))
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(wc).alias("cumw"),
+        F.sum("w").over(wt).alias("totw"),
+    ).filter(2 * F.col("cumw") >= F.col("totw"))
+    first = Window.partitionBy("l_returnflag").orderBy("cents")
+    return (
+        c.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("cents").alias("median_cents"),
+            F.col("cumw").cast("bigint").alias("cum_weight"),
+            F.col("totw").cast("bigint").alias("total_weight"),
+        )
+    )

@@ -1390,15 +1390,29 @@ def p_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer sum, so no cross-engine fp surface survives into the
     ranking. Scale: the feedback set is (queries × k) docs — their tf
     rows semi-join-prune the corpus tf table exactly like BM25's query
-    terms; df/N are corpus aggregates shared with l6. Rank ties break
-    on the term string. 10×-swept at authoring (5.3→21.6 s — the BM25
-    corpus-explode law) and re-swept at registration
-    (scripts/scale10x_r11.py). The documents scan is POOLED
+    terms, and the df table is PRUNED TO THE FEEDBACK VOCABULARY by a
+    broadcast semi-join before its aggregation (r11 verdict item: the
+    first registered form force-broadcast the FULL-vocabulary df table,
+    which at web-corpus scale runs to billions of terms and OOMs where
+    a shuffle would have worked — after the prune, both broadcast sides
+    are feedback-bounded: ≤ queries × k docs × terms/doc, never
+    corpus-vocabulary-sized); df/N stay corpus aggregates shared with
+    l6 (the prune drops only terms the inner join would drop anyway, so
+    the result is hash-identical). The bounded feedback-tf table is
+    CHECKPOINTED (qe.fbt, audited ledger) because two branches consume
+    it (term scoring + the vocabulary prune) and its upstream embeds
+    the whole BM25 ranking — re-executing that per branch is the
+    self-union trap (p_item_cf's r10 lesson). Rank ties break on the
+    term string. 10×-swept at authoring (5.3→21.6 s — the BM25
+    corpus-explode law), re-swept at registration
+    (scripts/scale10x_r11.py) and after this rework
+    (scripts/scale10x_r12.py). The documents scan is POOLED
     (swap_persist): four consumers (tf, df, query terms, N) would
     otherwise each re-execute it per plan branch — the explode stays
     un-materialized, re-run map-only from the cached scan per consumer
     (caught at registration by tests/test_scan_reexec.py: 6 live
     scans pre-pool)."""
+    from ..audit import audited_checkpoint
     from ..operators.cachepool import swap_persist
 
     d = swap_persist(
@@ -1408,12 +1422,17 @@ def p_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = t.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     )
-    dfc = t.distinct().groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("df")
-    )
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
 
     fb = p_bm25_topk(spark, sf_dir).select("q_id", "doc_id")
+    fbt = audited_checkpoint("qe.fbt", fb.join(tf, "doc_id"))
+    fb_terms = fbt.select("term").distinct()
+    dfc = (
+        t.join(F.broadcast(fb_terms), "term", "left_semi")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
     qterms = (
         t.filter(F.col("doc_id") < BM25_N_QUERIES)
         .select(F.col("doc_id").alias("q_id"), "term")
@@ -1424,8 +1443,7 @@ def p_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.5)
     ).cast("bigint")
     scored = (
-        fb.join(tf, "doc_id")
-        .join(F.broadcast(dfc), "term")
+        fbt.join(F.broadcast(dfc), "term")
         .crossJoin(F.broadcast(n))
         .groupBy("q_id", "term")
         .agg(F.sum(contrib_u6).cast("bigint").alias("weight_u6"))

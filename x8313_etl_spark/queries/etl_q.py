@@ -1469,3 +1469,81 @@ def dq6_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         (F.col("n") <= F.col("k")).alias("is_violation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq8_freshness (registered round 12; twin pre-verified in the batch-J
+# candidate suite at both fixture sfs — tests/test_r12_candidates.py,
+# now retired)
+# ---------------------------------------------------------------------------
+
+_DQ8_SQL = """
+WITH last AS (
+  SELECT user_id, max(epoch_us(ts)) AS last_us FROM events GROUP BY user_id
+),
+hwm AS (SELECT max(last_us) AS hwm_us FROM last),
+lag AS (
+  SELECT user_id, hwm.hwm_us - last_us AS lag_us FROM last, hwm
+),
+r AS (
+  SELECT user_id, lag_us,
+         row_number() OVER (ORDER BY lag_us, user_id) AS rn,
+         count(*) OVER () AS n
+  FROM lag
+),
+thr AS (SELECT lag_us AS thr_us FROM r WHERE rn = (3 * n + 3) // 4)
+SELECT r.user_id, CAST(r.lag_us AS BIGINT) AS lag_us,
+       CAST(t.thr_us AS BIGINT) AS thr_us,
+       r.lag_us > t.thr_us AS is_stale
+FROM r, thr t
+"""
+
+
+@register(
+    "dq8_freshness",
+    category="etl",
+    oracle=_DQ8_SQL,
+)
+def dq8_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness audit (the ingest monitor behind 'is any feed
+    stale?'): per user, lag_us = global max(ts) − that user's last
+    event, flagged against an EXACT rank-derived p75 threshold — the
+    lag at 1-based rank ceil(3n/4) in (lag, user_id) order, computed as
+    the integer ceil (3n+3) div 4, the p_embed_outliers discipline (no
+    float quantile anywhere; epoch-µs ints throughout, so the audit is
+    engine-exact). Quantile-derived ⇒ SOME keys flag and some don't at
+    every fixture sf (production passes the SLA constant instead; the
+    some-but-not-all guard lives in tests/test_registered_guards.py).
+    Scale: one map-side-combined groupBy to the per-key lag table, the
+    one-row high-water scalar broadcast, and the threshold rank via the
+    TWO-PHASE globalrank core — no single-partition pass over the
+    growing per-key table (operators/globalrank.py, dq4's shape)."""
+    from ..operators.globalrank import with_global_rank
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("tus")
+    )
+    last = ev.groupBy("user_id").agg(F.max("tus").alias("last_us"))
+    hwm = last.agg(F.max("last_us").alias("hwm_us"))
+    lag = last.crossJoin(F.broadcast(hwm)).select(
+        "user_id", (F.col("hwm_us") - F.col("last_us")).alias("lag_us")
+    )
+    ranked = with_global_rank(
+        lag,
+        [F.col("lag_us"), F.col("user_id")],
+        partitions=8,
+        key="dq8.rank",
+        count_col="n",
+    )
+    thr = ranked.filter(
+        F.col("rn") == F.expr("(3 * n + 3) div 4") - 1
+    ).select(F.col("lag_us").alias("thr_us"))
+    return (
+        ranked.crossJoin(F.broadcast(thr))
+        .select(
+            "user_id",
+            F.col("lag_us").cast("bigint").alias("lag_us"),
+            F.col("thr_us").cast("bigint").alias("thr_us"),
+            (F.col("lag_us") > F.col("thr_us")).alias("is_stale"),
+        )
+    )

@@ -2046,3 +2046,85 @@ def p_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_copies"),
         (F.col("fname") != F.min("fname").over(w)).alias("is_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# p_systematic_sample (registered round 12; twin pre-verified in the
+# batch-J candidate suite at both fixture sfs —
+# tests/test_r12_candidates.py, now retired)
+# ---------------------------------------------------------------------------
+
+_SYS_K = 5  # draws per source stratum (~20 sources in the fixture)
+
+_SYS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(sum(n_tokens) OVER (PARTITION BY source) AS BIGINT) AS tot
+  FROM d
+)
+SELECT doc_id, source, n_tokens, cum AS cum_tokens,
+       (cum * {_SYS_K}) // tot AS stride_bucket
+FROM c
+WHERE (cum * {_SYS_K}) // tot > ((cum - n_tokens) * {_SYS_K}) // tot
+"""
+
+
+@register(
+    "p_systematic_sample",
+    category="pipeline",
+    oracle=_SYS_SQL,
+)
+def p_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source systematic sampling along the cumulative token axis
+    (probability-proportional-to-size without replacement — the
+    curation draw for token-budgeted subcorpora; Madow's systematic
+    PPS, public): within each source, docs are laid on the cumulative
+    n_tokens axis in doc_id order and a doc is selected whenever the
+    running total crosses one of k={_SYS_K} equally-spaced stride
+    boundaries — floor(cum·k/T) > floor((cum−w)·k/T), all int64 floor
+    division, engine-exact. Long docs can absorb multiple boundaries
+    (selected once — the standard PPS behavior); selection count per
+    source is ≤ k and ≥ 1. One per-source window pass; the per-source
+    partition is the same series-key shape as the ts_* family —
+    for a million-source corpus the two-phase globalrank core swaps in
+    (documented, operators/globalrank.py). The PPS-proportionality
+    guard (selected mean length > corpus mean) lives in
+    tests/test_registered_guards.py."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("source")
+    c = d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(wc).alias("cum"),
+        F.sum("n_tokens").over(wt).alias("tot"),
+    )
+    bucket = F.expr(f"(cum * {_SYS_K}) div tot")
+    prev_bucket = F.expr(f"((cum - n_tokens) * {_SYS_K}) div tot")
+    return (
+        c.filter(bucket > prev_bucket)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.col("cum").cast("bigint").alias("cum_tokens"),
+            bucket.cast("bigint").alias("stride_bucket"),
+        )
+    )

@@ -1886,3 +1886,72 @@ def p_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("d2") > F.col("thr")).alias("is_outlier"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_radius_neighbors (registered round 12; twin pre-verified in the
+# batch-J candidate suite at both fixture sfs —
+# tests/test_r12_candidates.py, now retired)
+# ---------------------------------------------------------------------------
+
+_RADIUS_TAU = 0.30
+_RADIUS_PROBE_MOD = 25  # l4/sim_ivf_topk's probe convention
+
+_RADIUS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+         WHERE vec_id < {_K_CENTROIDS}),
+assign AS MATERIALIZED (
+  SELECT vec_id, cent_id, embedding FROM (
+    SELECT e.vec_id, cent.cent_id, e.embedding,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {sql_cosine('e.embedding', 'cent.cvec')} DESC, cent.cent_id
+           ) AS crn
+    FROM e CROSS JOIN cent
+  ) WHERE crn = 1
+)
+SELECT p.vec_id AS probe_id, p.cent_id, m.vec_id AS vec_id,
+       {sql_cosine('p.embedding', 'm.embedding')} AS cos_sim
+FROM assign p JOIN assign m
+  ON p.cent_id = m.cent_id AND m.vec_id != p.vec_id
+WHERE p.vec_id % {_RADIUS_PROBE_MOD} = 0
+  AND {sql_cosine('p.embedding', 'm.embedding')} >= {_RADIUS_TAU}
+"""
+
+
+@register(
+    "sim_radius_neighbors",
+    category="similarity",
+    oracle=_RADIUS_SQL,
+)
+def sim_radius_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search: ALL in-bucket neighbors with
+    cos ≥ τ={_RADIUS_TAU} for each probe — the complement of the top-k
+    family (top-k returns the best k even when nothing is close; radius
+    search returns exactly what IS close, the shape dedup-threshold and
+    recall-sensitive retrieval consumers want). Reuses the pooled IVF
+    assignment (one broadcast K=16 seed cross shared with sim_ivf_topk /
+    l10_knn_ivf); probes broadcast against their own bucket, so the
+    per-pair cosine runs inside the corpus scan's partitioning and ONLY
+    matching rows shuffle. Cosine is the HOF double fold — bit-identical
+    cross-engine (functions/vector.py), so the τ comparison is exact.
+    Same nprobe=1 recall caveat as sim_ivf_topk (multiprobe is the
+    registered recall dial). The selective-but-nonempty guard lives in
+    tests/test_registered_guards.py."""
+    assign = _ivf_assign(spark, sf_dir)
+    probes = assign.filter(F.col("vec_id") % _RADIUS_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("cent_id"),
+        F.col("embedding").alias("pvec"),
+        F.col("vnorm").alias("pnorm"),
+    )
+    cos = dot(F.col("pvec"), F.col("embedding")) / (
+        F.col("pnorm") * F.col("vnorm")
+    )
+    return (
+        assign.join(F.broadcast(probes), on="cent_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "cent_id", "vec_id", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _RADIUS_TAU)
+    )

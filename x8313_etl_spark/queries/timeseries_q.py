@@ -1201,3 +1201,119 @@ def ts_vwap_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("notional_cents div total_qty").alias("vwap_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_changepoint (registered round 12; twin pre-verified in the batch-J
+# candidate suite at both fixture sfs — tests/test_r12_candidates.py,
+# now retired)
+# ---------------------------------------------------------------------------
+
+_CP_MIN_N = 8  # series shorter than this carry no meaningful split
+
+_CP_SQL = f"""
+WITH r AS (
+  SELECT user_id AS series,
+         CAST(row_number() OVER w AS BIGINT) AS k,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS a,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER
+              (PARTITION BY user_id) AS BIGINT) AS t
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT series, k, n, a, t - a AS b,
+         a * a * (n - k) + (t - a) * (t - a) * k AS num,
+         k * (n - k) AS den
+  FROM r WHERE n >= {_CP_MIN_N} AND k < n
+)
+SELECT series, n, k AS k_split,
+       a // k AS mu_l_cents, b // (n - k) AS mu_r_cents, num, den
+FROM (
+  SELECT s.*, row_number() OVER (
+           PARTITION BY series
+           ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE) DESC, k
+         ) AS rn
+  FROM s
+) WHERE rn = 1
+"""
+
+
+@register(
+    "ts_changepoint",
+    category="timeseries",
+    oracle=_CP_SQL,
+)
+def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point per series (binary segmentation's inner step
+    — Scott & Knott / CUSUM-style regime detection, public): the split
+    k that minimizes SSE_left + SSE_right over the (ts, event_id)-
+    ordered integer-cents series equivalently MAXIMIZES
+    B(k) = a²/k + b²/(n−k) (a = prefix sum, b = total − a; the
+    between-segment term of the ANOVA decomposition, total SSE fixed).
+    ENGINE-EXACT: a, b, n, k are int64 prefix/total sums off ONE
+    ordered window pass; B(k) is compared as the single IEEE division
+    num/den with num = a²(n−k) + b²k and den = k(n−k) — both exact
+    int64 (bounds: ≤99 events/user × cents ≤ 6e4 → a ≤ 6e6,
+    num ≤ 4e15 < 2⁵³, so the doubles are exact and the argmax is
+    engine-identical; ties break on smaller k). Warm-up: series with
+    n < {_CP_MIN_N} are dropped; k ranges 1..n−1. One window shuffle
+    keyed by series; the argmax is a WindowGroupLimit over the same
+    key. Int64 headroom documents the decimal(38,0) escalation past
+    ~10⁵ events/series. Planted-shift recovery is pinned in
+    tests/test_registered_guards.py (a crafted level shift at k=10
+    must split exactly there)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("series"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w_ord = (
+        Window.partitionBy("series")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_seq = Window.partitionBy("series").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("series")
+    r = ev.select(
+        "series",
+        F.row_number().over(w_seq).cast("bigint").alias("k"),
+        F.sum("cents").over(w_ord).alias("a"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("cents").over(w_all).alias("t"),
+    ).filter((F.col("n") >= _CP_MIN_N) & (F.col("k") < F.col("n")))
+    b = F.col("t") - F.col("a")
+    num = (
+        F.col("a") * F.col("a") * (F.col("n") - F.col("k"))
+        + b * b * F.col("k")
+    )
+    den = F.col("k") * (F.col("n") - F.col("k"))
+    scored = r.select(
+        "series",
+        "k",
+        "n",
+        F.col("a"),
+        b.alias("b"),
+        num.cast("bigint").alias("num"),
+        den.cast("bigint").alias("den"),
+        (num.cast("double") / den.cast("double")).alias("gain"),
+    )
+    best = Window.partitionBy("series").orderBy(F.col("gain").desc(), F.col("k"))
+    return (
+        scored.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "series",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("k").alias("k_split"),
+            F.expr("a div k").alias("mu_l_cents"),
+            F.expr("b div (n - k)").alias("mu_r_cents"),
+            "num",
+            "den",
+        )
+    )
