@@ -130,7 +130,9 @@ PROXY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "BASELINE_PROXY.json")
 
 
-def _pin_drift(host_norm: dict, proxy_path: str = PROXY_PATH) -> dict:
+def _pin_drift(
+    host_norm: dict, sf_dir: str | None = None, proxy_path: str = PROXY_PATH
+) -> dict:
     """Pin-relative comparability stamp (r11 verdict item 1): the
     start-only load gate is insufficient — the driver's r11 bench
     passed it (ambient 1.61 < 2.0) and still ran uniformly 1.1-2.1x
@@ -150,11 +152,26 @@ def _pin_drift(host_norm: dict, proxy_path: str = PROXY_PATH) -> dict:
     the median (measured ~1.5x swing across 10 back-to-back samples on
     one quiet host) but not the attainable floor, while the sustained
     host-regime change the stamp exists to catch raises the floor
-    itself."""
+    itself.
+
+    Pins are PER SF DIRECTORY (``host_pins`` keyed by sf_dir, with the
+    legacy single ``host_pin`` as fallback): the r11 ~sf1 sweep showed
+    host regimes can be VOLUME-dependent — the sf1 DuckDB pin ran
+    1.5-1.8x slower across rounds while the sf0.1 pin was stable — so
+    an sf0.1 reference must never adjudicate an sf1 run. No pin
+    recorded for this sf_dir → verdict None, not a cross-sf compare."""
     try:
-        pin = json.load(open(proxy_path)).get("host_pin") or {}
+        proxy = json.load(open(proxy_path))
     except (OSError, ValueError):
-        pin = {}
+        proxy = {}
+    pin = (proxy.get("host_pins") or {}).get(sf_dir) if sf_dir else None
+    if pin is None:
+        legacy = proxy.get("host_pin") or {}
+        # the legacy single pin applies only to the sf_dir it recorded
+        if sf_dir is None or legacy.get("sf_dir") in (None, sf_dir):
+            pin = legacy
+        else:
+            pin = {}
     ref_duck = pin.get("q1_duckdb_min_sec") or pin.get("q1_duckdb_sec")
     ref_spark = pin.get("q1_spark_sec")
     got_duck = host_norm.get("q1_duckdb_min_sec") or host_norm.get(
@@ -269,8 +286,9 @@ def main() -> None:
                 "spread": spread,
                 "loadavg_1m": {"start": load_start, "end": load_end},
                 "load_gate": gate,
-                "comparability": _pin_drift(host_norm),
+                "comparability": _pin_drift(host_norm, sf_dir),
                 "sf": sf,
+                "sf_dir": sf_dir,
                 "cpus": cpus,
                 "runs_per_query": runs,
                 "host_norm": host_norm,

@@ -119,3 +119,47 @@ def test_pin_drift_tolerates_missing_proxy_file(tmp_path):
         {"q1_duckdb_sec": 0.1}, proxy_path=str(tmp_path / "nope.json")
     )
     assert out["comparable_pins"] is None
+
+
+def test_pin_drift_is_per_sf_dir(tmp_path):
+    """The r11 ~sf1 lesson: host regimes are volume-dependent (the sf1
+    DuckDB pin ran 1.5-1.8x slower across rounds while the sf0.1 pin
+    was stable), so a pin recorded at one sf_dir must never adjudicate
+    a run at another — verdict None, not a cross-sf compare."""
+    import json
+
+    p = tmp_path / "proxy.json"
+    p.write_text(json.dumps({
+        "queries": {},
+        "host_pins": {
+            "/data/sf0.1": {"q1_duckdb_min_sec": 0.10, "sf_dir": "/data/sf0.1"},
+            "/data/replica10x": {"q1_duckdb_min_sec": 0.25,
+                                 "sf_dir": "/data/replica10x"},
+        },
+        "host_pin": {"q1_duckdb_min_sec": 0.10, "sf_dir": "/data/sf0.1"},
+    }))
+    # exact per-sf match: the sf1 run adjudicates against the sf1 pin
+    out = bench._pin_drift(
+        {"q1_duckdb_min_sec": 0.26}, sf_dir="/data/replica10x",
+        proxy_path=str(p),
+    )
+    assert out["comparable_pins"] is True and out["drift_factor"] == 1.04
+    # unknown sf_dir, legacy pin recorded for a DIFFERENT sf: no verdict
+    out2 = bench._pin_drift(
+        {"q1_duckdb_min_sec": 0.26}, sf_dir="/data/sf9", proxy_path=str(p)
+    )
+    assert out2["comparable_pins"] is None
+
+
+def test_pin_drift_legacy_single_pin_still_applies_to_its_sf(tmp_path):
+    import json
+
+    p = tmp_path / "proxy.json"
+    p.write_text(json.dumps({
+        "queries": {},
+        "host_pin": {"q1_duckdb_min_sec": 0.10, "sf_dir": "/data/sf0.1"},
+    }))
+    out = bench._pin_drift(
+        {"q1_duckdb_min_sec": 0.11}, sf_dir="/data/sf0.1", proxy_path=str(p)
+    )
+    assert out["comparable_pins"] is True
