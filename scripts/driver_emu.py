@@ -58,4 +58,14 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    rc = main()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # after ~300 queries (incl. the streaming fns' microbatch jobs and
+    # foreachBatch sinks) the JVM leaves non-daemon threads behind and
+    # spark.stop() does not always bring the python process down —
+    # measured twice in r12: the verdict line prints, then the process
+    # idles until killed. The verification is complete at this point;
+    # exit hard so the round's verify recipe is one command, not a
+    # command plus a manual pkill.
+    os._exit(rc)

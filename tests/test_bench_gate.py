@@ -163,3 +163,40 @@ def test_pin_drift_legacy_single_pin_still_applies_to_its_sf(tmp_path):
         {"q1_duckdb_min_sec": 0.11}, sf_dir="/data/sf0.1", proxy_path=str(p)
     )
     assert out["comparable_pins"] is True
+
+
+# --- pin-normalized cross-run comparison (scripts/compare_bench.py) --------
+
+
+def test_compare_bench_normalizes_both_sides():
+    import sys as _sys, os as _os
+
+    _sys.path.insert(0, _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "scripts"))
+    from compare_bench import compare
+
+    old = {"queries": {"q": 1.0},
+           "comparability": {"drift_factor": 1.0}}
+    new = {"queries": {"q": 1.2},
+           "comparability": {"drift_factor": 1.2}}
+    rows = compare(old, new)
+    # 1.2 wall / 1.2 drift = 1.0 normalized — a pure regime shift must
+    # NOT flag (the r11 uniform-drift misreading, automated away)
+    assert rows[0]["ratio"] == 1.0 and rows[0]["flag"] is False
+
+
+def test_compare_bench_flags_real_regressions_and_handles_unstamped():
+    import sys as _sys, os as _os
+
+    _sys.path.insert(0, _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "scripts"))
+    from compare_bench import compare
+
+    old = {"queries": {"q": 1.0, "r": 1.0}}  # unstamped -> drift 1.0
+    new = {"queries": {"q": 1.5, "r": 1.1},
+           "comparability": {"drift_factor": None}}
+    rows = {r["query"]: r for r in compare(old, new)}
+    assert rows["q"]["flag"] is True and rows["q"]["ratio"] == 1.5
+    assert rows["r"]["flag"] is False
