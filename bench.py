@@ -167,16 +167,26 @@ def _pin_drift(
     pin = (proxy.get("host_pins") or {}).get(sf_dir) if sf_dir else None
     if pin is None:
         legacy = proxy.get("host_pin") or {}
-        # the legacy single pin applies only to the sf_dir it recorded
-        if sf_dir is None or legacy.get("sf_dir") in (None, sf_dir):
+        # the legacy single pin applies only to the sf_dir it RECORDED:
+        # a pin missing sf_dir metadata is treated as no-pin when the
+        # caller names one (r12 advice — the old `in (None, sf_dir)`
+        # let an old-format sf0.1 pin adjudicate an sf1 run, the exact
+        # cross-sf compare the per-sf pins exist to forbid)
+        if sf_dir is None or legacy.get("sf_dir") == sf_dir:
             pin = legacy
         else:
             pin = {}
-    ref_duck = pin.get("q1_duckdb_min_sec") or pin.get("q1_duckdb_sec")
+    # minima compare ONLY when BOTH sides carry the floor sample —
+    # min-vs-median mixing swings ~1.5x on its own (the measured
+    # floor-vs-median gap on one quiet host), enough to flip the 1.15
+    # tolerance without any real host drift (r12 advice)
+    if pin.get("q1_duckdb_min_sec") and host_norm.get("q1_duckdb_min_sec"):
+        ref_duck = pin["q1_duckdb_min_sec"]
+        got_duck = host_norm["q1_duckdb_min_sec"]
+    else:
+        ref_duck = pin.get("q1_duckdb_sec")
+        got_duck = host_norm.get("q1_duckdb_sec")
     ref_spark = pin.get("q1_spark_sec")
-    got_duck = host_norm.get("q1_duckdb_min_sec") or host_norm.get(
-        "q1_duckdb_sec"
-    )
     got_spark = host_norm.get("q1_spark_sec")
     out: dict = {
         "pin_q1_duckdb_sec": ref_duck,
@@ -276,26 +286,74 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     host_norm = _host_norm(spark, sf_dir, runs)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "loadavg_1m": {"start": load_start, "end": load_end},
-                "load_gate": gate,
-                "comparability": _pin_drift(host_norm, sf_dir),
-                "sf": sf,
-                "sf_dir": sf_dir,
-                "cpus": cpus,
-                "runs_per_query": runs,
-                "host_norm": host_norm,
-            }
-        )
+    comparability = _pin_drift(host_norm, sf_dir)
+    full = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "loadavg_1m": {"start": load_start, "end": load_end},
+        "load_gate": gate,
+        "comparability": comparability,
+        "sf": sf,
+        "sf_dir": sf_dir,
+        "cpus": cpus,
+        "runs_per_query": runs,
+        "host_norm": host_norm,
+    }
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    except OSError:
+        # the stdout contract must survive an unwritable checkout
+        full_path = None
+    # stdout gets ONE COMPACT line (and nothing after it): the driver
+    # captures only the last ~2 KB of stdout, and the r12 full record —
+    # grown by the comparability/host_norm fields — outran that window,
+    # so BENCH_r12.json landed `parsed: null` with no headline (r12
+    # verdict item 1). Spread/pins/load detail live in BENCH_FULL.json;
+    # the compact line keeps the driver-read essentials: headline total,
+    # per-query walls, and the comparability verdict a cross-round
+    # reader needs before trusting any delta.
+    print(json.dumps(compact_record(full, full_path)))
     spark.stop()
+
+
+#: stdout budget for the compact line — the driver's tail-capture
+#: window is ~2 KB; tests/test_bench_gate.py enforces the margin at
+#: the CURRENT bench-set size so a grown registry fails loudly here
+#: instead of silently in the driver's BENCH_r{N}.json
+COMPACT_BUDGET_BYTES = 1900
+
+
+def compact_record(full: dict, full_path: str | None) -> dict:
+    """The driver-facing subset of the full bench record. Must stay
+    one short JSON line; everything else belongs in BENCH_FULL.json."""
+    comparability = full.get("comparability") or {}
+    out = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "queries": full["queries"],
+        "sf": full.get("sf"),
+        "cpus": full.get("cpus"),
+        "drift_factor": comparability.get("drift_factor"),
+        "comparable_pins": comparability.get("comparable_pins"),
+        "load_comparable": (full.get("load_gate") or {}).get("comparable"),
+        "full_record": os.path.basename(full_path) if full_path else None,
+    }
+    line = json.dumps(out)
+    if len(line.encode()) > COMPACT_BUDGET_BYTES:
+        # degrade deterministically rather than overrun the window:
+        # drop per-query walls LAST-RESORT (they still live in the
+        # full record) — the headline total is the artifact the
+        # driver's BENCH_r{N}.json must never lose again
+        out["queries_truncated"] = len(out.pop("queries"))
+    return out
 
 
 if __name__ == "__main__":

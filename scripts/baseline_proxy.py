@@ -83,13 +83,17 @@ def main() -> None:
         "total_sec": round(sum(out.values()), 4),
         "queries": out,
     }
-    # carry the quiet-host reference pin over (recorded separately by
+    # carry the quiet-host reference pins over (recorded separately by
     # scripts/record_host_pin.py; bench.py's comparability stamp reads
-    # it) — a proxy re-run must never silently drop or re-baseline it
+    # them) — a proxy re-run must never silently drop or re-baseline
+    # EITHER the legacy single 'host_pin' OR the per-sf 'host_pins'
+    # map (r12 advice: dropping host_pins stamped every non-default-sf
+    # run comparability None after any proxy re-run)
     if os.path.exists(path):
-        pin = json.load(open(path)).get("host_pin")
-        if pin is not None:
-            payload["host_pin"] = pin
+        prev_payload = json.load(open(path))
+        for key in ("host_pin", "host_pins"):
+            if prev_payload.get(key) is not None:
+                payload[key] = prev_payload[key]
     with open(path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
     print(json.dumps({"total_sec": payload["total_sec"], "n": len(out)}))

@@ -34,8 +34,11 @@ def _load(path: str) -> dict:
 
 
 def _drift(run: dict) -> tuple[float, bool]:
+    # full record nests the stamp under "comparability"; the r13 compact
+    # stdout line carries "drift_factor" at top level (BASELINE.md's
+    # compact stdout contract) — accept both shapes
     comp = run.get("comparability") or {}
-    f = comp.get("drift_factor")
+    f = comp.get("drift_factor", run.get("drift_factor"))
     if f:
         return float(f), True
     return 1.0, False
