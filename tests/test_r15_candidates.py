@@ -6,7 +6,8 @@ Each test runs the EXACT driver compare (tests/oracle_utils
 the strict int-vs-float transport dtype check) on an ad-hoc
 UNREGISTERED QuerySpec. Twins verify at BOTH fixture sfs.
 
-Batch M members (quality over count — two strong candidates):
+Batch M members (quality over count; p_dedup_recall_eval
+registered early in r13 — see below):
 - p_dedup_recall_eval: measured recall/precision of the banded-MinHash
   candidate generator against the exact Jaccard-τ pair set — the
   "measure, don't guess" operator for the sketch family: every banded
@@ -41,151 +42,13 @@ def _scrub_ledger_keys():
 
 
 # ---------------------------------------------------------------------------
-# p_dedup_recall_eval — banded-LSH candidate quality vs exact Jaccard
+# (p_dedup_recall_eval, formerly this batch's first member, was
+# REGISTERED EARLY in round 13 — it took batch K's fifth slot after
+# g14_label_propagation was found output-identical to the registered
+# g4; see ROADMAP.md. Its fn/oracle moved verbatim to
+# x8313_etl_spark/queries/pipeline_q.py and its informative-measure
+# guard to tests/test_registered_guards.py.)
 # ---------------------------------------------------------------------------
-
-_EVAL_TAU = 0.3  # the l2 family's design threshold
-
-
-def _dedup_eval_fn(spark, sf_dir):
-    """Sketch-quality evaluation: how good is the 8×4 banded MinHash
-    candidate generator (the l2/l5/ingest-dedup core) on THIS corpus?
-    n_true = pairs with exact shingle Jaccard ≥ τ (via the exact
-    inverted-index posting join — l2c's algorithm, no sketch anywhere);
-    n_cand = distinct banded candidate pairs (uncapped band semantics,
-    so the measurement is of the banding itself, not the hot-bucket
-    guard); n_tp = their intersection; recall/precision in exact
-    integer ppm. At 100 TB this runs on a SAMPLE — it is the
-    calibration instrument you consult before committing a threshold/
-    band split to a full crawl (tune_bands' S-curve made empirical).
-    The shingle and signature tables ride the minhash swap-pool keys;
-    the three count aggregates are one-row scalars combined by
-    broadcast (the dq_profile suite shape)."""
-    from x8313_etl_spark.operators.bandjoin import guarded_band_self_join
-    from x8313_etl_spark.operators.minhash import (
-        band_keys,
-        shingle_table,
-        signature_table,
-    )
-    from x8313_etl_spark.operators.cachepool import swap_persist
-
-    d = load_table(spark, sf_dir, "documents")
-    sh = swap_persist(
-        "dedupeval.sh",
-        shingle_table(d, "doc_id", "text", 3).filter(F.size("sh") > 0),
-    )
-    sigs = signature_table(d, "doc_id", "text", 3)
-    banded = sigs.select(
-        "doc_id", F.posexplode(band_keys(F.col("sig"))).alias("band", "key")
-    )
-    cand = swap_persist(
-        "dedupeval.cand",
-        guarded_band_self_join(
-            banded, "doc_id", ("band", "key"), max_bucket_size=None
-        ),
-    )
-    post = sh.select("doc_id", F.explode("sh").alias("shingle"))
-    inter = (
-        post.select(F.col("doc_id").alias("doc_a"), "shingle")
-        .join(
-            post.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle"
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sizes = sh.select("doc_id", F.size("sh").alias("sz"))
-    jac = F.col("inter").cast("double") / (
-        F.col("sa") + F.col("sb") - F.col("inter")
-    )
-    exact = swap_persist(
-        "dedupeval.exact",
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb")),
-            "doc_b",
-        )
-        .filter(jac >= _EVAL_TAU)
-        .select("doc_a", "doc_b"),
-    )
-    n_true = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
-    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
-    n_tp = exact.join(cand, ["doc_a", "doc_b"]).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tp")
-    )
-    return (
-        n_true.crossJoin(F.broadcast(n_cand))
-        .crossJoin(F.broadcast(n_tp))
-        .select(
-            "n_true",
-            "n_cand",
-            "n_tp",
-            F.expr(
-                "CASE WHEN n_true = 0 THEN 0 "
-                "ELSE (1000000 * n_tp) div n_true END"
-            ).alias("recall_ppm"),
-            F.expr(
-                "CASE WHEN n_cand = 0 THEN 0 "
-                "ELSE (1000000 * n_tp) div n_cand END"
-            ).alias("precision_ppm"),
-        )
-    )
-
-
-def _dedup_eval_sql() -> str:
-    from x8313_etl_spark.queries.llm import _SQL_SHINGLE_CTES
-
-    return f"""
-WITH {_SQL_SHINGLE_CTES},
-p AS MATERIALIZED (
-  SELECT CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-           / len(list_distinct(a.sh || b.sh)) AS jac,
-         len(list_filter(generate_series(0, 7), bi ->
-             list_slice(a.sig, bi*4 + 1, bi*4 + 4)
-               = list_slice(b.sig, bi*4 + 1, bi*4 + 4))) AS nb
-  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-  WHERE len(a.sh) > 0 AND len(b.sh) > 0
-),
-c AS (
-  SELECT CAST(count(*) FILTER (jac >= {_EVAL_TAU}) AS BIGINT) AS n_true,
-         CAST(count(*) FILTER (nb > 0) AS BIGINT) AS n_cand,
-         CAST(count(*) FILTER (nb > 0 AND jac >= {_EVAL_TAU}) AS BIGINT)
-           AS n_tp
-  FROM p
-)
-SELECT n_true, n_cand, n_tp,
-       CASE WHEN n_true = 0 THEN 0
-            ELSE (1000000 * n_tp) // n_true END AS recall_ppm,
-       CASE WHEN n_cand = 0 THEN 0
-            ELSE (1000000 * n_tp) // n_cand END AS precision_ppm
-FROM c
-"""
-
-
-@pytest.mark.parametrize("d", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
-def test_p_dedup_recall_eval_twin(spark, d):
-    spec = QuerySpec(
-        name="r15:p_dedup_recall_eval", fn=_dedup_eval_fn,
-        oracle=_dedup_eval_sql(), category="pipeline",
-    )
-    res = compare_query(spark, spec, d)
-    assert res.ok, res.detail
-
-
-def test_p_dedup_recall_eval_is_informative(spark, sf_oracle_dir):
-    """The measurement must be non-degenerate on the fixture: true
-    pairs exist, candidates exist, the intersection is non-empty, and
-    precision is NOT 10⁶ ppm (banding admits some sub-threshold
-    candidates — if it didn't, the eval would be vacuous) while recall
-    is positive."""
-    row = _dedup_eval_fn(spark, sf_oracle_dir).collect()[0]
-    assert row.n_true > 0 and row.n_cand > 0 and row.n_tp > 0
-    assert 0 < row.recall_ppm <= 1_000_000
-    assert 0 < row.precision_ppm < 1_000_000
-
 
 # ---------------------------------------------------------------------------
 # ts_top_motif — per-series best self-similar window pair, exact SSE

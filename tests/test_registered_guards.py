@@ -1232,3 +1232,187 @@ def test_dq8_flags_some_but_not_all(spark, sf_dir, sf_oracle_dir):
         got = {r["is_stale"]: r["count"] for r in rows}
         assert got.get(True, 0) > 0, d
         assert got.get(True, 0) < got.get(False, 0), d
+
+
+# --- r13 registrations (batch K + the batch-M substitution) -----------------
+
+
+def test_w19_quartiles_are_balanced_and_full(spark, sf_oracle_dir):
+    """Every quartile 1..4 must be populated on every axis with near-n/4
+    counts (rank-derived buckets can differ by at most the remainder),
+    and more than one distinct cell must exist."""
+    import collections
+
+    from x8313_etl_spark.queries.windows import w19_rfm_cells
+
+    rows = w19_rfm_cells(spark, sf_oracle_dir).collect()
+    n = len(rows)
+    for axis in ("r_q", "f_q", "m_q"):
+        cnt = collections.Counter(getattr(r, axis) for r in rows)
+        assert set(cnt) == {1, 2, 3, 4}, (axis, dict(cnt))
+        assert max(cnt.values()) - min(cnt.values()) <= 1 + n % 4
+    assert len({r.rfm_cell for r in rows}) > 1
+
+
+def test_p_span_corruption_spans_disjoint_and_in_bounds(spark, sf_oracle_dir):
+    """The structural contract: per doc, spans are non-overlapping,
+    inside the token range, every masked string holds exactly
+    _SPAN_LEN tokens, and multi-span docs exist (the explode is
+    non-trivially exercised)."""
+    import collections
+
+    from x8313_etl_spark.queries.pipeline_q import _SPAN_LEN, p_span_corruption
+
+    rows = p_span_corruption(spark, sf_oracle_dir).collect()
+    assert rows
+    per_doc = collections.defaultdict(list)
+    for r in rows:
+        per_doc[r.doc_id].append(r)
+        assert len(r.masked.split(" ")) == _SPAN_LEN
+    assert any(len(v) > 1 for v in per_doc.values())
+    for spans in per_doc.values():
+        spans.sort(key=lambda r: r.start)
+        for a, b in zip(spans, spans[1:]):
+            assert a.start + _SPAN_LEN <= b.start
+
+
+def test_m12_untouched_partitions_keep_odd_keys(spark, sf_oracle_dir):
+    """The discriminating facts: overwritten partitions (<3) lost their
+    odd keys (whole-partition replacement) while untouched partitions
+    kept them, and both partition groups are non-empty."""
+    from x8313_etl_spark.queries.etl_q import m12_dynamic_partition_overwrite
+
+    rows = m12_dynamic_partition_overwrite(spark, sf_oracle_dir).collect()
+    low = [r for r in rows if r.c_nationkey < 3]
+    high = [r for r in rows if r.c_nationkey >= 3]
+    assert low and high
+    assert all(r.c_custkey % 2 == 0 for r in low)
+    assert any(r.c_custkey % 2 == 1 for r in high)
+
+
+def test_p_budget_allocation_sums_to_budget_and_is_proportional(
+    spark, sf_oracle_dir
+):
+    """The Hamilton contract: selected rows number EXACTLY the budget,
+    every source's pick count equals its quota, and each quota is
+    within 1 of the exact proportional share."""
+    import collections
+
+    from x8313_etl_spark.queries.pipeline_q import _BUDGET_N, p_budget_allocation
+
+    rows = p_budget_allocation(spark, sf_oracle_dir).collect()
+    assert len(rows) == _BUDGET_N
+    picks = collections.Counter(r.source for r in rows)
+    quotas = {r.source: r.quota for r in rows}
+    assert picks == collections.Counter(quotas)  # count per source == quota
+    corpus = collections.Counter(
+        r.source
+        for r in load_table(spark, sf_oracle_dir, "documents")
+        .select("source")
+        .collect()
+    )
+    total = sum(corpus.values())
+    for src, q in quotas.items():
+        exact = _BUDGET_N * corpus[src] / total
+        assert abs(q - exact) < 1.0, (src, q, exact)
+
+
+def test_p_dedup_recall_eval_is_informative(spark, sf_oracle_dir):
+    """The measurement must be non-degenerate on the fixture: true
+    pairs exist, candidates exist, the intersection is non-empty, and
+    precision is NOT 10⁶ ppm (banding admits some sub-threshold
+    candidates — if it didn't, the eval would be vacuous) while recall
+    is positive."""
+    from x8313_etl_spark.queries.pipeline_q import p_dedup_recall_eval
+
+    row = p_dedup_recall_eval(spark, sf_oracle_dir).collect()[0]
+    assert row.n_true > 0 and row.n_cand > 0 and row.n_tp > 0
+    assert 0 < row.recall_ppm <= 1_000_000
+    assert 0 < row.precision_ppm < 1_000_000
+
+
+# --- r13 batch-L registrations (raised-budget round) ------------------------
+
+
+def test_w20_credits_sum_to_one_million_per_user(spark, sf_oracle_dir):
+    """The attribution contract: per-user credits sum to EXACTLY 10⁶
+    ppm at every journey length, and the fixture exercises k=1, k=2
+    and k≥3 journeys (all three CASE regimes live)."""
+    import collections
+
+    from x8313_etl_spark.queries.windows import w20_position_attribution
+
+    rows = w20_position_attribution(spark, sf_oracle_dir).collect()
+    assert rows
+    per_user = collections.defaultdict(int)
+    ks = set()
+    for r in rows:
+        per_user[r.user_id] += r.credit_ppm
+        ks.add(r.n_touches)
+    assert all(v == 1_000_000 for v in per_user.values())
+    assert 1 in ks and 2 in ks and any(k >= 3 for k in ks)
+
+
+def test_dq9_discriminates(spark, sf_oracle_dir):
+    """The audit must see BOTH outcomes on the fixture: at least one
+    violated FD and at least one clean FD (an all-red or all-green
+    suite verifies nothing)."""
+    from x8313_etl_spark.queries.etl_q import dq9_fd_audit
+
+    rows = {r.fd: r for r in dq9_fd_audit(spark, sf_oracle_dir).collect()}
+    assert len(rows) == 3
+    assert any(r.n_violating > 0 for r in rows.values())
+    assert any(r.n_violating == 0 for r in rows.values())
+    clean = rows["nation.n_name->n_regionkey"]
+    assert clean.n_violating == 0 and clean.violation_ppm == 0
+
+
+def test_p_hard_negatives_are_cross_label_and_hard(spark, sf_oracle_dir):
+    """Every mined negative must carry a label different from its
+    anchor's (join back to verify), and negatives must be HARD: the
+    mean top-1 negative cosine must exceed the corpus mean pairwise
+    cosine proxy (0 for isotropic vectors) — i.e. strictly positive."""
+    import pyspark.sql.functions as F
+
+    from x8313_etl_spark.queries.pipeline_q import p_hard_negatives
+
+    out = p_hard_negatives(spark, sf_oracle_dir)
+    emb = load_table(spark, sf_oracle_dir, "embeddings").select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("alabel")
+    )
+    rows = out.join(emb, "anchor_id").collect()
+    assert rows
+    assert all(r.label != r.alabel for r in rows)
+    top1 = [r.cos_sim for r in rows if r.rn == 1]
+    assert top1 and sum(top1) / len(top1) > 0.0
+
+
+def test_ts_anomaly_mad_is_selective(spark, sf_oracle_dir):
+    """Flags must exist but stay a strict minority of rows, and every
+    flagged row must satisfy the predicate against its own series'
+    MAD evidence."""
+    from x8313_etl_spark.queries.timeseries_q import _MAD_K, ts_anomaly_mad
+
+    rows = ts_anomaly_mad(spark, sf_oracle_dir).collect()
+    assert rows
+    total = load_table(spark, sf_oracle_dir, "events").count()
+    assert len(rows) < total / 4
+    assert all(r.dev > _MAD_K * r.mad_cents for r in rows)
+
+
+def test_s24_written_files_are_nested_json(spark, sf_oracle_dir):
+    """The sink side-effect is real nested JSON: a written line parses
+    as an object whose meta is an object and stats an array."""
+    import glob
+    import json
+    import os
+
+    from x8313_etl_spark.queries.sources_q import _SCRATCH, s24_nested_json_roundtrip
+
+    s24_nested_json_roundtrip(spark, sf_oracle_dir).count()
+    tag = os.path.basename(sf_oracle_dir.rstrip("/"))
+    files = glob.glob(os.path.join(_SCRATCH, f"s24_nested_{tag}", "part-*.json"))
+    assert files
+    with open(files[0]) as fh:
+        rec = json.loads(fh.readline())
+    assert isinstance(rec["meta"], dict) and isinstance(rec["stats"], list)

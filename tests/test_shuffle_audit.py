@@ -270,6 +270,46 @@ ALLOWED: dict[str, tuple[dict[str, int], str]] = {
         "into the violation flag (the h11 share-of-total idiom) — "
         "cohort-cardinality-sized, never row-sized",
     ),
+    "w19_rfm_cells": (
+        {"Exchange SinglePartition": 7},
+        "three two-phase global ranks (recency/frequency/monetary): "
+        "every single-partition stage is the globalrank core's bounded "
+        "per-PARTITION count window (o1's entry, one per axis); counts "
+        ">3 are plan-string re-expansions — each chained rank's plan "
+        "re-prints the earlier persisted rank table's InMemoryTableScan "
+        "subtree (1+2+4) — customer rows stay range-partitioned",
+    ),
+    "p_budget_allocation": (
+        {"Exchange SinglePartition": 1},
+        "the Hamilton allocation windows (total, leftover, remainder "
+        "rank) run over the SOURCE-sized (~10-row) per-source count "
+        "table (dq4's bounded-cohort shape) and broadcast back; the "
+        "corpus-wide top-quota pick rank is hash-partitioned by source",
+    ),
+    "p_hard_negatives": (
+        {"BroadcastNestedLoopJoin": 2},
+        "the pooled IVF assignment's bounded K=16 seed cross re-expands "
+        "in the plan string once per assignment reference (corpus + "
+        "anchor side — sim_radius_neighbors' entry verbatim); the "
+        "bucket search itself is a broadcast HASH join on cent_id with "
+        "an O(cap) anchor set",
+    ),
+    "dq9_fd_audit": (
+        {"Exchange SinglePartition": 3},
+        "the audit output IS three FD-count rows: one single-row "
+        "conditional aggregate per declared FD (global merges of "
+        "fixed-size count cells — dq3's suite shape); the per-FD "
+        "distinct-count groupBys stay key-partitioned",
+    ),
+    "p_dedup_recall_eval": (
+        {"BroadcastNestedLoopJoin": 2, "Exchange SinglePartition": 3},
+        "the output IS three one-row scalars: n_true/n_cand/n_tp "
+        "single-row count aggregates (3 single-partition merges of "
+        "fixed-size partials) combined by two one-row broadcast "
+        "crosses (dq_profile's suite shape); the pair-sized work — "
+        "exact posting self-join and banded candidate join — stays "
+        "hash-partitioned on shingle/band keys",
+    ),
 }
 
 #: materialization-ledger allowlist: persist/checkpoint KEY -> (flag
@@ -449,6 +489,18 @@ ALLOWED_LEDGER: dict[str, tuple[dict[str, int], str]] = {
         "sequence — every crossed table is ONE row; the checkpoint "
         "exists so the 10-row result is built once instead of once per "
         "downstream reference",
+    ),
+    "w19.rank_f": (
+        {"Exchange SinglePartition": 1},
+        "second chained global rank: its persisted plan embeds the "
+        "globalrank core's bounded per-partition count window (o1's "
+        "entry); rank_r's subtree is already an InMemoryTableScan here",
+    ),
+    "w19.rank_m": (
+        {"Exchange SinglePartition": 3},
+        "third chained global rank: one bounded count window of its "
+        "own (o1's entry) + plan-string re-expansions of the two "
+        "earlier persisted rank subtrees — customer rows never funnel",
     ),
 }
 

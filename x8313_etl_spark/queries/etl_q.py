@@ -1547,3 +1547,148 @@ def dq8_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lag_us") > F.col("thr_us")).alias("is_stale"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# m12_dynamic_partition_overwrite (registered round 13; twin
+# pre-verified in the batch-K candidate suite at both fixture sfs —
+# tests/test_r13_candidates.py, now retired)
+# ---------------------------------------------------------------------------
+
+_M12_SQL = """
+SELECT c_custkey, c_acctbal + 1000.0 AS acctbal,
+       CAST(c_nationkey AS INTEGER) AS c_nationkey
+FROM customer WHERE c_nationkey < 3 AND c_custkey % 2 = 0
+UNION ALL
+SELECT c_custkey, c_acctbal AS acctbal,
+       CAST(c_nationkey AS INTEGER) AS c_nationkey
+FROM customer WHERE c_nationkey >= 3
+"""
+
+
+@register(
+    "m12_dynamic_partition_overwrite",
+    category="etl",
+    oracle=_M12_SQL,
+)
+def m12_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — Spark's native
+    ``partitionOverwriteMode=dynamic`` write option: the second write
+    replaces ONLY the partitions present in the incoming batch
+    (nations 0–2, and only their even keys survive, proving whole-
+    partition REPLACEMENT, not row merge), while every other partition
+    keeps its original files untouched. This is the idempotent daily
+    re-run primitive (recompute one day/region, overwrite just it)
+    that the m-family's MERGE/snapshot variants don't cover. At 100 TB
+    the cost is the delta's partitions only — the base table is never
+    rewritten or even read by the write path. The whole-partition-
+    replacement guard (odd keys gone under nations <3, retained above)
+    lives in tests/test_registered_guards.py."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_nationkey"
+    )
+    path = scratch(f"m12_dynp_{_tag(sf_dir)}")
+    c.write.mode("overwrite").partitionBy("c_nationkey").parquet(path)
+    delta = c.filter(
+        (F.col("c_nationkey") < 3) & (F.col("c_custkey") % 2 == 0)
+    ).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+        "c_nationkey",
+    )
+    delta.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("c_nationkey").parquet(path)
+    back = spark.read.parquet(path)
+    return back.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq9_fd_audit (registered round 13 under the raised ≤10 budget; twin
+# pre-verified in the batch-L candidate suite at both fixture sfs —
+# tests/test_r14_candidates.py, now retired)
+# ---------------------------------------------------------------------------
+
+_DQ9_SQL = """
+WITH f1 AS (
+  SELECT 'part.p_name->p_brand' AS fd,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(count(*) FILTER (nd > 1) AS BIGINT) AS n_violating
+  FROM (SELECT p_name, count(DISTINCT p_brand) AS nd FROM part GROUP BY p_name)
+),
+f2 AS (
+  SELECT 'orders.o_custkey->o_orderpriority' AS fd,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(count(*) FILTER (nd > 1) AS BIGINT) AS n_violating
+  FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd
+        FROM orders GROUP BY o_custkey)
+),
+f3 AS (
+  SELECT 'nation.n_name->n_regionkey' AS fd,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(count(*) FILTER (nd > 1) AS BIGINT) AS n_violating
+  FROM (SELECT n_name, count(DISTINCT n_regionkey) AS nd
+        FROM nation GROUP BY n_name)
+),
+u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)
+SELECT fd, n_keys, n_violating,
+       (1000000 * n_violating) // n_keys AS violation_ppm
+FROM u
+"""
+
+
+@register(
+    "dq9_fd_audit",
+    category="etl",
+    oracle=_DQ9_SQL,
+)
+def dq9_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared functional-dependency audit: for each asserted FD
+    'determinant → dependent', count keys whose determinant value maps
+    to MORE than one distinct dependent value (the dependency
+    violators) and report the violation rate in exact ppm. Three FDs
+    in one suite — part.p_name→p_brand and orders.o_custkey→
+    o_orderpriority (violated on the fixture: shared vocabulary names
+    / multi-order customers) and nation.n_name→n_regionkey (clean) —
+    so the audit output discriminates, not just flags (guard in
+    tests/test_registered_guards.py); the Deequ-style "dependency
+    holds" check dq1–dq8 don't cover. Each FD is one groupBy + one
+    tiny count agg; tables are touched once each. At 100 TB: the
+    per-FD shuffle is key-cardinality-sized and map-side-combined; the
+    suite output is FD-count rows (one-row scalar aggs — ALLOWED entry
+    in tests/test_shuffle_audit.py)."""
+
+    def fd(df, name, det, dep):
+        keys = df.groupBy(det).agg(
+            F.count_distinct(dep).alias("nd")
+        )
+        return keys.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.count(F.when(F.col("nd") > 1, True)).cast("bigint").alias(
+                "n_violating"
+            ),
+        )
+
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    out = (
+        fd(part, "part.p_name->p_brand", "p_name", "p_brand")
+        .unionByName(
+            fd(orders, "orders.o_custkey->o_orderpriority",
+               "o_custkey", "o_orderpriority")
+        )
+        .unionByName(fd(nation, "nation.n_name->n_regionkey",
+                        "n_name", "n_regionkey"))
+    )
+    return out.select(
+        "fd",
+        "n_keys",
+        "n_violating",
+        F.expr("(1000000 * n_violating) div n_keys").alias("violation_ppm"),
+    )

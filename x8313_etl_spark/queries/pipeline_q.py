@@ -2128,3 +2128,444 @@ def p_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             bucket.cast("bigint").alias("stride_bucket"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# p_span_corruption (registered round 13; twin pre-verified in the
+# batch-K candidate suite at both fixture sfs —
+# tests/test_r13_candidates.py, now retired)
+# ---------------------------------------------------------------------------
+
+_SPAN_LEN = 3
+_SPAN_EVERY = 20  # one span per 20 tokens (≈15% corruption at len 3)
+_SPAN_MIN_N = 8
+
+_SPAN_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+d AS MATERIALIZED (
+  SELECT doc_id, toks, n,
+         greatest(1, n // {_SPAN_EVERY}) AS n_spans,
+         n // greatest(1, n // {_SPAN_EVERY}) AS stride
+  FROM t WHERE n >= {_SPAN_MIN_N}
+),
+s AS (
+  SELECT doc_id, toks,
+         CAST(g.i AS BIGINT) AS span_id,
+         CAST(g.i * stride
+              + (CAST(CONCAT('0x', substr(md5(
+                   CAST(doc_id AS VARCHAR) || '-' || CAST(g.i AS VARCHAR)
+                 ), 1, 15)) AS BIGINT) % (stride - {_SPAN_LEN - 1}))
+           AS BIGINT) AS start
+  FROM d, unnest(generate_series(0, n_spans - 1)) AS g(i)
+)
+SELECT doc_id, span_id, start,
+       array_to_string(list_slice(toks, start + 1, start + {_SPAN_LEN}), ' ')
+         AS masked
+FROM s
+"""
+
+
+@register(
+    "p_span_corruption",
+    category="pipeline",
+    oracle=_SPAN_SQL,
+)
+def p_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption schedule (Raffel et al. 2020):
+    documents with ≥ _SPAN_MIN_N whitespace tokens get n//_SPAN_EVERY
+    (min 1) mask spans of _SPAN_LEN tokens. Spans are NON-OVERLAPPING
+    by construction: the token axis is cut into n_spans equal strides
+    and span i starts at i*stride + H(doc_id-i) % (stride-2) (md5
+    bucket — the house deterministic-hash rule), so every span fits
+    inside its own stride. Map-only: one scan, one explode of a
+    per-doc integer sequence — no shuffle at any scale; deterministic,
+    repartition-stable, resumable (the reasons an RNG can't do this
+    job). Output is the (doc, span, start, masked-text) schedule a
+    denoising-objective loader consumes."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    t = d.select(
+        "doc_id", toks.alias("toks"), F.size(toks).cast("bigint").alias("n")
+    ).filter(F.col("n") >= _SPAN_MIN_N)
+    t = t.withColumn(
+        "n_spans", F.greatest(F.lit(1), F.expr(f"n div {_SPAN_EVERY}"))
+    ).withColumn("stride", F.expr("n div n_spans"))
+    s = t.select(
+        "doc_id",
+        "toks",
+        "stride",
+        F.explode(F.sequence(F.lit(0), F.col("n_spans") - 1)).alias("span_id"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("-"),
+                    F.col("span_id").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    start = F.col("span_id") * F.col("stride") + F.pmod(
+        h, F.col("stride") - F.lit(_SPAN_LEN - 1)
+    )
+    return s.select(
+        "doc_id",
+        F.col("span_id").cast("bigint").alias("span_id"),
+        start.cast("bigint").alias("start"),
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), start.cast("int") + 1, _SPAN_LEN)
+        ).alias("masked"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# p_budget_allocation (registered round 13; twin pre-verified in the
+# batch-K candidate suite at both fixture sfs —
+# tests/test_r13_candidates.py, now retired)
+# ---------------------------------------------------------------------------
+
+_BUDGET_N = 200
+
+_BUDGET_SQL = f"""
+WITH per_src AS MATERIALIZED (
+  SELECT source, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY source
+),
+a AS MATERIALIZED (
+  SELECT source, cnt,
+         ({_BUDGET_N} * cnt) // CAST(SUM(cnt) OVER () AS BIGINT) AS base,
+         ({_BUDGET_N} * cnt) % CAST(SUM(cnt) OVER () AS BIGINT) AS rem
+  FROM per_src
+),
+alloc AS MATERIALIZED (
+  SELECT source,
+         CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                            <= {_BUDGET_N} - CAST(SUM(base) OVER () AS BIGINT)
+                     THEN 1 ELSE 0 END AS BIGINT) AS quota
+  FROM a
+)
+SELECT doc_id, source, pick_rank, quota FROM (
+  SELECT d.doc_id, d.source,
+         CAST(row_number() OVER (PARTITION BY d.source
+                                 ORDER BY d.n_chars DESC, d.doc_id)
+           AS BIGINT) AS pick_rank,
+         alloc.quota
+  FROM documents d JOIN alloc ON d.source = alloc.source
+) WHERE pick_rank <= quota
+"""
+
+
+@register(
+    "p_budget_allocation",
+    category="pipeline",
+    oracle=_BUDGET_SQL,
+)
+def p_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) allocation of a _BUDGET_N-document
+    budget across sources, then each source's top-quota docs by
+    (n_chars DESC, doc_id) — the budgeted-curation op behind "give me
+    exactly N docs, proportional to source sizes, best-first". Quotas
+    are exact integers that sum to the budget by construction: base
+    share (N·cnt) div total per source, the remainder ranked (rem
+    DESC, source) and the leftover distributed +1 down that ranking.
+    The allocation table is SOURCE-sized (bounded: ~10 rows), so its
+    single-partition windows are over a bounded table (the dq4/dq8
+    shape — ALLOWED entry in tests/test_shuffle_audit.py) and it
+    broadcasts into the one corpus-wide pass; the only full shuffle is
+    the per-source top-quota rank."""
+    from ..operators.cachepool import swap_persist
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    per_src = swap_persist(
+        "pba.src",
+        d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")),
+    )
+    wall = Window.partitionBy()
+    a = per_src.select(
+        "source",
+        "cnt",
+        F.sum("cnt").over(wall).alias("t"),
+    ).select(
+        "source",
+        "cnt",
+        F.expr(f"({_BUDGET_N} * cnt) div t").alias("base"),
+        ((F.lit(_BUDGET_N) * F.col("cnt")) % F.col("t")).alias("rem"),
+    )
+    a = a.select(
+        "source",
+        "cnt",
+        "base",
+        "rem",
+        (F.lit(_BUDGET_N) - F.sum("base").over(wall)).alias("leftover"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), F.col("source")))
+        .alias("rrank"),
+    )
+    alloc = a.select(
+        "source",
+        (
+            F.col("base")
+            + F.when(F.col("rrank") <= F.col("leftover"), 1).otherwise(0)
+        ).cast("bigint").alias("quota"),
+    )
+    wpick = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        d.join(F.broadcast(alloc), "source")
+        .withColumn("pick_rank", F.row_number().over(wpick))
+        .filter(F.col("pick_rank") <= F.col("quota"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("pick_rank").cast("bigint").alias("pick_rank"),
+            "quota",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# p_dedup_recall_eval (registered round 13, substituted into batch K's
+# fifth slot after g14_label_propagation was found output-identical to
+# the already-registered g4 — see ROADMAP.md; twin pre-verified in the
+# batch-M candidate suite at both fixture sfs —
+# tests/test_r15_candidates.py)
+# ---------------------------------------------------------------------------
+
+_EVAL_TAU = 0.3  # the l2 family's design threshold
+
+
+def _dedup_eval_sql() -> str:
+    from .llm import _SQL_SHINGLE_CTES
+
+    return f"""
+WITH {_SQL_SHINGLE_CTES},
+p AS MATERIALIZED (
+  SELECT CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / len(list_distinct(a.sh || b.sh)) AS jac,
+         len(list_filter(generate_series(0, 7), bi ->
+             list_slice(a.sig, bi*4 + 1, bi*4 + 4)
+               = list_slice(b.sig, bi*4 + 1, bi*4 + 4))) AS nb
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+),
+c AS (
+  SELECT CAST(count(*) FILTER (jac >= {_EVAL_TAU}) AS BIGINT) AS n_true,
+         CAST(count(*) FILTER (nb > 0) AS BIGINT) AS n_cand,
+         CAST(count(*) FILTER (nb > 0 AND jac >= {_EVAL_TAU}) AS BIGINT)
+           AS n_tp
+  FROM p
+)
+SELECT n_true, n_cand, n_tp,
+       CASE WHEN n_true = 0 THEN 0
+            ELSE (1000000 * n_tp) // n_true END AS recall_ppm,
+       CASE WHEN n_cand = 0 THEN 0
+            ELSE (1000000 * n_tp) // n_cand END AS precision_ppm
+FROM c
+"""
+
+
+@register(
+    "p_dedup_recall_eval",
+    category="pipeline",
+    oracle=_dedup_eval_sql(),
+)
+def p_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation: how good is the 8×4 banded MinHash
+    candidate generator (the l2/l5/ingest-dedup core) on THIS corpus?
+    n_true = pairs with exact shingle Jaccard ≥ τ (via the exact
+    inverted-index posting join — l2c's algorithm, no sketch anywhere);
+    n_cand = distinct banded candidate pairs (uncapped band semantics,
+    so the measurement is of the banding itself, not the hot-bucket
+    guard); n_tp = their intersection; recall/precision in exact
+    integer ppm. This operationalizes the repo's standing banded-recall
+    caveat (VERDICT r7–r12): instead of documenting an S-curve posture,
+    MEASURE it on the corpus at hand. At 100 TB this runs on a SAMPLE —
+    it is the calibration instrument you consult before committing a
+    threshold/band split to a full crawl (tune_bands' S-curve made
+    empirical; its exact posting join is Σ df² on the sample, which is
+    the instrument's cost, not the pipeline's). The shingle and
+    candidate tables ride the swap-pool (keys dedupeval.*); the three
+    count aggregates are one-row scalars combined by broadcast (the
+    dq_profile suite shape — ALLOWED entry in
+    tests/test_shuffle_audit.py)."""
+    from ..operators.bandjoin import guarded_band_self_join
+    from ..operators.cachepool import swap_persist
+    from ..operators.minhash import band_keys, shingle_table, signature_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = swap_persist(
+        "dedupeval.sh",
+        shingle_table(d, "doc_id", "text", 3).filter(F.size("sh") > 0),
+    )
+    sigs = signature_table(d, "doc_id", "text", 3)
+    banded = sigs.select(
+        "doc_id", F.posexplode(band_keys(F.col("sig"))).alias("band", "key")
+    )
+    cand = swap_persist(
+        "dedupeval.cand",
+        guarded_band_self_join(
+            banded, "doc_id", ("band", "key"), max_bucket_size=None
+        ),
+    )
+    post = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    inter = (
+        post.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(
+            post.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle"
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("sz"))
+    jac = F.col("inter").cast("double") / (
+        F.col("sa") + F.col("sb") - F.col("inter")
+    )
+    exact = swap_persist(
+        "dedupeval.exact",
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb")),
+            "doc_b",
+        )
+        .filter(jac >= _EVAL_TAU)
+        .select("doc_a", "doc_b"),
+    )
+    n_true = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    n_tp = exact.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tp")
+    )
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_tp))
+        .select(
+            "n_true",
+            "n_cand",
+            "n_tp",
+            F.expr(
+                "CASE WHEN n_true = 0 THEN 0 "
+                "ELSE (1000000 * n_tp) div n_true END"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CASE WHEN n_cand = 0 THEN 0 "
+                "ELSE (1000000 * n_tp) div n_cand END"
+            ).alias("precision_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# p_hard_negatives (registered round 13 under the raised ≤10 budget;
+# twin pre-verified in the batch-L candidate suite at both fixture sfs
+# — tests/test_r14_candidates.py, now retired. Registration-time fix:
+# the anchor set gained the fixed absolute cap the r13 probe-broadcast
+# sweep added to the whole IVF family — `vec_id % 50` alone is a
+# corpus FRACTION, and its broadcast would grow linearly; fn and twin
+# changed identically, re-verified hash-exact at both sfs.)
+# ---------------------------------------------------------------------------
+
+_HN_ANCHOR_MOD = 50
+_HN_TOPK = 5
+
+
+def _hard_negatives_sql() -> str:
+    from ..functions.vector import sql_cosine
+    from .similarity_q import _IVF_PROBE_CAP, _K_CENTROIDS
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+         WHERE vec_id < {_K_CENTROIDS}),
+ranked AS MATERIALIZED (
+  SELECT e.vec_id, cent.cent_id, e.embedding, e.label,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {sql_cosine('e.embedding', 'cent.cvec')} DESC, cent.cent_id
+         ) AS crn
+  FROM e CROSS JOIN cent
+),
+assign AS (SELECT vec_id, cent_id, embedding, label FROM ranked WHERE crn = 1),
+anchors AS (SELECT vec_id AS anchor_id, cent_id, embedding AS avec,
+                   label AS alabel
+            FROM assign
+            WHERE vec_id % {_HN_ANCHOR_MOD} = 0
+              AND vec_id < {_IVF_PROBE_CAP})
+SELECT anchor_id, vec_id, label, cos_sim, rn FROM (
+  SELECT a.anchor_id, m.vec_id, m.label,
+         {sql_cosine('a.avec', 'm.embedding')} AS cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY a.anchor_id
+           ORDER BY {sql_cosine('a.avec', 'm.embedding')} DESC, m.vec_id
+         ) AS BIGINT) AS rn
+  FROM anchors a JOIN assign m
+    ON a.cent_id = m.cent_id AND m.vec_id != a.anchor_id
+       AND m.label != a.alabel
+)
+WHERE rn <= {_HN_TOPK}
+"""
+
+
+@register(
+    "p_hard_negatives",
+    category="pipeline",
+    oracle=_hard_negatives_sql(),
+)
+def p_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (Xiong et al.
+    ANCE, public): for each capped anchor (vec_id % 50 AND the fixed
+    absolute _IVF_PROBE_CAP budget — the l10_knn_ivf contract), the
+    top-5 most-cosine-similar vectors with a DIFFERENT label inside
+    the anchor's IVF bucket. Random negatives (p_negative_samples) are
+    easy; the negatives that teach a model are the near-misses —
+    exactly the ANN bucket's different-label residents. Composes the
+    pooled _ivf_assign (one shared coarse assignment with sim_ivf_topk
+    / l10_knn_ivf); anchors broadcast — an O(cap) set, not a corpus
+    fraction — so the search stays in the corpus scan's partitioning
+    (the sim_ivf_topk plan discipline). Candidate volume is Σ anchor-
+    bucket sizes — the IVF growth law, never n²."""
+    from ..functions.vector import dot
+    from .similarity_q import _IVF_PROBE_CAP, _ivf_assign
+
+    assign = _ivf_assign(spark, sf_dir)
+    anchors = assign.filter(
+        (F.col("vec_id") % _HN_ANCHOR_MOD == 0)
+        & (F.col("vec_id") < _IVF_PROBE_CAP)
+    ).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("cent_id"),
+        F.col("embedding").alias("avec"),
+        F.col("vnorm").alias("anorm"),
+        F.col("label").alias("alabel"),
+    )
+    cos = dot(F.col("avec"), F.col("embedding")) / (
+        F.col("anorm") * F.col("vnorm")
+    )
+    wr = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        assign.join(F.broadcast(anchors), "cent_id")
+        .filter(
+            (F.col("vec_id") != F.col("anchor_id"))
+            & (F.col("label") != F.col("alabel"))
+        )
+        .select(
+            "anchor_id", "vec_id", "label", cos.alias("cos_sim")
+        )
+        .withColumn("rn", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rn") <= _HN_TOPK)
+    )

@@ -874,3 +874,56 @@ def s23_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("content_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s24_nested_json_roundtrip (registered round 13 under the raised ≤10
+# budget; twin pre-verified in the batch-L candidate suite at both
+# fixture sfs — tests/test_r14_candidates.py, now retired)
+# ---------------------------------------------------------------------------
+
+_S24_SQL = """
+SELECT doc_id, lang, source, n_chars,
+       CAST(length(text) AS BIGINT) AS text_len
+FROM documents
+"""
+
+
+@register(
+    "s24_nested_json_roundtrip",
+    category="sources",
+    oracle=_S24_SQL,
+)
+def s24_nested_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S24: NESTED JSONL round-trip — a struct column (doc metadata)
+    and an array column (per-doc stats) written to JSON lines and read
+    back with an EXPLICIT nested schema (schema inference on nested
+    JSON is a planning-time corpus scan at 100 TB — production pins
+    the schema), then flattened back to columns. The twin states the
+    net effect declaratively from the base table, so the encode →
+    decode → flatten chain is what's verified. s4 covers flat JSONL;
+    this is the remaining nested-connector surface (the shape real
+    document corpora with metadata blobs arrive in). The written-files-
+    are-really-nested-JSON guard lives in
+    tests/test_registered_guards.py."""
+    d = load_table(spark, sf_dir, "documents")
+    nested = d.select(
+        "doc_id",
+        F.struct(F.col("lang"), F.col("source")).alias("meta"),
+        F.array(
+            F.col("n_chars"), F.length("text").cast("bigint")
+        ).alias("stats"),
+    )
+    path = scratch(f"s24_nested_{_tag(sf_dir)}")
+    nested.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "doc_id bigint, meta struct<lang:string,source:string>, "
+        "stats array<bigint>"
+    ).json(path)
+    return back.select(
+        "doc_id",
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.source").alias("source"),
+        F.element_at("stats", 1).alias("n_chars"),
+        F.element_at("stats", 2).alias("text_len"),
+    )

@@ -1317,3 +1317,111 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "den",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_anomaly_mad (registered round 13 under the raised ≤10 budget;
+# twin pre-verified in the batch-L candidate suite at both fixture sfs
+# — tests/test_r14_candidates.py, now retired)
+# ---------------------------------------------------------------------------
+
+_MAD_K = 3  # flag |x - med| > K * MAD
+
+_MAD_SQL = f"""
+WITH b AS MATERIALIZED (
+  SELECT user_id AS series, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT series, cents,
+         row_number() OVER (PARTITION BY series ORDER BY cents, event_id)
+           AS rn,
+         count(*) OVER (PARTITION BY series) AS n
+  FROM b
+),
+med AS MATERIALIZED (
+  SELECT series, cents AS med_cents FROM r WHERE rn = (n + 1) // 2
+),
+dev AS MATERIALIZED (
+  SELECT b.series, b.event_id, b.cents, med.med_cents,
+         abs(b.cents - med.med_cents) AS dev
+  FROM b JOIN med ON b.series = med.series
+),
+r2 AS (
+  SELECT series, dev,
+         row_number() OVER (PARTITION BY series ORDER BY dev, event_id) AS rn,
+         count(*) OVER (PARTITION BY series) AS n
+  FROM dev
+),
+mad AS MATERIALIZED (
+  SELECT series, dev AS mad_cents FROM r2 WHERE rn = (n + 1) // 2
+)
+SELECT d.series, d.event_id, d.cents, d.med_cents, d.dev, m.mad_cents
+FROM dev d JOIN mad m ON d.series = m.series
+WHERE d.dev > {_MAD_K} * m.mad_cents
+"""
+
+
+@register(
+    "ts_anomaly_mad",
+    category="timeseries",
+    oracle=_MAD_SQL,
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series anomaly detection by MEDIAN absolute deviation
+    — the outlier-resistant alternative to ts_zscore_anomaly (a single
+    spike inflates a z-score's own std and hides itself; it cannot
+    move a median). All statistics are exact integer cents selected BY
+    RANK (position (n+1) div 2 under the (value, event_id) total
+    order — the a24/p_embed_outliers no-interpolation discipline), so
+    both engines pick the identical element and the flag predicate
+    |x−med| > K·MAD is pure int64 arithmetic. The per-series base
+    table is POOLED (swap_persist key tsmad.base): it feeds the median
+    pass, the deviation-median pass, and the flag pass — one events
+    scan total. At 100 TB everything is series-keyed windows and joins
+    on the same key; no global stage anywhere. Selectivity guard in
+    tests/test_registered_guards.py."""
+    from ..operators.cachepool import swap_persist
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("series"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    b = swap_persist("tsmad.base", ev)
+    wv = Window.partitionBy("series").orderBy("cents", "event_id")
+    wn = Window.partitionBy("series")
+    med = (
+        b.select(
+            "series",
+            "cents",
+            F.row_number().over(wv).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("series", F.col("cents").alias("med_cents"))
+    )
+    dev = b.join(med, "series").select(
+        "series",
+        "event_id",
+        "cents",
+        "med_cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("dev"),
+    )
+    wd = Window.partitionBy("series").orderBy("dev", "event_id")
+    mad = (
+        dev.select(
+            "series",
+            "dev",
+            F.row_number().over(wd).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("series", F.col("dev").alias("mad_cents"))
+    )
+    return (
+        dev.join(mad, "series")
+        .filter(F.col("dev") > _MAD_K * F.col("mad_cents"))
+        .select("series", "event_id", "cents", "med_cents", "dev", "mad_cents")
+    )

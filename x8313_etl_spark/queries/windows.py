@@ -1044,3 +1044,205 @@ def w18_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _W18_TOPK)
         .select("path", "n", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# w19_rfm_cells (registered round 13; twin pre-verified in the batch-K
+# candidate suite at both fixture sfs — tests/test_r13_candidates.py,
+# now retired)
+# ---------------------------------------------------------------------------
+
+_RFM_SQL = """
+WITH base AS MATERIALIZED (
+  SELECT o_custkey AS c_custkey,
+         CAST(max(CAST(o_orderdate AS DATE)) AS DATE) AS last_day,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+r AS MATERIALIZED (
+  SELECT *,
+         row_number() OVER (ORDER BY last_day, c_custkey) - 1 AS r_rn,
+         row_number() OVER (ORDER BY frequency, c_custkey) - 1 AS f_rn,
+         row_number() OVER (ORDER BY monetary_cents, c_custkey) - 1 AS m_rn,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM base
+)
+SELECT c_custkey, last_day, frequency, monetary_cents,
+       CAST(r_rn * 4 // n + 1 AS INTEGER) AS r_q,
+       CAST(f_rn * 4 // n + 1 AS INTEGER) AS f_q,
+       CAST(m_rn * 4 // n + 1 AS INTEGER) AS m_q,
+       CAST(r_rn * 4 // n + 1 AS VARCHAR)
+         || CAST(f_rn * 4 // n + 1 AS VARCHAR)
+         || CAST(m_rn * 4 // n + 1 AS VARCHAR) AS rfm_cell
+FROM r
+"""
+
+
+@register(
+    "w19_rfm_cells",
+    category="windows",
+    oracle=_RFM_SQL,
+)
+def w19_rfm_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) quartile cells per customer —
+    the classic segmentation analytics op. Recency/frequency/monetary
+    are one groupBy over orders (cents as exact int64); each
+    dimension's quartile is RANK-derived — q = rank*4 div n + 1 over
+    the total order (value ASC, c_custkey) — through the two-phase
+    global rank (operators/globalrank.py), so no value interpolation,
+    no all-to-one exchange, and both engines agree exactly. q=4 is
+    'best' on every axis (most recent / most frequent / highest
+    spend). The base table is pooled: it feeds three rank passes (keys
+    w19.*). The twin's whole-table row_number() windows are the
+    oracle-shape equivalent; the Spark side's only single-partition
+    stages are the three bounded per-partition count tables (the o1
+    globalrank shape — ALLOWED entries in tests/test_shuffle_audit.py).
+    """
+    from ..operators.cachepool import swap_persist
+    from ..operators.globalrank import with_global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    base = swap_persist(
+        "w19.base",
+        o.groupBy("o_custkey").agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+                "monetary_cents"
+            ),
+        ).select(
+            F.col("o_custkey").alias("c_custkey"),
+            "last_day",
+            "frequency",
+            "monetary_cents",
+        ),
+    )
+    r = with_global_rank(
+        base,
+        [F.col("last_day").asc(), F.col("c_custkey").asc()],
+        32,
+        "w19.rank_r",
+        rank_col="r_rn",
+        count_col="n",
+    )
+    r = with_global_rank(
+        r,
+        [F.col("frequency").asc(), F.col("c_custkey").asc()],
+        32,
+        "w19.rank_f",
+        rank_col="f_rn",
+    )
+    r = with_global_rank(
+        r,
+        [F.col("monetary_cents").asc(), F.col("c_custkey").asc()],
+        32,
+        "w19.rank_m",
+        rank_col="m_rn",
+    )
+    q = lambda rn: F.expr(f"({rn} * 4) div n") + 1  # noqa: E731
+    return r.select(
+        "c_custkey",
+        "last_day",
+        F.col("frequency").cast("bigint").alias("frequency"),
+        "monetary_cents",
+        q("r_rn").cast("int").alias("r_q"),
+        q("f_rn").cast("int").alias("f_q"),
+        q("m_rn").cast("int").alias("m_q"),
+        F.concat(
+            q("r_rn").cast("string"), q("f_rn").cast("string"), q("m_rn").cast("string")
+        ).alias("rfm_cell"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# w20_position_attribution (registered round 13 under the raised ≤10
+# budget; twin pre-verified in the batch-L candidate suite at both
+# fixture sfs — tests/test_r14_candidates.py, now retired)
+# ---------------------------------------------------------------------------
+
+_U_FIRST, _U_LAST, _U_MID = 400_000, 400_000, 200_000  # ppm; sums to 1e6
+
+_W20_SQL = f"""
+WITH fp AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+),
+t AS MATERIALIZED (
+  SELECT e.user_id, e.event_id,
+         CAST(row_number() OVER (PARTITION BY e.user_id
+                                 ORDER BY e.ts, e.event_id) AS BIGINT)
+           AS touch_rank,
+         CAST(count(*) OVER (PARTITION BY e.user_id) AS BIGINT) AS n_touches
+  FROM events e JOIN fp ON e.user_id = fp.user_id
+  WHERE e.event_type = 'click' AND e.ts < fp.t1
+)
+SELECT user_id, event_id, touch_rank, n_touches,
+       CAST(CASE
+         WHEN n_touches = 1 THEN 1000000
+         WHEN n_touches = 2 THEN 500000
+         WHEN touch_rank = 1 THEN {_U_FIRST}
+              + ({_U_MID} - ({_U_MID} // (n_touches - 2)) * (n_touches - 2))
+         WHEN touch_rank = n_touches THEN {_U_LAST}
+         ELSE {_U_MID} // (n_touches - 2)
+       END AS BIGINT) AS credit_ppm
+FROM t
+"""
+
+
+@register(
+    "w20_position_attribution",
+    category="windows",
+    oracle=_W20_SQL,
+)
+def w20_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: each user's
+    click touches strictly before their FIRST purchase share credit
+    40% first / 40% last / 20% split across middles — in exact integer
+    ppm, k=1 → 10⁶, k=2 → 500k/500k, k≥3 → first also absorbs the
+    middle-split remainder, so Σ credit = 10⁶ per user EXACTLY (the
+    guard test in tests/test_registered_guards.py pins it — the
+    marketing-analytics op next to w17's last-touch). One shuffle on
+    user_id feeds the min-purchase agg, the ordered window, and the
+    per-user count; credits are pure integer CASE arithmetic —
+    engine-exact. At 100 TB this is one user-keyed exchange reused by
+    all three window stages (the w8 sessionize discipline)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    touches = (
+        ev.filter(F.col("event_type") == "click")
+        .join(fp, "user_id")
+        .filter(F.col("ts") < F.col("t1"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id")
+    t = touches.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("bigint").alias("touch_rank"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n_touches"),
+    )
+    k, rn = F.col("n_touches"), F.col("touch_rank")
+    mid_each = F.expr(f"{_U_MID} div (n_touches - 2)")
+    slack = F.lit(_U_MID) - mid_each * (k - 2)
+    credit = (
+        F.when(k == 1, F.lit(1_000_000))
+        .when(k == 2, F.lit(500_000))
+        .when(rn == 1, F.lit(_U_FIRST) + slack)
+        .when(rn == k, F.lit(_U_LAST))
+        .otherwise(mid_each)
+    )
+    return t.select(
+        "user_id",
+        "event_id",
+        "touch_rank",
+        "n_touches",
+        credit.cast("bigint").alias("credit_ppm"),
+    )
