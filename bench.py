@@ -11,6 +11,19 @@ executes the full plan and consumes every row on the executors
 materialization via ``df.write.format("noop")`` so column pruning can't
 fake the numbers).
 
+MEASUREMENT FIX (r13 optimization round — declared in
+OPTIMIZATION_r13.md; pre-fix receipt kept as
+BENCH_r13_opt_before_pooled.json): every timed sample now starts with
+COLD Spark caches (``_cold_caches``). Previously, the keyed
+swap-persist pool (operators/cachepool.py) handed timed re-runs the
+previous invocation's already-materialized intermediates (its
+sameSemantics reuse path), so the medians of pool-using queries
+measured cached reads rather than the computation — cross-run result
+caching, which this bench must not do. The cache drop happens OUTSIDE
+the timed region; reuse WITHIN one invocation (one persisted table
+feeding several branches of the same plan) still happens inside the
+timed run, as on a real cluster.
+
 Timed runs are INTERLEAVED across the whole query set (run the full
 set, then repeat xRUNS) rather than back-to-back per query, so a
 transient host-load spike lands on at most one sample of MANY queries
@@ -52,12 +65,43 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from x8313_etl_spark.operators.cachepool import clear_pool  # noqa: E402
 from x8313_etl_spark.registry import bench_queries  # noqa: E402
 from x8313_etl_spark.session import get_spark  # noqa: E402
 
 
 def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _cold_caches(spark) -> None:
+    """Drop every Spark-level cached intermediate BEFORE a timed run
+    (outside the timed region), so each sample computes from the
+    parquet inputs rather than from blocks a previous invocation of
+    the same query left behind.
+
+    Why this exists (r13 optimization round, methodology fix): the
+    keyed swap-persist pool (operators/cachepool.py) returns the
+    PREVIOUS invocation's already-materialized table when the incoming
+    plan is semantically identical — the repeat-invocation case, i.e.
+    exactly the bench's timed re-runs. Before this fix, the warm-up
+    materialized each pooled intermediate (p_item_cf's basket table,
+    p_bm25_topk's pruned postings, the minhash sketch tables, …) and
+    all three timed samples then read it from cache, so the medians
+    measured cached performance, not the computation. Pool reuse
+    WITHIN one invocation (one table feeding several plan branches) is
+    a legitimate plan property and still happens inside the timed run;
+    reuse ACROSS timed runs is result caching and is cleared here.
+    ``clear_pool(forget_ledger=False)`` keeps the shuffle-audit ledger
+    recordings; ``blocking=True`` waits for eviction to finish so it
+    cannot overlap the next timed sample; ``catalog.clearCache()``
+    additionally drops any ad-hoc ``.cache()`` a query registered on
+    the session."""
+    clear_pool(forget_ledger=False, blocking=True)
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
 
 
 def _host_norm(spark, sf_dir: str, runs: int) -> dict:
@@ -270,6 +314,10 @@ def main() -> None:
     # module docstring — isolates transient host load to single samples)
     for _ in range(runs):
         for name, spec in specs.items():
+            # cold caches per sample (see _cold_caches): every timed
+            # run computes from the parquet inputs — no pooled
+            # intermediate survives from the warm-up or a prior sample
+            _cold_caches(spark)
             t0 = time.perf_counter()
             _run(spec.fn(spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)

@@ -63,7 +63,7 @@ def swap_persist(
     return _POOL[key]
 
 
-def clear_pool(forget_ledger: bool = True) -> None:
+def clear_pool(forget_ledger: bool = True, blocking: bool = False) -> None:
     """Unpersist and forget every pooled table, AND (by default) drop
     their audit ledger entries. For test isolation: plan STRINGS
     re-expand an InMemoryRelation's child subtree, so a sweep that
@@ -81,12 +81,20 @@ def clear_pool(forget_ledger: bool = True) -> None:
     each plan count is that query's own cold first build, but the
     ledger recordings made along the way are exactly the cold
     first-build plans the staleness check wants to see at sweep end —
-    forgetting them each time would leave only the last query's keys."""
+    forgetting them each time would leave only the last query's keys.
+
+    ``blocking=True`` waits for every block to actually drop before
+    returning — the bench's cold-cache step uses it so that async
+    eviction of the PREVIOUS query's pool entries cannot overlap (and
+    inflate) the NEXT timed sample (observed r13: l6_tfidf, which owns
+    no pool entry at all, read 2.5 s in the interleaved bench vs 0.7 s
+    isolated, with l2's three freshly-built pool tables evicting
+    async right before it)."""
     from .. import audit
 
     for key, df in _POOL.items():
         try:
-            df.unpersist(blocking=False)
+            df.unpersist(blocking=blocking)
         except Exception:
             pass
         if forget_ledger:
