@@ -69,15 +69,25 @@ def get_spark(app_name: str = "x8313-etl-spark", cpus: int | None = None) -> Spa
         .config("spark.default.parallelism", str(n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Respect the 64 MB advisory target when coalescing instead of
-        # maximizing parallelism: post-shuffle stages get right-SIZED
-        # tasks, not core-count tasks. Locally this halves small-query
-        # fixed cost (q1 @sf0.001: 1.01s → 0.58s — fewer empty tasks);
-        # on a real cluster it is the busy-cluster posture Spark's
-        # tuning guide recommends (64 MB partitions of a 100 TB shuffle
-        # still give ~1.6M-way parallelism — the advisory size, not
-        # core count, is the binding constraint at scale).
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # AQE coalescing: parallelism-first (the Spark default). The r12
+        # posture pinned this to false (respect the 64 MB advisory), but
+        # measured across the bench set that coalesced EVERY post-shuffle
+        # stage at bench scale to 1-2 tasks — the heavy intermediates
+        # (p_item_cf's 2.4M-row symmetrized pair table, the LSH candidate
+        # tables) compress to a few MB, so their window sorts and verify
+        # joins serialized on one core while 31 idled. A/B at sf0.1
+        # local[32], cold caches, median of 3 (scripts/ab_parallelism_r13.py):
+        # p_item_cf 6.72→2.72 s, 10 of 13 slots 0.87-0.96×, worst
+        # regression a1_groupby_basic +0.04 s; subset total 23.5→18.2 s.
+        # Parallelism-first also makes post-shuffle parallelism track the
+        # session core count, so per-core scaling is measurable at all.
+        # On a BUSY shared cluster the advisory-size posture is still the
+        # right call — that is what the env override is for; the default
+        # matches Spark's own.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
