@@ -117,3 +117,33 @@ def test_band_candidate_prob_is_a_monotone_cdf_shape():
         tune_bands(0.0)
     with pytest.raises(ValueError):
         tune_bands(1.0)
+
+
+def test_signature_from_shingles_matches_signature_table(spark):
+    """signature_from_shingles(shingle_table(docs)) must be bit-identical
+    to signature_table(docs) — the r13 single-regex-pass derivation used
+    by every sig+sh co-consumer (near_dup_pairs, incremental_near_dups,
+    p_dedup_recall_eval)."""
+    import pyspark.sql.functions as F
+
+    from x8313_etl_spark.operators.minhash import (
+        shingle_table,
+        signature_from_shingles,
+        signature_table,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta thetb",
+        "one two three four five six seven",
+        "one two",  # shingle-less: absent from both forms
+        "repeat repeat repeat repeat repeat",
+    ]
+    docs = _docs(spark, texts)
+    ref = signature_table(docs, "doc_id", "text").select(
+        "doc_id", F.col("sig").alias("sig_ref")
+    )
+    derived = signature_from_shingles(shingle_table(docs, "doc_id", "text"))
+    joined = ref.join(derived, "doc_id", "full")
+    assert joined.filter("sig_ref IS NULL OR sig IS NULL").count() == 0
+    assert joined.filter("sig_ref != sig").count() == 0

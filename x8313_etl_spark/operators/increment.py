@@ -44,7 +44,12 @@ from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 from .bandjoin import DEFAULT_MAX_BUCKET_SIZE
-from .minhash import band_keys, shingle_table, signature_table
+from .minhash import (
+    band_keys,
+    shingle_table,
+    signature_from_shingles,
+    signature_table,
+)
 
 _SHINGLE_K = 3
 
@@ -103,8 +108,18 @@ def incremental_near_dups(
     sp = batch_docs.sparkSession.sparkContext.defaultParallelism
     batch_docs = batch_docs.repartition(sp)
 
-    sig_new = signature_table(batch_docs, id_col, text_col, k)
+    # One regex shingling pass per side, not two (r13 optimization
+    # round): sig derives from sh via signature_from_shingles —
+    # bit-identical signatures, but the CPU-dense shingling runs once
+    # while sh materializes instead of once per table. The batch side
+    # persists sh_new only when the verdict checkpoint below will
+    # release it; the precomputed-index path persists nothing.
     sh_new = shingle_table(batch_docs, id_col, text_col, k)
+    if cache and index_sig is None:
+        sh_new = sh_new.persist(StorageLevel.MEMORY_AND_DISK)
+        sig_new = signature_from_shingles(sh_new)
+    else:
+        sig_new = signature_table(batch_docs, id_col, text_col, k)
     if (index_sig is None) != (index_sh is None):
         raise ValueError("pass index_sig and index_sh together")
     if index_sig is not None:
@@ -121,14 +136,18 @@ def incremental_near_dups(
         if index_docs is None:
             raise ValueError("need index_docs or index_sig+index_sh")
         index_docs = index_docs.repartition(sp)
-        sig_old = signature_table(index_docs, id_col, text_col, k)
         sh_old = shingle_table(index_docs, id_col, text_col, k)
         if cache:
             # the recomputed index tables feed the guard pass AND the
             # joins; precomputed ones are parquet reads, which amortize
-            # the same way without a persist
-            sig_old = sig_old.persist(StorageLevel.MEMORY_AND_DISK)
+            # the same way without a persist. sig derives from the
+            # persisted sh (one shingling pass — see the batch side).
             sh_old = sh_old.persist(StorageLevel.MEMORY_AND_DISK)
+            sig_old = signature_from_shingles(sh_old).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        else:
+            sig_old = signature_table(index_docs, id_col, text_col, k)
 
     b_new = _banded(sig_new, "new_id")
     b_old = _banded(sig_old, "old_id")
@@ -196,4 +215,5 @@ def incremental_near_dups(
         )
         sig_old.unpersist()
         sh_old.unpersist()
+        sh_new.unpersist()
     return verdict

@@ -126,6 +126,28 @@ def signature_table(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles_rx(F.col(text_col), k)).alias("s"),
     )
+    return _signature_from_exploded(ex)
+
+
+def signature_from_shingles(sh: DataFrame) -> DataFrame:
+    """(doc_id, sig) from an EXISTING ``shingle_table`` output — the
+    identical explode → hash → 32-min-aggregate pipeline as
+    ``signature_table`` (bit-identical signatures, asserted in
+    tests/test_minhash_unit.py), but reading the already-computed
+    shingle arrays instead of re-running the regex shingling over raw
+    text. Every near-dup pipeline needs BOTH tables (band on sig,
+    verify on sh); callers that persist sh and derive sig from it run
+    the CPU-dense regex pass once per corpus instead of once per table
+    (r13 optimization round — guide §2.2: shuffle/compute each byte
+    once). Exploding an empty array emits no rows, so shingle-less docs
+    drop exactly as in ``signature_table``."""
+    return _signature_from_exploded(
+        sh.select("doc_id", F.explode("sh").alias("s"))
+    )
+
+
+def _signature_from_exploded(ex: DataFrame) -> DataFrame:
+    """(doc_id, sig) from exploded (doc_id, s) shingle rows."""
     h0 = F.pmod(
         F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("bigint"),
         F.lit(MINHASH_P),
@@ -237,7 +259,6 @@ def near_dup_pairs(
     # signatures would otherwise collapse every band key to "" and
     # cross-match (and the verify Jaccard would divide 0/0, an ANSI
     # error). Matches the SQL twin's NULL-comparison semantics.
-    sigs = signature_table(docs, id_col, text_col, k)
     sh = shingle_table(docs, id_col, text_col, k)
     if cache:
         # Through the keyed swap-pool, not raw persist: raw persists
@@ -247,10 +268,19 @@ def near_dup_pairs(
         # ledger (found via the r10 re-execution gate's ambient-cache
         # flake). One live table per key; repeat invocations on the
         # same corpus reuse them, a new corpus swaps them out.
+        #
+        # sig derives from the PERSISTED sh (r13 optimization round):
+        # the regex shingling pass — the CPU-dense half of the sketch —
+        # runs once while sh materializes, and the signature aggregate
+        # reads the cached arrays, instead of each table re-shingling
+        # the corpus from text (bit-identical signatures; measured on
+        # the l2 path, see OPTIMIZATION_r13.md).
         from .cachepool import swap_persist
 
-        sigs = swap_persist("minhash.sigs", sigs)
         sh = swap_persist("minhash.sh", sh)
+        sigs = swap_persist("minhash.sigs", signature_from_shingles(sh))
+    else:
+        sigs = signature_table(docs, id_col, text_col, k)
 
     banded = sigs.select(
         "doc_id",

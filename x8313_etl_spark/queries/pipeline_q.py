@@ -2396,14 +2396,20 @@ def p_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_shuffle_audit.py)."""
     from ..operators.bandjoin import guarded_band_self_join
     from ..operators.cachepool import swap_persist
-    from ..operators.minhash import band_keys, shingle_table, signature_table
+    from ..operators.minhash import band_keys, shingle_table, signature_from_shingles
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sh = swap_persist(
         "dedupeval.sh",
         shingle_table(d, "doc_id", "text", 3).filter(F.size("sh") > 0),
     )
-    sigs = signature_table(d, "doc_id", "text", 3)
+    # sig derives from the pooled sh — one regex shingling pass per
+    # corpus, not two (signature_from_shingles, r13 optimization round);
+    # repartition above spreads that pass over the cores (single-file
+    # scan = 1 partition otherwise)
+    sigs = signature_from_shingles(sh)
     banded = sigs.select(
         "doc_id", F.posexplode(band_keys(F.col("sig"))).alias("band", "key")
     )
