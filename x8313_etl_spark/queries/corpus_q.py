@@ -400,14 +400,14 @@ def p_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dl is computed MAP-SIDE before the explode and carried through the
     # tf aggregation with first() — no per-doc length table to join back
     # (a corpus-sized shuffle join saved; measured 8→6 exchanges).
-    tok = d.select(
+    # Repartition before the tokenize: the single-file scan is ONE
+    # partition, so the CPU-dense split+explode otherwise runs on one
+    # core (guide §2.5 unsplittable-input case; one doc-count-sized
+    # round-robin shuffle buys cores× parallelism for every stage below).
+    tok = d.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("double").alias("dl"),
         F.explode(F.split(F.col("text"), " ")).alias("term"),
-    )
-    tf = tok.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("tf"),
-        F.first("dl").alias("dl"),
     )
     stats = d.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -415,11 +415,24 @@ def p_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # twin of the oracle's sql_davg
         davg(F.size(F.split(F.col("text"), " ")).cast("double")).alias("avgdl"),
     )
+    # Query terms from their OWN pruned scan branch: doc_id < N reaches
+    # the parquet scan as a PushedFilter and explodes N docs, not the
+    # corpus.
     qterms = (
-        tok.filter(F.col("doc_id") < BM25_N_QUERIES)
-        .select(F.col("doc_id").alias("q_id"), "term")
+        d.filter(F.col("doc_id") < BM25_N_QUERIES)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(F.split(F.col("text"), " ")).alias("term"),
+        )
         .distinct()
     )
+    # Prune BEFORE the tf aggregate (r13 optimization round, guide §2.2
+    # — shuffle fewer bytes): the broadcast semi-join keeps only
+    # postings of query terms, so the (doc_id, term) shuffle carries
+    # Σ df(query term) rows instead of the whole corpus vocabulary.
+    # tf per (doc, term) is unaffected by dropping other terms' rows,
+    # so the surviving aggregates are value-identical to the old
+    # aggregate-then-prune plan (oracle unchanged, re-verified exact).
     # tfq feeds BOTH the df aggregate and the scoring join — persist via
     # the keyed swap-pool (operators/cachepool.py) so the explode +
     # (doc_id, term) shuffle runs once, not once per plan branch (the
@@ -428,7 +441,12 @@ def p_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tfq = swap_persist(
         "bm25.tfq",
-        tf.join(F.broadcast(qterms.select("term").distinct()), "term", "semi"),
+        tok.join(F.broadcast(qterms.select("term").distinct()), "term", "semi")
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("tf"),
+            F.first("dl").alias("dl"),
+        ),
     )
     df_t = tfq.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
