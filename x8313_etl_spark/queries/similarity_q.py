@@ -169,6 +169,12 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-nested-loop seed cross)."""
     from ..operators.cachepool import swap_persist
 
+    # Repartition the corpus side before the seed cross join: the
+    # broadcast-nested-loop's parallelism equals the STREAM side's
+    # partition count, and the single-file scan gives 1 partition — so
+    # the n×K HOF-fold cosine pass (the expensive part of assignment)
+    # ran on one core (r13 optimization round; same idiom + measurement
+    # as sim_neardup_exact above).
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "vnorm", norm(F.col("embedding"))
     )
@@ -185,7 +191,8 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return swap_persist(
         "similarity.ivf_assign",
-        e.crossJoin(F.broadcast(cent))
+        e.repartition(default_parallelism())
+        .crossJoin(F.broadcast(cent))
         .select(
             "vec_id", "cent_id", "embedding", "vnorm", "label",
             ccos.alias("cos_sim"),
@@ -859,18 +866,31 @@ def _pq_adc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cachepool import swap_persist
 
     e = load_table(spark, sf_dir, "embeddings")
-    blocks = e.select(
-        "vec_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice("embedding", 1 + _PQ_SUB * m, _PQ_SUB)
-                    for m in range(_PQ_M)
-                ]
-            )
-        ).alias("m", "bvec"),
-    )
-    cents = blocks.filter(F.col("vec_id") < _PQ_K).select(
+    # Repartition before the block explode: the scored table below runs
+    # the zip_with d² fold over n×M×K' (vector-block, centroid) rows in
+    # the SCAN stage, and the single-file scan is 1 partition — spread
+    # the CPU-dense pass over the cores first (r13 optimization round,
+    # guide §2.5; one n-row shuffle).
+    def _blocks(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice("embedding", 1 + _PQ_SUB * m, _PQ_SUB)
+                        for m in range(_PQ_M)
+                    ]
+                )
+            ).alias("m", "bvec"),
+        )
+
+    blocks = _blocks(e.repartition(default_parallelism()))
+    # centroid blocks from their OWN pruned scan branch (vec_id < K'
+    # reaches the scan as a PushedFilter) — not from the repartitioned
+    # corpus blocks, where the filter could no longer push below the
+    # round-robin shuffle and the broadcast build side would scan and
+    # shuffle the whole corpus
+    cents = _blocks(e.filter(F.col("vec_id") < _PQ_K)).select(
         F.col("vec_id").alias("cent_id"), "m", F.col("bvec").alias("cvec")
     )
     diff2 = lambda x, y: (x.cast("double") - y.cast("double")) * (
