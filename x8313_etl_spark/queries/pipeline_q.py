@@ -1805,7 +1805,17 @@ def p_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct(),
     )
-    cnt = bi.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # cnt is POOLED too (r13 optimization round): it feeds TWO broadcast
+    # joins below (c_i and c_o) whose build sides alias the columns
+    # differently, so Catalyst's exchange reuse does not canonicalize
+    # them to one subtree and the item-count aggregate (a full pass over
+    # bi + an exchange) was computed twice per run (plan: two
+    # BroadcastExchanges each with their own HashAggregate). The table
+    # is item-cardinality-sized — broadcast-scale by construction.
+    cnt = swap_persist(
+        "icf.cnt",
+        bi.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("c")),
+    )
     a = bi.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
     b = bi.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
     pairs = (
