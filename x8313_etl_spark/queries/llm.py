@@ -373,7 +373,12 @@ def l6_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    # repartition before the tokenize: single-file scan = 1 partition,
+    # so the explode + map-side partial tf aggregate otherwise run on
+    # one core (r13; the p_bm25_topk/corpus idiom)
+    t = d.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
     tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     tfdf = tf.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
