@@ -169,12 +169,16 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-nested-loop seed cross)."""
     from ..operators.cachepool import swap_persist
 
-    # Repartition the corpus side before the seed cross join: the
-    # broadcast-nested-loop's parallelism equals the STREAM side's
-    # partition count, and the single-file scan gives 1 partition — so
-    # the n×K HOF-fold cosine pass (the expensive part of assignment)
-    # ran on one core (r13 optimization round; same idiom + measurement
-    # as sim_neardup_exact above).
+    # NEGATIVE RESULT (r13 optimization round): round-robin
+    # repartitioning e before the seed cross (the sim_neardup_exact
+    # idiom) was tried and REVERTED — with the assignment persisted at
+    # 32 partitions, its downstream consumers (l10's probe broadcast is
+    # built FROM the cached assign) turned bimodal: l10_knn_ivf went
+    # from a stable 1.5 s to 2-9 s across identical cold runs (5-sample
+    # isoprobe both ways). The n×K fold here is bounded by K seeds —
+    # at corpus scale the assignment inherits the scan's real split
+    # count, so the unsplittable-input hazard is a fixture artifact,
+    # not the production shape.
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "vnorm", norm(F.col("embedding"))
     )
@@ -191,8 +195,7 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return swap_persist(
         "similarity.ivf_assign",
-        e.repartition(default_parallelism())
-        .crossJoin(F.broadcast(cent))
+        e.crossJoin(F.broadcast(cent))
         .select(
             "vec_id", "cent_id", "embedding", "vnorm", "label",
             ccos.alias("cos_sim"),
