@@ -153,13 +153,6 @@ ALLOWED: dict[str, tuple[dict[str, int], str]] = {
         {"BroadcastNestedLoopJoin": 1},
         "J6 IS the deliberate cartesian operator (5x5 dims)",
     ),
-    "l10_knn_ivf": (
-        {"BroadcastNestedLoopJoin": 2},
-        "both references to the pooled IVF assignment table re-expand its "
-        "broadcast K=16 seed cross in the plan string (same one join as "
-        "sim_ivf_topk's entry); the bucket search itself is a broadcast "
-        "HASH join on cent_id",
-    ),
     "l3_cosine_pairs": (
         {"BroadcastNestedLoopJoin": 1},
         "bounded probe set broadcast with non-equi self-exclusion — map-only over the corpus",
@@ -205,10 +198,6 @@ ALLOWED: dict[str, tuple[dict[str, int], str]] = {
         "string (sim_ivf_topk's entry); the bucket search is a broadcast "
         "HASH join on cent_id",
     ),
-    "sim_ivf_topk": (
-        {"BroadcastNestedLoopJoin": 2},
-        "broadcast centroid seeds + broadcast probe side (K=16 keys would collapse a shuffle join's parallelism — PERF.md)",
-    ),
     "sim_rerank_two_stage": (
         {"Exchange SinglePartition": 2},
         "Catalyst-injected runtime bloom-filter join pruning: a "
@@ -246,13 +235,6 @@ ALLOWED: dict[str, tuple[dict[str, int], str]] = {
         "broadcast (p_bm25_topk's entry verbatim); the fusion itself is "
         "a union + groupBy over (queries x k)-bounded ranked rows",
     ),
-    "sim_radius_neighbors": (
-        {"BroadcastNestedLoopJoin": 2},
-        "the pooled IVF assignment's bounded K=16 seed cross re-expands "
-        "in the plan string once per assignment reference (corpus + "
-        "probe side — sim_ivf_topk's entry verbatim); the bucket radius "
-        "search itself is a broadcast HASH join on cent_id",
-    ),
     "dq8_freshness": (
         {"BroadcastNestedLoopJoin": 5, "Exchange SinglePartition": 5},
         "every crossed table is ONE row (the high-water-mark scalar and "
@@ -285,14 +267,6 @@ ALLOWED: dict[str, tuple[dict[str, int], str]] = {
         "rank) run over the SOURCE-sized (~10-row) per-source count "
         "table (dq4's bounded-cohort shape) and broadcast back; the "
         "corpus-wide top-quota pick rank is hash-partitioned by source",
-    ),
-    "p_hard_negatives": (
-        {"BroadcastNestedLoopJoin": 2},
-        "the pooled IVF assignment's bounded K=16 seed cross re-expands "
-        "in the plan string once per assignment reference (corpus + "
-        "anchor side — sim_radius_neighbors' entry verbatim); the "
-        "bucket search itself is a broadcast HASH join on cent_id with "
-        "an O(cap) anchor set",
     ),
     "dq9_fd_audit": (
         {"Exchange SinglePartition": 3},
@@ -370,12 +344,6 @@ ALLOWED_LEDGER: dict[str, tuple[dict[str, int], str]] = {
         "string re-expands it once per alive reference (src + dst semi "
         "joins of the same round)",
     ),
-    "similarity.ivf_assign": (
-        {"BroadcastNestedLoopJoin": 1},
-        "K=16 centroid seeds broadcast-crossed into the assignment scan — "
-        "bounded side, map-only over the corpus (shared by sim_ivf_topk "
-        "and l10_knn_ivf)",
-    ),
     "g8.edges": (
         {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
         "same quantile-threshold scalar broadcast as g3.edges (shared "
@@ -416,15 +384,6 @@ ALLOWED_LEDGER: dict[str, tuple[dict[str, int], str]] = {
     "semdedup.final": (
         {"BroadcastNestedLoopJoin": 1},
         "same as sim_kmeans.final under p_semdedup_prune's key",
-    ),
-    "g11.edges": (
-        {"BroadcastNestedLoopJoin": 2},
-        "the pooled IVF assignment's bounded K=16 seed cross re-expands "
-        "in the checkpointed edge table's first-build plan — once per "
-        "assignment reference (corpus + left side; similarity."
-        "ivf_assign's entry); the bucket self-join itself is an "
-        "equi-join on cent_id, and the checkpoint exists so the mutual-"
-        "flag reversal reads this table instead of re-executing it",
     ),
     "w16_funnel.wnd": (
         {"Exchange SinglePartition": 1},

@@ -161,48 +161,77 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cent_id, embedding, vnorm, label): every vector assigned
     to its nearest of the K deterministic seed centroids — the shared
-    bucketing core of sim_ivf_topk and l10_knn_ivf. One broadcast cross
-    join against the K seeds with the HOF-fold cosine and a map-side
-    WindowGroupLimit argmin; pooled under ONE swap_persist key so the
-    two queries share a single cached assignment instead of each holding
-    their own copy (and so the audit ledger sees the one justified
-    broadcast-nested-loop seed cross)."""
+    bucketing core of sim_ivf_topk and l10_knn_ivf. Pooled under ONE
+    swap_persist key so consumers share a single cached assignment
+    instead of each holding their own copy.
+
+    REWORKED r13 (optimization round, guide §4): the assignment is one
+    Arrow-batched numpy pass (the operators/annscan.py fold discipline
+    — dimension-SEQUENTIAL accumulation, bit-identical to the HOF
+    ``aggregate`` fold and the DuckDB ``list_reduce`` twin; the K=16
+    seeds are the bounded task closure, annscan's documented contract)
+    instead of a broadcast-nested-loop seed cross + full n×K
+    WindowGroupLimit argmin. The interpreted HOF cosine paid per
+    element over n×K rows; the numpy pass pays per Arrow batch, emits
+    one row per vector (no n×K intermediate at all), and drops both
+    the BNLJ and the window exchange from the plan. Ties (equal cos on
+    identical doubles) break to the LOWEST cent_id exactly as the old
+    ``row_number() ORDER BY cos DESC, cent_id`` did: the seed matrix is
+    collected ordered by cent_id and ``argmax`` returns the first
+    maximum. vnorm comes from the same sequential-fold ``_seq_norms``
+    the sketch/verify stages already rely on (verified 0 mismatches vs
+    the expression form). The embedding column rides through the Arrow
+    batch untouched. Re-verified exact vs the unchanged DuckDB
+    cross-join twin at sf0.001/sf0.01/sf0.1.
+
+    (Earlier r13 attempt, kept for the record: round-robin
+    repartitioning e before the old seed cross made downstream
+    consumers bimodal — l10_knn_ivf 1.5 s stable → 2-9 s — and was
+    reverted before this rework landed.)"""
+    import numpy as np
+
+    from ..operators.annscan import _seq_norms
     from ..operators.cachepool import swap_persist
 
-    # NEGATIVE RESULT (r13 optimization round): round-robin
-    # repartitioning e before the seed cross (the sim_neardup_exact
-    # idiom) was tried and REVERTED — with the assignment persisted at
-    # 32 partitions, its downstream consumers (l10's probe broadcast is
-    # built FROM the cached assign) turned bimodal: l10_knn_ivf went
-    # from a stable 1.5 s to 2-9 s across identical cold runs (5-sample
-    # isoprobe both ways). The n×K fold here is bounded by K seeds —
-    # at corpus scale the assignment inherits the scan's real split
-    # count, so the unsplittable-input hazard is a fixture artifact,
-    # not the production shape.
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
-        "vnorm", norm(F.col("embedding"))
+    e = load_table(spark, sf_dir, "embeddings")
+    crows = (
+        e.filter(F.col("vec_id") < _K_CENTROIDS)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
     )
-    cent = e.filter(F.col("vec_id") < _K_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("cvec"),
-        F.col("vnorm").alias("cnorm"),
-    )
-    ccos = dot(F.col("embedding"), F.col("cvec")) / (
-        F.col("vnorm") * F.col("cnorm")
-    )
-    crn = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_sim").desc(), F.col("cent_id")
-    )
+    cids = np.array([r[0] for r in crows], dtype=np.int64)
+    cmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in crows])
+    cnorms = _seq_norms(cmat)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            mb = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            acc = np.zeros((len(mb), len(cmat)))
+            for d in range(mb.shape[1]):
+                acc = acc + np.outer(mb[:, d], cmat[:, d])
+            vnorms = _seq_norms(mb)
+            cos = acc / np.outer(vnorms, cnorms)
+            best = cos.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cent_id": cids[best],
+                    "embedding": pdf["embedding"],
+                    "vnorm": vnorms,
+                    "label": pdf["label"].to_numpy(),
+                }
+            )
+
     return swap_persist(
         "similarity.ivf_assign",
-        e.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id", "cent_id", "embedding", "vnorm", "label",
-            ccos.alias("cos_sim"),
-        )
-        .withColumn("crn", F.row_number().over(crn))
-        .filter(F.col("crn") == 1)
-        .select("vec_id", "cent_id", "embedding", "vnorm", "label"),
+        e.select("vec_id", "embedding", "label").mapInPandas(
+            assign,
+            "vec_id long, cent_id long, embedding array<float>, "
+            "vnorm double, label int",
+        ),
     )
 
 
