@@ -73,6 +73,18 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst")))
         .filter(F.col("e_src") != F.col("e_dst"))
         .distinct()
+        # hash-partition by the propagation join key BEFORE persisting
+        # (r13 optimization round, guide §2.1): the cached table reports
+        # hash(e_src) output partitioning, so when the per-round join is
+        # shuffle-based (sort-merge/shuffled-hash — the corpus-scale
+        # case, where the label table is node-sized and cannot
+        # broadcast) the EDGE side joins shuffle-free every round
+        # instead of re-exchanging Σ edges per round. At fixture scale
+        # AQE broadcasts the label side, so this is a one-time
+        # edge-build shuffle with no per-round effect locally (plan
+        # read: BroadcastHashJoin BuildRight over the InMemoryTableScan
+        # both ways); the dial it sets is the scale posture.
+        .repartition(F.col("e_src"))
     )
     record_plan(f"{ledger_key}.edges", sym)
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
@@ -81,6 +93,12 @@ def connected_components(
     )
     record_plan(f"{ledger_key}.init", init)
     labels = init.localCheckpoint(eager=True)
+    # decimal(38,0) sum of labels: exact at any scale (n·max_id ≤ 1e38),
+    # no int64 overflow — see the fixpoint probe below
+    _label_sum = lambda df: df.agg(
+        F.sum(F.col("component").cast("decimal(38,0)"))
+    ).collect()[0][0]
+    prev_sum = _label_sum(labels)
 
     try:
         for _ in range(max_iter):
@@ -93,17 +111,16 @@ def connected_components(
             # same shape every round — one ledger slot, overwritten
             record_plan(f"{ledger_key}.round", step)
             new = step.localCheckpoint(eager=True)
-            # min() is monotone non-increasing, so "no label got smaller"
-            # is exactly the fixpoint test
-            changed = (
-                new.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.component") < F.col("o.component"))
-                .take(1)
-            )
+            # min() is monotone non-increasing per node, so the label
+            # SUM strictly decreases until fixpoint and "sum unchanged"
+            # ⇔ "no label got smaller" — one exact aggregate over the
+            # just-checkpointed label table replaces the old join+take
+            # probe of new vs old (r13: one fewer join job per round)
+            new_sum = _label_sum(new)
             labels = new
-            if not changed:
+            if new_sum == prev_sum:
                 return labels.withColumnRenamed("node", node_col)
+            prev_sum = new_sum
     finally:
         sym.unpersist()
     raise ConvergenceError(
