@@ -364,27 +364,6 @@ ALLOWED_LEDGER: dict[str, tuple[dict[str, int], str]] = {
         "the plan string re-expands the persisted seeded frame once per "
         "reference (base + prior-rank)",
     ),
-    "sim_kmeans.round": (
-        {"BroadcastNestedLoopJoin": 1},
-        "Lloyd assignment IS a broadcast NLJ over N x k with k=8 "
-        "constant centroids (MLlib's shape) — no shuffle touches the "
-        "vector table; recorded per round via the audited checkpoint",
-    ),
-    "sim_kmeans.final": (
-        {"BroadcastNestedLoopJoin": 1},
-        "the final consistent-assignment pass: same bounded k=8 "
-        "centroid broadcast cross as sim_kmeans.round",
-    ),
-    "semdedup.round": (
-        {"BroadcastNestedLoopJoin": 1},
-        "p_semdedup_prune's own kmeans rounds — same bounded k=8 "
-        "centroid broadcast as sim_kmeans.round (operator shared, keys "
-        "per query so first-build plans stay separately audited)",
-    ),
-    "semdedup.final": (
-        {"BroadcastNestedLoopJoin": 1},
-        "same as sim_kmeans.final under p_semdedup_prune's key",
-    ),
     "w16_funnel.wnd": (
         {"Exchange SinglePartition": 1},
         "the data-derived funnel window: one single-partition window "
@@ -408,16 +387,6 @@ ALLOWED_LEDGER: dict[str, tuple[dict[str, int], str]] = {
         "same quantile-threshold scalar broadcast as g3.edges (shared "
         "_cosupply_edges construction, g12's own checkpoint for the "
         "wedge join + is_edge back-join)",
-    ),
-    "embout.round": (
-        {"BroadcastNestedLoopJoin": 1},
-        "p_embed_outliers' own kmeans rounds — same bounded k=8 "
-        "centroid broadcast as sim_kmeans.round (operator shared, keys "
-        "per query so first-build plans stay separately audited)",
-    ),
-    "embout.final": (
-        {"BroadcastNestedLoopJoin": 1},
-        "same as sim_kmeans.final under p_embed_outliers' key",
     ),
     "g13.edges": (
         {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},

@@ -76,20 +76,45 @@ def _seed_centroids(qvecs: DataFrame, k: int) -> DataFrame:
 
 def _assign(qvecs: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, cid): nearest centroid by integer squared distance,
-    ties to the smallest cid. Broadcast NLJ over N×k (k constant),
-    then a map-side-combinable min(struct) — no shuffle of the vector
-    table beyond the final groupBy on vec_id."""
-    d2 = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    scored = qvecs.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", d2.alias("d2"), "cid"
-    )
-    return scored.groupBy("vec_id").agg(
-        F.min(F.struct("d2", "cid")).alias("m")
-    ).select("vec_id", F.col("m.cid").alias("cid"))
+    ties to the smallest cid.
+
+    REWORKED r13 (optimization round, guide §4): one Arrow-batched
+    numpy pass with the k centroids in the task closure (k tiny and
+    constant — the bounded-closure contract of operators/annscan.py;
+    MLlib's KMeans collects-and-broadcasts its centroids the same way)
+    instead of a broadcast NLJ over N×k rows with the INTERPRETED
+    zip_with/aggregate fold plus an N×k min(struct) aggregate. All
+    arithmetic is int64 — quantized grid points, squared diffs
+    ≤ ~10¹⁴ — so numpy reproduces the JVM/DuckDB integers EXACTLY (no
+    IEEE ordering concerns at all), and ``argmin`` over the
+    cid-ordered centroid matrix returns the first minimum = smallest
+    cid, the min(struct(d2, cid)) tie-break verbatim. Emits one row
+    per vector; the N×k intermediate, the BNLJ and the groupBy
+    exchange are gone from every round."""
+    import numpy as np
+
+    crows = centroids.orderBy("cid").collect()
+    cids = np.array([r["cid"] for r in crows], dtype=np.int64)
+    cmat = np.vstack([np.asarray(r["cv"], dtype=np.int64) for r in crows])
+
+    def go(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            mb = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+            acc = np.zeros((len(mb), len(cmat)), dtype=np.int64)
+            for d in range(mb.shape[1]):
+                diff = mb[:, d, None] - cmat[None, :, d]
+                acc += diff * diff
+            best = acc.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": cids[best].astype(np.int32),
+                }
+            )
+
+    return qvecs.select("vec_id", "qv").mapInPandas(go, "vec_id long, cid int")
 
 
 def _update(qvecs: DataFrame, assign: DataFrame, centroids: DataFrame) -> DataFrame:
