@@ -65,7 +65,7 @@ def test_constraint_audit_fk_prunes_to_key_columns(spark, sf_dir):
         assert "acctbal" not in line and "o_totalprice" not in line, line
 
 
-def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+def test_kmeans_assignment_is_single_numpy_pass(spark, sf_dir):
     from x8313_etl_spark.operators.kmeans import lloyd_kmeans
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
@@ -75,18 +75,20 @@ def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
 
     assign, cents = lloyd_kmeans(e, k=4, rounds=1)
     # the returned assignment is MATERIALIZED (checkpoint truncates its
-    # lineage — the r6 ADVICE cache-lifetime fix), so the join shape is
+    # lineage — the r6 ADVICE cache-lifetime fix), so the plan shape is
     # asserted on the assignment pass rebuilt against the returned
     # centroids — the exact plan lloyd_kmeans ran internally
     assert "Scan ExistingRDD" in _plan(assign)
     plan = _plan(_assign(quantize_vectors(e), cents))
-    # the assignment's only join is the k-row centroid broadcast
-    # (BroadcastNestedLoopJoin over a checkpointed k-row table is the
-    # documented IVF-style shape); never a shuffled or cartesian join
-    # of the vector table
+    # r13 rework: the k centroids ride in the task closure (bounded,
+    # MLlib's collect-and-broadcast shape) and the assignment is ONE
+    # Arrow-batched numpy pass over the vectors — no join of the vector
+    # table of any kind, no N×k intermediate, no argmin exchange
+    assert "MapInPandas" in plan, plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
-    assert "BroadcastExchange" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan, plan
     # vector scan prunes to the two used columns
     seg = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "label" not in seg, seg

@@ -88,6 +88,14 @@ def connected_components(
     )
     record_plan(f"{ledger_key}.edges", sym)
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    # The sum-probe below is sound ONLY under the documented "nodes
+    # holds every vertex" contract: the groupBy union keeps the node set
+    # CONSTANT across rounds only if every edge endpoint already appears
+    # in `nodes` at round 0. An endpoint absent from `nodes` would join
+    # in at round 1 and its added component could mask (or mimic) a real
+    # label change in the sum (r13 ADVICE). Callers in this repo all
+    # derive `nodes` from the same table the edges come from; violating
+    # the contract is a caller bug, not a probe tolerance.
     init = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("component")
     )
