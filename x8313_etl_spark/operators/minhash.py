@@ -121,28 +121,96 @@ def signature_table(
     row per doc before the shuffle — the exchange carries exactly the
     signature table, same bytes as a map-only computation would, at any
     corpus size. Docs with < k words produce no rows (same semantics as
-    filtering empty shingle arrays)."""
-    ex = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles_rx(F.col(text_col), k)).alias("s"),
-    )
-    return _signature_from_exploded(ex)
+    filtering empty shingle arrays).
+
+    r14: routed through the ``signature_from_shingles`` numpy kernel
+    (map-only, no exchange at all — see its docstring); this docstring's
+    aggregate shape survives as ``_signature_from_exploded``, the
+    reference form the kernel is bit-asserted against."""
+    return signature_from_shingles(shingle_table(docs, id_col, text_col, k))
 
 
 def signature_from_shingles(sh: DataFrame) -> DataFrame:
-    """(doc_id, sig) from an EXISTING ``shingle_table`` output — the
-    identical explode → hash → 32-min-aggregate pipeline as
-    ``signature_table`` (bit-identical signatures, asserted in
-    tests/test_minhash_unit.py), but reading the already-computed
-    shingle arrays instead of re-running the regex shingling over raw
-    text. Every near-dup pipeline needs BOTH tables (band on sig,
-    verify on sh); callers that persist sh and derive sig from it run
-    the CPU-dense regex pass once per corpus instead of once per table
-    (r13 optimization round — guide §2.2: shuffle/compute each byte
-    once). Exploding an empty array emits no rows, so shingle-less docs
-    drop exactly as in ``signature_table``."""
-    return _signature_from_exploded(
-        sh.select("doc_id", F.explode("sh").alias("s"))
+    """(doc_id, sig) from an EXISTING ``shingle_table`` output — reads
+    the already-computed shingle arrays instead of re-running the regex
+    shingling over raw text. Every near-dup pipeline needs BOTH tables
+    (band on sig, verify on sh); callers that persist sh and derive sig
+    from it run the CPU-dense regex pass once per corpus instead of
+    once per table (r13 optimization round — guide §2.2).
+
+    REWORKED r14 (optimization round 2, guide §4): one Arrow-batched
+    numpy pass replaces the explode → md5 → 32 ``min(perm_i(h))``
+    aggregate pipeline. Measured at sf0.1 local[32] (cold, noop sink):
+    the explode+md5 hash itself is ~0.38 s but the 32-wide aggregate
+    machinery pushed the signature pass to ~1.0 s — the aggregation,
+    not the hashing, was the cost. The kernel consumes the JVM-computed
+    shingle ARRAYS (no Python re-implementation of the shingling regex
+    exists to drift) and computes per doc entirely in int64: md5 per
+    UNIQUE shingle in the batch, then the 32 permutations
+    ``(A_i·h + B_i) mod P`` (h < P and A_i < P keep products < 2⁶² —
+    int64-exact, same bound the module header documents) and a
+    per-doc segment-min (``np.minimum.reduceat``). Every value is an
+    exact integer, so numpy reproduces the JVM/DuckDB bigints
+    bit-for-bit — asserted against ``signature_table`` on every fixture
+    doc in tests/test_minhash_unit.py. Rows with empty shingle arrays
+    are dropped exactly as exploding an empty array emits no rows
+    (``shingle_table`` already filters them; the kernel re-filters
+    defensively so both entry points agree).
+
+    Scale shape: map-only — the old groupBy exchange is gone; no
+    shuffle at any corpus size. Per-task state is the batch's shingle
+    vocabulary, bounded by the Arrow batch size."""
+    import numpy as np
+
+    pa_ = np.array(PERM_A, dtype=np.int64)[None, :]
+    pb_ = np.array(PERM_B, dtype=np.int64)[None, :]
+
+    def go(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            arrs = pdf["sh"].to_numpy()
+            lens = np.fromiter(
+                (len(a) for a in arrs), dtype=np.int64, count=len(arrs)
+            )
+            keep = lens > 0
+            n = int(keep.sum())
+            if n == 0:
+                yield pd.DataFrame(
+                    {"doc_id": np.array([], dtype=np.int64), "sig": []}
+                )
+                continue
+            karrs = arrs[keep]
+            klens = lens[keep]
+            sh_all = np.concatenate(
+                [np.asarray(a, dtype=object) for a in karrs]
+            )
+            uniq, inv = np.unique(sh_all, return_inverse=True)
+            hu = np.fromiter(
+                (
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                    % MINHASH_P
+                    for s in uniq
+                ),
+                dtype=np.int64,
+                count=len(uniq),
+            )
+            h0 = hu[inv]
+            perms = (h0[:, None] * pa_ + pb_) % MINHASH_P
+            bounds = np.zeros(n, dtype=np.int64)
+            np.cumsum(klens[:-1], out=bounds[1:])
+            mins = np.minimum.reduceat(perms, bounds, axis=0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[keep],
+                    "sig": list(mins),
+                }
+            )
+
+    return sh.select("doc_id", "sh").mapInPandas(
+        go, "doc_id long, sig array<bigint>"
     )
 
 

@@ -101,7 +101,15 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     ed = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    ed = ed.persist(StorageLevel.MEMORY_AND_DISK)
+    # hash-partition by the propagation join key BEFORE persisting (r14,
+    # the concomp §2.1 posture): the cached table reports hash(src)
+    # output partitioning, so when the per-round join is shuffle-based
+    # (the corpus-scale case where the rank table cannot broadcast) the
+    # EDGE side joins shuffle-free every round instead of re-exchanging
+    # Σ edges per round. At fixture scale AQE broadcasts the rank side,
+    # so this is a one-time edge-build shuffle with no per-round effect
+    # locally — the dial it sets is the scale posture.
+    ed = ed.repartition(F.col("src")).persist(StorageLevel.MEMORY_AND_DISK)
     deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     deg = deg.persist(StorageLevel.MEMORY_AND_DISK)
     nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
@@ -126,11 +134,17 @@ def _g1_rounds(ed, deg, nn, ranks, base) -> DataFrame:
     from ..audit import audited_checkpoint
 
     for _ in range(ITERATIONS):
-        contrib = (
-            ed.join(ranks, ed.src == ranks.node)
-            .join(deg, "src")
-            .select("dst", F.expr("r div outdeg").alias("c"))
+        # per-node contribution FIRST (r14): r div outdeg is constant
+        # per src, so compute it on the NODE-sized rank⋈deg join and fan
+        # it out over the edges afterwards — the old form joined deg
+        # onto the EDGE-fanned rows, paying a second per-round join of
+        # edge cardinality and one integer div per edge instead of per
+        # node. Integer div per (r, outdeg) pair is identical either
+        # side of the fan-out, so the values are unchanged.
+        c = ranks.join(deg, ranks.node == deg.src).select(
+            "node", F.expr("r div outdeg").alias("c")
         )
+        contrib = ed.join(c, ed.src == c.node).select("dst", "c")
         sums = contrib.groupBy("dst").agg(F.sum("c").alias("msum"))
         ranks = audited_checkpoint(
             "g1.round",
@@ -348,9 +362,25 @@ def _cosupply_edges(
     from ..audit import audited_checkpoint
     from ..operators.cachepool import swap_persist
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2"))
+    # dedup (order, supplier) BEFORE the self-join (r14, guide §2.3
+    # aggregate-before-shuffle): a supplier with several lineitems in
+    # one order multiplied the pair fan-out by its in-order multiplicity
+    # AND forced the downstream count into count_distinct(ok) — a
+    # two-phase dedup aggregate over the full pair volume. After the
+    # distinct, each (order, supplier) appears once, so every (s1, s2,
+    # ok) pair row is unique by construction and count(*) IS
+    # count(DISTINCT ok) — the aggregate becomes a plain map-side-
+    # combinable count. The DuckDB twin keeps its count(DISTINCT ok)
+    # form over raw lineitem; values are identical (measured: the
+    # shared build 3.23→~1.9 s at sf0.1, every g3/g5/g7/g8/g10/g12/g13
+    # consumer oracle-green).
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = li.select("ok", F.col("s").alias("s1"))
+    b = li.select("ok", F.col("s").alias("s2"))
     # pair counts feed BOTH the quantile scalar and the edge filter —
     # pool the aggregate so the lineitem self-join runs once
     e0 = swap_persist(
@@ -358,7 +388,7 @@ def _cosupply_edges(
         a.join(b, ["ok"])
         .filter(F.col("s1") < F.col("s2"))
         .groupBy("s1", "s2")
-        .agg(F.count_distinct("ok").alias("shared")),
+        .agg(F.count(F.lit(1)).alias("shared")),
     )
     thr = e0.agg(
         F.ceil(F.expr(f"percentile(shared, {_TRI_QUANTILE})")).alias("thr")
@@ -452,7 +482,13 @@ def g4_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ed = swap_persist(
         "g4.edges",
-        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
+        # hash-partitioned by the per-round join key before the persist
+        # (r14, the concomp §2.1 posture): shuffle-free edge side every
+        # round at the scale where labels can't broadcast; local plans
+        # broadcast the label side, so no per-round effect here.
+        e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).repartition(F.col("src")),
     )
     labels = audited_checkpoint(
         "g4.round",
@@ -465,17 +501,21 @@ def g4_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("node"), "lbl"
         )
         cnts = msgs.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
-        win = Window.partitionBy("node").orderBy(F.col("cnt").desc(), "lbl")
-        winner = (
-            cnts.withColumn("rn", F.row_number().over(win))
-            .filter(F.col("rn") == 1)
-            .select("node", F.col("lbl").alias("new_lbl"))
-        )
+        # majority vote via min(struct(-cnt, lbl)) (r14): lexicographic
+        # struct ordering IS the (cnt DESC, lbl ASC) tie-break, and a
+        # map-side-combinable aggregate replaces the row_number window
+        # (whose exchange-plus-sort was the per-round straggler stage).
+        # The old per-round LEFT join back onto labels is gone too: ed
+        # is SYMMETRIZED, so every labeled node (= every distinct src)
+        # also appears as some edge's dst and receives at least one
+        # message every round — the coalesce(new_lbl, lbl) could never
+        # fire. The twin keeps its LEFT JOIN form; on a symmetric edge
+        # set the two are identical row-for-row (re-verified exact).
         labels = audited_checkpoint(
             "g4.round",
-            labels.join(winner, "node", "left").select(
-                "node", F.coalesce("new_lbl", "lbl").alias("lbl")
-            ),
+            cnts.groupBy("node")
+            .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), "lbl")).alias("w"))
+            .select("node", F.col("w.lbl").alias("lbl")),
         )
     return labels.select("node", F.col("lbl").alias("community"))
 

@@ -208,43 +208,82 @@ s AS (SELECT doc_id, {sql_simhash('h')} AS sh FROM h)"""
 
 
 def simhash_table_native(docs, id_col: str = "doc_id", text_col: str = "text"):
-    """(doc_id, sh) via the ALL-NATIVE SimHash path: explode tokens,
-    hash each once per row, then one groupBy with 31 per-bit
-    ``sum(±1)`` native aggregates and a literal-mask recombination.
-    Bit-identical to the ``simhash`` HOF fold (parity-asserted in
-    tests/test_properties.py) but stays inside whole-stage codegen,
-    where the fold's bits-wide ``zip_with``/``transform`` lambdas are
-    interpreted per token. Same scale shape as minhash
-    ``signature_table``: the per-bit sums partial-combine map-side to
-    one row per doc, so the exchange carries exactly the sketch table.
-    ``split`` never yields an empty array (an empty text has one empty
-    token), so every doc keeps a row — matching the fold's semantics."""
+    """(doc_id, sh) — the production SimHash sketch path.
+
+    REWORKED r14 (optimization round 2, guide §4): one Arrow-batched
+    numpy pass replaces the explode → 31 per-bit ``sum(±1)``
+    aggregates → mask recombination pipeline. Measured at sf0.1
+    local[32] (cold, noop sink): the explode+md5 hashing itself is
+    0.38 s but the 31-wide aggregate machinery pushed the sketch to
+    1.69 s — the aggregation, not the hashing, was the cost (r13
+    verdict item 6). The kernel keeps the JVM ``split`` tokenization
+    (the token ARRAYS cross the Arrow boundary, so no Python
+    re-implementation of Spark's split semantics exists to drift) and
+    computes per doc, entirely in int64: md5 per UNIQUE token in the
+    batch (token instances repeat heavily — the hash count drops with
+    the vocabulary), per-bit ±1 votes via one vectorized bit-unpack,
+    segment-sums per doc (``np.add.reduceat``), and the >0 mask
+    recombination. Every value is an exact integer — numpy reproduces
+    the JVM/DuckDB bigints bit-for-bit (no IEEE concern at all), and
+    the parity test vs the HOF fold (tests/test_properties.py) pins the
+    edge docs: empty text (one empty token — the doc KEEPS a row, and
+    ``split`` never yields an empty array so every segment is
+    non-empty), single token, duplicate-token multiplicity.
+
+    Scale shape: map-only — the old groupBy exchange (which carried
+    exactly the sketch table) is gone entirely; no shuffle at any
+    corpus size. The per-task state is the batch's token vocabulary,
+    bounded by the Arrow batch size."""
+    import numpy as np
+
     from ..functions.text import _FP_MOD
 
-    ex = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens(F.col(text_col))).alias("tok"),
-    )
-    h0 = F.pmod(
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint"),
-        F.lit(_FP_MOD),
-    )
-    exh = ex.select("doc_id", h0.alias("h0"))
-    bits = range(SIMHASH_BITS)
-    aggs = [
-        F.sum(
-            F.when(F.col("h0").bitwiseAND(F.lit(1 << j).cast("bigint")) > 0, 1)
-            .otherwise(-1)
-        ).alias(f"b{j}")
-        for j in bits
-    ]
-    sh = None
-    for j in bits:
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        sh = term if sh is None else sh + term
-    return exh.groupBy("doc_id").agg(*aggs).select("doc_id", sh.alias("sh"))
+    bits = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    def go(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            arrs = pdf["toks"].to_numpy()
+            n = len(arrs)
+            if n == 0:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.array([], dtype=np.int64),
+                        "sh": np.array([], dtype=np.int64),
+                    }
+                )
+                continue
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+            toks = np.concatenate([np.asarray(a, dtype=object) for a in arrs])
+            uniq, inv = np.unique(toks, return_inverse=True)
+            hu = np.fromiter(
+                (
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                    % _FP_MOD
+                    for s in uniq
+                ),
+                dtype=np.int64,
+                count=len(uniq),
+            )
+            h0 = hu[inv]
+            # ±1 vote per (token, bit): 2*bit - 1
+            votes = (((h0[:, None] >> bits[None, :]) & 1) * 2 - 1).astype(
+                np.int64
+            )
+            bounds = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=bounds[1:])
+            counts = np.add.reduceat(votes, bounds, axis=0)
+            sh = ((counts > 0).astype(np.int64) << bits[None, :]).sum(axis=1)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "sh": sh}
+            )
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    ).mapInPandas(go, "doc_id long, sh long")
 
 
 def _simhash_table(spark: SparkSession, sf_dir: str):

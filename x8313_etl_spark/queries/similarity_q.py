@@ -890,91 +890,143 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_block_d2(mb, cmat):
+    """(n, K') float64 block squared distances, dimension-SEQUENTIAL
+    accumulation (the annscan discipline): acc starts 0.0 and adds
+    (x_i − y_i)² in element order — the identical IEEE sequence as the
+    JVM ``aggregate(zip_with(bvec, cvec, diff2), 0.0, acc+x)`` fold and
+    the DuckDB ``list_reduce`` twin, so every d² is bit-identical.
+    Inputs are float32 widened to float64 (exact), so each diff and
+    product rounds once, identically, in all three engines."""
+    import numpy as np
+
+    acc = np.zeros((mb.shape[0], cmat.shape[0]))
+    for d in range(mb.shape[1]):
+        diff = mb[:, d, None] - cmat[None, :, d]
+        acc = acc + diff * diff
+    return acc
+
+
 def _pq_adc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(probe_id, vec_id, adc_d2): every capped probe scored against
     every corpus PQ code by asymmetric distance — the shared stage-1
     core of sim_pq_topk and sim_rerank_two_stage (see sim_pq_topk's
-    docstring for the cost model and exactness discipline)."""
-    from ..operators.cachepool import swap_persist
+    docstring for the cost model and exactness discipline).
+
+    REWORKED r14 (optimization round 2, guide §4 — the _ivf_assign /
+    kmeans pattern): ONE Arrow-batched numpy pass over the corpus
+    replaces the whole repartition → block-explode → broadcast-join ×
+    K' centroids → interpreted zip_with d² fold over n×M×K' rows →
+    WindowGroupLimit argmin → code⋈LUT broadcast join over n×M×probes
+    rows → 8-way conditional aggregate DAG. Bounded closures only (the
+    annscan contract): the K'×M codebook (16×8×8 floats) and the
+    probe LUT (≤80 probes × M × K' doubles, capped by
+    PROBE_CAP/PROBE_MOD — the fixed probe budget the docstring argues)
+    are collected driver-side exactly like MLlib collects centroids;
+    the corpus is never joined, exploded, or shuffled at all. Per
+    batch: block d² via the shared ``_pq_block_d2`` sequential fold
+    (bit-identical doubles), per-block code = argmin over the
+    cent_id-ordered matrix (first minimum = lowest cent_id — the old
+    ``row_number() ORDER BY d2, cent_id`` tie-break verbatim), then
+    adc_d2 accumulated over blocks in EXPLICIT m order
+    (acc = LUT[:,0,code₀]; acc = acc + LUT[:,m,code_m]) — the same
+    IEEE add sequence as the old __d0+__d1+…+__d7 chain and the twin's
+    ``list(ORDER BY m)`` fold. Self-pairs (probe scoring itself) are
+    excluded in-kernel, as the old join filter did. Re-verified exact
+    vs the unchanged DuckDB twin at sf0.001/sf0.01/sf0.1.
+
+    The swap-pooled intermediate is gone with the multi-branch DAG
+    that needed it: the kernel's output feeds exactly one downstream
+    consumer per query, so persisting it would only add materialization
+    cost inside the timed run. The probe LUT is probe-budget-bounded
+    at any corpus size; the only remaining exchange in either consumer
+    is its own per-probe top-k window."""
+    import numpy as np
 
     e = load_table(spark, sf_dir, "embeddings")
-    # Repartition before the block explode: the scored table below runs
-    # the zip_with d² fold over n×M×K' (vector-block, centroid) rows in
-    # the SCAN stage, and the single-file scan is 1 partition — spread
-    # the CPU-dense pass over the cores first (r13 optimization round,
-    # guide §2.5; one n-row shuffle).
-    def _blocks(df: DataFrame) -> DataFrame:
-        return df.select(
-            "vec_id",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.slice("embedding", 1 + _PQ_SUB * m, _PQ_SUB)
-                        for m in range(_PQ_M)
-                    ]
+    crows = (
+        e.filter(F.col("vec_id") < _PQ_K)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    # cmats[m]: (K', SUB) float64 block-m codebook, cent_id-ordered
+    cmats = [
+        np.vstack(
+            [
+                np.asarray(
+                    r[1][m * _PQ_SUB : (m + 1) * _PQ_SUB], dtype=np.float64
                 )
-            ).alias("m", "bvec"),
+                for r in crows
+            ]
         )
-
-    blocks = _blocks(e.repartition(default_parallelism()))
-    # centroid blocks from their OWN pruned scan branch (vec_id < K'
-    # reaches the scan as a PushedFilter) — not from the repartitioned
-    # corpus blocks, where the filter could no longer push below the
-    # round-robin shuffle and the broadcast build side would scan and
-    # shuffle the whole corpus
-    cents = _blocks(e.filter(F.col("vec_id") < _PQ_K)).select(
-        F.col("vec_id").alias("cent_id"), "m", F.col("bvec").alias("cvec")
-    )
-    diff2 = lambda x, y: (x.cast("double") - y.cast("double")) * (
-        x.cast("double") - y.cast("double")
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("bvec"), F.col("cvec"), diff2),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = swap_persist(
-        "similarity.pq_scores",
-        blocks.join(F.broadcast(cents), "m").select(
-            "vec_id", "m", "cent_id", d2.alias("d2")
-        ),
-    )
-    wass = Window.partitionBy("vec_id", "m").orderBy("d2", "cent_id")
-    codes = (
-        scored.withColumn("rn", F.row_number().over(wass))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", F.col("cent_id").alias("code"))
-    )
-    dtab = scored.filter(
-        (F.col("vec_id") % _PQ_PROBE_MOD == 0) & (F.col("vec_id") < _PQ_PROBE_CAP)
-    ).select(
-        F.col("vec_id").alias("probe_id"), "m", "cent_id", "d2"
-    )
-    adc = (
-        codes.join(
-            F.broadcast(dtab),
-            (codes["m"] == dtab["m"]) & (codes["code"] == dtab["cent_id"]),
+        for m in range(_PQ_M)
+    ]
+    prows = (
+        e.filter(
+            (F.col("vec_id") % _PQ_PROBE_MOD == 0)
+            & (F.col("vec_id") < _PQ_PROBE_CAP)
         )
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id", codes["m"].alias("bm"), "d2")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
     )
-    # m-ordered sum WITHOUT building arrays: one conditional agg per
-    # block (each (probe, vec) group holds exactly one row per m, so
-    # sum(when(bm=k)) IS that block's d² exactly), then a fixed
-    # left-to-right add — the same IEEE sequence as the twin's
-    # list(ORDER BY m) fold, and ~2× faster than the
-    # collect_list+array_sort+fold form it replaces (plain hash agg,
-    # no per-group array materialization).
-    blocks_sum = adc.groupBy("probe_id", "vec_id").agg(
-        *[
-            F.sum(F.when(F.col("bm") == m, F.col("d2"))).alias(f"__d{m}")
+    probe_ids = np.array([r[0] for r in prows], dtype=np.int64)
+    pmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in prows])
+    # lut[p, m, c] = d²(probe p's block m, centroid c of codebook m) —
+    # the dtab of the old plan, computed once driver-side (probe budget
+    # × M × K' doubles, broadcast-scale by construction)
+    lut = np.stack(
+        [
+            _pq_block_d2(pmat[:, m * _PQ_SUB : (m + 1) * _PQ_SUB], cmats[m])
             for m in range(_PQ_M)
-        ]
+        ],
+        axis=1,
     )
-    total = F.col("__d0")
-    for m in range(1, _PQ_M):
-        total = total + F.col(f"__d{m}")
-    return blocks_sum.select("probe_id", "vec_id", total.alias("adc_d2"))
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            mb = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vids = pdf["vec_id"].to_numpy()
+            n = len(vids)
+            if n == 0:
+                yield pd.DataFrame(
+                    {
+                        "probe_id": np.array([], dtype=np.int64),
+                        "vec_id": np.array([], dtype=np.int64),
+                        "adc_d2": np.array([], dtype=np.float64),
+                    }
+                )
+                continue
+            # codes[:, m] = argmin over the cent_id-ordered d² row —
+            # first minimum = lowest cent_id (the pinned tie-break)
+            codes = np.empty((n, _PQ_M), dtype=np.int64)
+            for m in range(_PQ_M):
+                d2 = _pq_block_d2(
+                    mb[:, m * _PQ_SUB : (m + 1) * _PQ_SUB], cmats[m]
+                )
+                codes[:, m] = d2.argmin(axis=1)
+            # adc[v, p] accumulated in explicit m order (IEEE sequence
+            # pinned — see docstring)
+            adc = lut[:, 0, codes[:, 0]].T
+            for m in range(1, _PQ_M):
+                adc = adc + lut[:, m, codes[:, m]].T
+            pid = np.broadcast_to(probe_ids[None, :], adc.shape)
+            vid = np.broadcast_to(vids[:, None], adc.shape)
+            keep = vid != pid
+            yield pd.DataFrame(
+                {
+                    "probe_id": pid[keep],
+                    "vec_id": vid[keep],
+                    "adc_d2": adc[keep],
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        score, "probe_id long, vec_id long, adc_d2 double"
+    )
 
 
 
