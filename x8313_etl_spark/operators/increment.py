@@ -41,8 +41,6 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
-from pyspark.storagelevel import StorageLevel
-
 from .bandjoin import DEFAULT_MAX_BUCKET_SIZE
 from .minhash import (
     band_keys,
@@ -97,13 +95,15 @@ def incremental_near_dups(
     the same corpus gives the same verdicts on any cluster size and
     the DuckDB twin regenerates identical signatures.
 
-    Cache lifetime (the lloyd_kmeans discipline, r7 ADVICE): when the
-    ``cache=True`` recompute path persists the index tables, the
-    verdict frame is eagerly checkpointed (through the audited ledger
-    when ``ledger_key`` is given) and the persists are RELEASED before
-    returning — repeated sweep calls never accumulate executor
-    storage. The precomputed index_sig/index_sh path persists nothing
-    and returns a plain lazy frame.
+    Cache lifetime (r14): the ``cache=True`` recompute path persists
+    its sketch tables through the keyed swap-pool
+    (operators/cachepool.py), which bounds them to one live table per
+    key across repeated sweep calls and files each plan in the audit
+    ledger — replacing the old raw-persist + eager-verdict-checkpoint
+    + unpersist dance, whose checkpoint cost one extra full
+    materialization of the verdict per invocation. Every path now
+    returns a plain lazy frame. ``ledger_key`` is accepted for caller
+    compatibility and unused.
     """
     sp = batch_docs.sparkSession.sparkContext.defaultParallelism
     batch_docs = batch_docs.repartition(sp)
@@ -111,12 +111,22 @@ def incremental_near_dups(
     # One regex shingling pass per side, not two (r13 optimization
     # round): sig derives from sh via signature_from_shingles —
     # bit-identical signatures, but the CPU-dense shingling runs once
-    # while sh materializes instead of once per table. The batch side
-    # persists sh_new only when the verdict checkpoint below will
-    # release it; the precomputed-index path persists nothing.
+    # while sh materializes instead of once per table.
+    #
+    # r14: the cache path persists through the keyed swap-pool instead
+    # of raw persist + eager verdict checkpoint + unpersist. The
+    # checkpoint existed ONLY to release the raw persists safely (the
+    # returned plan references them), at the price of one extra full
+    # materialization of the verdict inside every invocation; the pool
+    # bounds the cache lifetime instead (one live table per key, the
+    # repo-wide r10 discipline), records each plan in the audit ledger,
+    # and the verdict returns LAZY — its full plan stays visible to the
+    # shuffle audit directly.
     sh_new = shingle_table(batch_docs, id_col, text_col, k)
     if cache and index_sig is None:
-        sh_new = sh_new.persist(StorageLevel.MEMORY_AND_DISK)
+        from .cachepool import swap_persist
+
+        sh_new = swap_persist("increment.sh_new", sh_new)
         sig_new = signature_from_shingles(sh_new)
     else:
         sig_new = signature_table(batch_docs, id_col, text_col, k)
@@ -142,9 +152,11 @@ def incremental_near_dups(
             # joins; precomputed ones are parquet reads, which amortize
             # the same way without a persist. sig derives from the
             # persisted sh (one shingling pass — see the batch side).
-            sh_old = sh_old.persist(StorageLevel.MEMORY_AND_DISK)
-            sig_old = signature_from_shingles(sh_old).persist(
-                StorageLevel.MEMORY_AND_DISK
+            from .cachepool import swap_persist
+
+            sh_old = swap_persist("increment.sh_old", sh_old)
+            sig_old = swap_persist(
+                "increment.sig_old", signature_from_shingles(sh_old)
             )
         else:
             sig_old = signature_table(index_docs, id_col, text_col, k)
@@ -203,17 +215,10 @@ def incremental_near_dups(
             "jaccard",
         )
     )
-    if index_sig is None and cache:
-        # materialize the verdict while the index persists are live,
-        # then release them — see the cache-lifetime note above
-        from ..audit import audited_checkpoint
-
-        verdict = (
-            audited_checkpoint(f"{ledger_key}.verdict", verdict)
-            if ledger_key
-            else verdict.localCheckpoint(eager=True)
-        )
-        sig_old.unpersist()
-        sh_old.unpersist()
-        sh_new.unpersist()
+    # cache lifetime is owned by the keyed swap-pool (see the batch-side
+    # note): no eager verdict materialization, no per-call unpersist —
+    # the verdict returns lazy on every path. ledger_key is retained in
+    # the signature for callers that recorded it historically; the pool
+    # keys file the same plans in the audit ledger.
+    del ledger_key
     return verdict

@@ -1380,8 +1380,9 @@ def p_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the fixture for oracle parity). Index-side hot buckets over
     the cap are dropped (bandjoin's on_hot="drop" posture). 10× sweep:
     sub-linear, scripts/scale10x_increment.py (PERF.md). Operator:
-    operators/increment.py; verdict checkpoint + persist release via
-    the audited ledger (key p_incremental_dedup.verdict)."""
+    operators/increment.py; sketch tables pooled via the keyed
+    swap-pool (increment.* keys, r14 — the old eager verdict
+    checkpoint cost one extra full materialization per run)."""
     from ..operators.increment import incremental_near_dups
 
     d = load_table(spark, sf_dir, "documents")
@@ -1838,28 +1839,51 @@ def p_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured 4 live lineitem scans, scripts/scan_triage.py r10)."""
     from ..operators.cachepool import swap_persist
 
-    bi = swap_persist(
-        "icf.bi",
+    # Per-order part SETS instead of the distinct + basket self-join
+    # (r14, guide §2.3 aggregate-before-shuffle / §2.4 remove the
+    # shuffle): one groupBy(l_orderkey) with collect_set replaces BOTH
+    # the (l_orderkey, l_partkey) distinct AND the self-join on
+    # l_orderkey — the join's two 600k-row exchange branches are gone,
+    # and the pair fan-out happens IN-ROW over the sorted set (sorted ⇒
+    # every generated pair already has pa < pb, so the filter
+    # disappears too). collect_set per order is bounded by basket size
+    # (≤7 lineitems per order at ANY TPC-H scale factor — no skew, no
+    # giant-array hazard), which is exactly what makes the in-row
+    # expansion the textbook basket-co-occurrence shape. The DuckDB
+    # twin keeps its distinct + self-join algebra; rows verified
+    # identical (and the c_ab/c_i/c_o integers are the same counts by
+    # construction: per-order sets ⇒ pair instances are distinct per
+    # order ⇒ count(*) ≡ the old distinct-pair count, and exploding the
+    # sets regenerates bi exactly for the item counts).
+    sets = swap_persist(
+        "icf.sets",
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct(),
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps")),
     )
     # cnt is POOLED too (r13 optimization round): it feeds TWO broadcast
     # joins below (c_i and c_o) whose build sides alias the columns
     # differently, so Catalyst's exchange reuse does not canonicalize
-    # them to one subtree and the item-count aggregate (a full pass over
-    # bi + an exchange) was computed twice per run (plan: two
-    # BroadcastExchanges each with their own HashAggregate). The table
-    # is item-cardinality-sized — broadcast-scale by construction.
+    # them to one subtree and the item-count aggregate was computed
+    # twice per run. The table is item-cardinality-sized —
+    # broadcast-scale by construction. Exploding the per-order sets
+    # yields exactly the old distinct (order, part) incidence rows, so
+    # the per-part count is the distinct-order count unchanged.
     cnt = swap_persist(
         "icf.cnt",
-        bi.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("c")),
+        sets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c")),
     )
-    a = bi.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = bi.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pair_expr = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> "
+        "struct(x AS pa, y AS pb))))"
+    )
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
+        sets.select(F.explode(pair_expr).alias("e"))
+        .select("e.pa", "e.pb")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
     )
