@@ -106,13 +106,12 @@ def connected_components(
     # form iterated `nodes` and relied on the "nodes holds every
     # vertex" caller contract for the same constancy — r13 ADVICE; the
     # touched set makes the constancy self-evident.)
-    touched = sym.select(F.col("e_src").alias("node")).distinct()
-    record_plan(f"{ledger_key}.init", touched)
-    # eagerly materialized: the final singles anti-join below outlives
-    # the `sym` persist (unpersisted in the finally), so `touched` must
-    # not keep a lineage back into the edge generator
-    touched = touched.localCheckpoint(eager=True)
-    init = touched.select("node", F.col("node").alias("component"))
+    init = (
+        sym.select(F.col("e_src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+    )
+    record_plan(f"{ledger_key}.init", init)
     labels = init.localCheckpoint(eager=True)
     # decimal(38,0) sum of labels: exact at any scale (n·max_id ≤ 1e38),
     # no int64 overflow — see the fixpoint probe below
@@ -141,10 +140,15 @@ def connected_components(
             labels = new
             if new_sum == prev_sum:
                 # singleton vertices (no edges) are their own component;
-                # attached once here instead of iterated every round
+                # attached once here instead of iterated every round.
+                # The anti-join keys on the FINAL checkpointed label
+                # table (whose node set IS the touched set — constant
+                # across rounds), so the returned plan holds no lineage
+                # back into the edge generator after sym unpersists,
+                # and no extra materialization job is needed.
                 singles = (
                     nodes.select(F.col(node_col).alias("node"))
-                    .join(touched, "node", "left_anti")
+                    .join(labels.select("node"), "node", "left_anti")
                     .select("node", F.col("node").alias("component"))
                 )
                 return labels.unionByName(singles).withColumnRenamed(
