@@ -310,6 +310,13 @@ ALLOWED_LEDGER: dict[str, tuple[dict[str, int], str]] = {
         "per-round join re-expands the persisted pair-scan subtree in the "
         "plan string; executed work is InMemoryTableScan reads only",
     ),
+    "p_semantic_dedup.init": (
+        {"BroadcastNestedLoopJoin": 2},
+        "r14 touched-node init derives from the persisted symmetrized "
+        "edge table, whose plan string re-expands the same one pair scan "
+        "justified under p_semantic_dedup.edges; executed work is an "
+        "InMemoryTableScan read + distinct",
+    ),
     "g3.edges": (
         {"BroadcastNestedLoopJoin": 1, "Exchange SinglePartition": 1},
         "quantile-derived edge threshold: single-row scalar agg (exact "
