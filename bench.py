@@ -382,16 +382,27 @@ def compact_record(full: dict, full_path: str | None) -> dict:
     """The driver-facing subset of the full bench record. Must stay
     one short JSON line; everything else belongs in BENCH_FULL.json."""
     comparability = full.get("comparability") or {}
+    queries = full["queries"]
     out = {
         "metric": full["metric"],
         "value": full["value"],
         "unit": full["unit"],
-        "queries": full["queries"],
+        "queries": queries,
         "sf": full.get("sf"),
         "cpus": full.get("cpus"),
         "drift_factor": comparability.get("drift_factor"),
         "comparable_pins": comparability.get("comparable_pins"),
         "load_comparable": (full.get("load_gate") or {}).get("comparable"),
+        # headline total WITHOUT the host-calibration pin query
+        # (q1_pricing_summary doubles as the drift instrument — r13
+        # verdict item 7: host spread on the instrument reads as
+        # regression in the headline). ADDITIVE field only: `value`
+        # stays the full sum and q1 stays in `queries`, so cross-round
+        # totals remain comparable; readers wanting the pin-free total
+        # use this.
+        "value_ex_pin": round(
+            full["value"] - queries.get("q1_pricing_summary", 0.0), 4
+        ),
         "full_record": os.path.basename(full_path) if full_path else None,
     }
     line = json.dumps(out)

@@ -89,3 +89,22 @@ def test_multiprobe_candidates_superset_and_bounded(spark, sf_dir):
             assert row.worst4 >= row.worst1 - 1e-12, row
         assert row.n_buckets <= _NPROBE, row
         assert row.k <= _TOP_K, row
+
+
+def test_ivf_assign_pool_reuse_across_invocations(spark, sf_dir):
+    """Two successive _ivf_assign calls must return the SAME pooled
+    DataFrame object (r13 ADVICE): the pool hit requires sameSemantics
+    over the pickled mapInPandas closure, whose numpy arrays are
+    rebuilt per call — if serialized bytes ever differed, every call
+    would silently unpersist/re-persist the shared assignment and the
+    documented cross-consumer cache sharing would be gone."""
+    from x8313_etl_spark.operators.cachepool import clear_pool
+    from x8313_etl_spark.queries.similarity_q import _ivf_assign
+
+    clear_pool(forget_ledger=False)
+    a1 = _ivf_assign(spark, sf_dir)
+    a2 = _ivf_assign(spark, sf_dir)
+    assert a2 is a1, (
+        "pool miss on an identical _ivf_assign invocation — the "
+        "mapInPandas closure no longer pickles deterministically"
+    )
