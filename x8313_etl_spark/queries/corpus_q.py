@@ -397,18 +397,6 @@ def p_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings; top-k is a WindowGroupLimit. Self-retrieval sanity: each
     query's own doc ranks #1 (tested)."""
     d = load_table(spark, sf_dir, "documents")
-    # dl is computed MAP-SIDE before the explode and carried through the
-    # tf aggregation with first() — no per-doc length table to join back
-    # (a corpus-sized shuffle join saved; measured 8→6 exchanges).
-    # Repartition before the tokenize: the single-file scan is ONE
-    # partition, so the CPU-dense split+explode otherwise runs on one
-    # core (guide §2.5 unsplittable-input case; one doc-count-sized
-    # round-robin shuffle buys cores× parallelism for every stage below).
-    tok = d.repartition(spark.sparkContext.defaultParallelism).select(
-        "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("double").alias("dl"),
-        F.explode(F.split(F.col("text"), " ")).alias("term"),
-    )
     stats = d.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         # davg: decimal-sum average — shuffle-order-independent, exact
@@ -426,26 +414,61 @@ def p_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # Prune BEFORE the tf aggregate (r13 optimization round, guide §2.2
-    # — shuffle fewer bytes): the broadcast semi-join keeps only
-    # postings of query terms, so the (doc_id, term) shuffle carries
-    # Σ df(query term) rows instead of the whole corpus vocabulary.
-    # tf per (doc, term) is unaffected by dropping other terms' rows,
-    # so the surviving aggregates are value-identical to the old
-    # aggregate-then-prune plan (oracle unchanged, re-verified exact).
-    # tfq feeds BOTH the df aggregate and the scoring join — persist via
-    # the keyed swap-pool (operators/cachepool.py) so the explode +
-    # (doc_id, term) shuffle runs once, not once per plan branch (the
-    # same two-consumer pattern as sim_ivf_topk's assignment table).
+    # Pruned tf table as ONE map-only Arrow pass (r14, guide §4 — the
+    # simhash-kernel pattern): the distinct query-TERM set is a bounded
+    # closure (terms of the first N=10 docs — a fixed query budget, the
+    # same driver hop the old broadcast semi-join performed), and each
+    # doc row emits its (term, tf, dl) postings for query terms only.
+    # This removes the corpus-wide token EXPLODE (270k rows at sf0.1),
+    # the broadcast semi-join AND the (doc_id, term) tf-aggregate
+    # exchange — tf per (doc, term) is a within-row count, exact
+    # integers cast to double, identical to the old aggregate. The JVM
+    # split tokenization is kept (token arrays cross the Arrow
+    # boundary; nothing re-implements split semantics). tfq still feeds
+    # BOTH the df aggregate and the scoring join — pooled as before.
     from ..operators.cachepool import swap_persist
 
+    qset = frozenset(r["term"] for r in qterms.select("term").distinct().collect())
+
+    def tf_kernel(batches):
+        from collections import Counter
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            doc_ids: list = []
+            terms: list = []
+            tfs: list = []
+            dls: list = []
+            for did, toks in zip(
+                pdf["doc_id"].to_numpy(), pdf["toks"].to_numpy()
+            ):
+                dl = float(len(toks))
+                cnt = Counter(t for t in toks if t in qset)
+                for term, c in cnt.items():
+                    doc_ids.append(did)
+                    terms.append(term)
+                    tfs.append(float(c))
+                    dls.append(dl)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(doc_ids, dtype=np.int64),
+                    "term": pd.array(terms, dtype=object),
+                    "tf": np.asarray(tfs, dtype=np.float64),
+                    "dl": np.asarray(dls, dtype=np.float64),
+                }
+            )
+
+    # Repartition before the tokenize: the single-file scan is ONE
+    # partition, so the CPU-dense split+count otherwise runs on one
+    # core (guide §2.5 unsplittable-input case).
     tfq = swap_persist(
         "bm25.tfq",
-        tok.join(F.broadcast(qterms.select("term").distinct()), "term", "semi")
-        .groupBy("doc_id", "term")
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("tf"),
-            F.first("dl").alias("dl"),
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .mapInPandas(
+            tf_kernel, "doc_id long, term string, tf double, dl double"
         ),
     )
     df_t = tfq.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
