@@ -318,22 +318,22 @@ def test_sequence_pack_single_window_shuffle(spark, sf_dir):
     assert "Generate explode" in plan
 
 
-def test_bm25_semi_prune_below_tf_aggregate(spark, sf_dir):
-    """p_bm25_topk: the query-term semi join must push BELOW the
-    (doc, term) tf aggregate (PushDownLeftSemiAntiJoin), so only
-    query-term tokens ever enter the shuffle — the full-corpus explode
-    stays map-side. If the LeftSemi sat above the aggregate, the whole
-    corpus tf table would shuffle at 100 TB."""
+def test_bm25_tf_table_is_map_only_kernel(spark, sf_dir):
+    """p_bm25_topk: the pruned (doc, term) tf table is ONE map-only
+    Arrow pass with the bounded query-term set in the task closure
+    (r14) — no corpus-wide token explode, no semi join, no
+    (doc_id, term) tf-aggregate exchange. If a LeftSemi or a
+    corpus-token Generate reappeared, the whole corpus tf table would
+    be back in the shuffle at 100 TB (the shape the r13 semi-prune test
+    guarded; this pins its successor)."""
     plan = _plan(spark, "p_bm25_topk", sf_dir)
-    semi = [l for l in plan.splitlines() if "LeftSemi" in l]
-    assert semi, plan
-    # below the semi join there must be the raw explode, not an agg:
-    # find the subtree indentation — cheap proxy: no HashAggregate line
-    # between the LeftSemi and the Generate directly under it
-    lines = plan.splitlines()
-    i = next(n for n, l in enumerate(lines) if "LeftSemi" in l)
-    below = [l for l in lines[i + 1 : i + 4]]
-    assert any("Generate explode" in l for l in below), below
+    assert "MapInPandas" in plan, plan
+    assert "LeftSemi" not in plan, plan
+    # the only Generate explode allowed is the PRUNED query-doc branch
+    # (doc_id < N pushed to the scan); the corpus branch must not fan
+    # out token rows in the JVM
+    gen = [l for l in plan.splitlines() if "Generate explode" in l]
+    assert len(gen) <= 1, plan
 
 
 def test_m2_time_travel_reads_are_plain_scans(spark, sf_dir):

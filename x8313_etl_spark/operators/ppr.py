@@ -59,7 +59,21 @@ def personalized_pagerank(
         # rounds=0 would return an UN-materialized plan whose caches
         # the cleanup below has already released (review round 7)
         raise ValueError("rounds must be >= 1")
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Persist the edge table (r14): the per-round checkpoints truncate
+    # the RANK lineage, not the edge side — without this persist every
+    # round's job re-executed the caller's whole edge construction
+    # (g9: lineitem⋈orders + distinct + symmetrizing union, rounds×
+    # over). Hash-partitioned by the propagation join key before the
+    # persist (the concomp/g1 §2.1 posture): shuffle-free edge side per
+    # round at the scale where the rank table cannot broadcast.
+    edges = edges.repartition(F.col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    # deg is node-sized and joined every round — persist it too instead
+    # of re-aggregating the edge table per round (g1's shape)
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -126,3 +140,5 @@ def personalized_pagerank(
         # cleanup exists to bound (review round 7)
         frame.unpersist()
         nodes.unpersist()
+        deg.unpersist()
+        edges.unpersist()
