@@ -112,13 +112,25 @@ def connected_components(
         .select("node", F.col("node").alias("component"))
     )
     record_plan(f"{ledger_key}.init", init)
-    labels = init.localCheckpoint(eager=True)
+    # no eager init checkpoint (r14): round 1 reads init straight off
+    # the persisted edge table (twice — join side + union side — both
+    # InMemoryTableScan reads of a node-sized distinct), and round 1's
+    # own checkpoint truncates the lineage; a pre-loop materialization
+    # job bought nothing
+    labels = init
     # decimal(38,0) sum of labels: exact at any scale (n·max_id ≤ 1e38),
     # no int64 overflow — see the fixpoint probe below
     _label_sum = lambda df: df.agg(
         F.sum(F.col("component").cast("decimal(38,0)"))
     ).collect()[0][0]
-    prev_sum = _label_sum(labels)
+    # No pre-loop sum job (r14): with at least one edge, round 1 ALWAYS
+    # lowers some label (both endpoints start self-labeled, min picks
+    # the smaller), so an init-vs-round-1 comparison can never detect
+    # convergence — the old pre-loop aggregate was a pure waste job.
+    # The sentinel never equals a decimal sum, so the first real
+    # comparison is round 2 vs round 1; an edgeless graph (touched set
+    # empty) pays one extra trivial round over empty tables.
+    prev_sum = None
 
     try:
         for _ in range(max_iter):
